@@ -1,0 +1,20 @@
+from insect_observation_data_pipeline_spark.operators.quarantine import Rule, split_valid_invalid
+from insect_observation_data_pipeline_spark.operators.dedupe import distinct_on
+from insect_observation_data_pipeline_spark.operators.scd2 import scd2_end_date
+from insect_observation_data_pipeline_spark.operators.asof import (
+    interval_join,
+    priority_match,
+    fallback_coalesce_join,
+)
+from insect_observation_data_pipeline_spark.operators.topk import top_k
+
+__all__ = [
+    "Rule",
+    "split_valid_invalid",
+    "distinct_on",
+    "scd2_end_date",
+    "interval_join",
+    "priority_match",
+    "fallback_coalesce_join",
+    "top_k",
+]

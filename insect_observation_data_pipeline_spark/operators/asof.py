@@ -1,0 +1,111 @@
+"""Temporal attribution operators: interval join, priority match, fallback.
+
+Reproduce the reference's SCD2-window attribution logic:
+
+- interval join (J9): match an event date into a validity window
+  ``start <= d AND (end IS NULL OR d <= end)``
+  (/root/reference/03_sql/02_etl_csv_to_oltp/04_ETL1_part3.sql:401-405;
+  04_etl_oltp_to_olap/08_ETL2_part2.sql:98-101,160-163);
+- priority match (J11): rank candidate matches 1=active-interval,
+  2=null-dates+current, 3=before-first-interval, 4=else and keep the best
+  per row (04_ETL1_part3.sql:396-416);
+- fallback pair (J12): COALESCE of an exact interval lookup and an
+  "earliest interval" lookup (08_ETL2_part2.sql:85,98-104,143,160-166).
+
+Physical strategy: all three keep an EQUI component (the entity key) so
+Catalyst plans a shuffled hash / sort-merge join with the range residual as
+a post-join filter — never a cross join. At 100 TB the windows side (SCD2
+dims) is orders of magnitude smaller than the fact side; broadcast it when
+it fits (callers can wrap in ``F.broadcast``). If a windows-per-entity
+explosion ever made the residual hot, the rewrite is the classic as-of:
+union probe+build, one window ``last(value, ignorenulls)`` over
+(entity, time) — kept in mind, not needed at reference semantics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    probe: DataFrame,
+    windows: DataFrame,
+    on: list[str],
+    probe_time: str,
+    win_start: str,
+    win_end: str,
+    *,
+    how: str = "inner",
+    closed_end: bool = True,
+) -> DataFrame:
+    """Join each probe row to the validity window containing its time."""
+    upper = (
+        F.col(win_end).isNull()
+        | (
+            F.col(probe_time) <= F.col(win_end)
+            if closed_end
+            else F.col(probe_time) < F.col(win_end)
+        )
+    )
+    cond = [probe[k] == windows[k] for k in on] + [
+        F.col(probe_time) >= F.col(win_start),
+        upper,
+    ]
+    joined = probe.join(windows, cond, how)
+    # drop the duplicate equi-key columns from the windows side
+    for k in on:
+        joined = joined.drop(windows[k])
+    return joined
+
+
+def priority_match(
+    probe: DataFrame,
+    candidates: DataFrame,
+    on: list[str],
+    probe_key: list[str],
+    priority: Column,
+    order_by: list[Column],
+    *,
+    how: str = "left",
+) -> DataFrame:
+    """Keep the single best candidate row per probe row.
+
+    ``priority`` is evaluated on the joined row (lower = better), matching
+    the reference's CASE ladder (04_ETL1_part3.sql:401-409); ``order_by``
+    breaks ties *totally* so the pick is deterministic (the reference's
+    ORDER BY priority, start_date is not a total order — SURVEY §7).
+    """
+    cond = [probe[k] == candidates[k] for k in on]
+    joined = probe.join(candidates, cond, how)
+    for k in on:
+        joined = joined.drop(candidates[k])
+    tagged = joined.withColumn("__prio", priority)
+    w = Window.partitionBy(*probe_key).orderBy(F.col("__prio").asc(), *order_by)
+    return (
+        tagged.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__prio", "__rn")
+    )
+
+
+def fallback_coalesce_join(
+    probe: DataFrame,
+    primary: DataFrame,
+    secondary: DataFrame,
+    primary_cond: list[Column],
+    secondary_cond: list[Column],
+    pick: list[tuple[str, Column, Column]],
+) -> DataFrame:
+    """Two LEFT JOINs + COALESCE(primary.col, secondary.col) per picked col.
+
+    ``pick`` is (output_name, primary_col, secondary_col). Mirrors the
+    reference's active-subscription-else-earliest pattern
+    (08_ETL2_part2.sql:85,98-104).
+    """
+    out = probe.join(primary, primary_cond, "left").join(
+        secondary, secondary_cond, "left"
+    )
+    for name, pcol, scol in pick:
+        out = out.withColumn(name, F.coalesce(pcol, scol))
+    return out

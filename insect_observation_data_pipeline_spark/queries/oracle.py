@@ -1,0 +1,362 @@
+"""DuckDB oracle SQL, one string per key in
+:mod:`insect_observation_data_pipeline_spark.queries.testdata`.
+
+Conventions that keep the driver's (row-count, schema, value-hash) compare
+stable across engines:
+- every computed column aliased identically to the Spark side;
+- integer SUMs cast to BIGINT (DuckDB widens to HUGEINT, Spark uses long);
+- year()/month()/length()/instr() cast to INTEGER (DuckDB returns BIGINT);
+- double aggregates rounded on both sides;
+- every LIMIT query ordered by a total order (metric + unique tiebreaks);
+- timestamps kept naive (both engines run in UTC).
+"""
+
+from __future__ import annotations
+
+_SIGNUP_WINDOWS = """
+    SELECT user_id, ts AS start_ts,
+           lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS end_ts
+    FROM events WHERE event_type = 'signup'
+"""
+
+_PURCHASES = """
+    SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+"""
+
+ORACLE: dict[str, str] = {
+    "flagship_top_part_supplier": """
+        SELECT p.p_name AS part_name, s.s_name AS supplier_name,
+               count(*) AS interaction_count
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+        ORDER BY interaction_count DESC, part_name, supplier_name
+        LIMIT 10
+    """,
+    "q1_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(avg(l_quantity), 2) AS avg_qty,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q3_shipping_priority": """
+        SELECT o.o_orderkey, o.o_orderdate::DATE AS order_date,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        GROUP BY o.o_orderkey, o.o_orderdate::DATE
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    "q5_local_supplier_volume": """
+        SELECT n.n_name,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    "t2_orders_by_priority": """
+        SELECT o_orderpriority, count(*) AS total_orders
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY total_orders DESC, o_orderpriority
+    """,
+    "a4_status_filtered_counts": """
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE l_returnflag = 'R') AS returned_cnt,
+               count(*) FILTER (WHERE l_returnflag = 'A') AS accepted_cnt,
+               count(*) AS total_cnt
+        FROM lineitem
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+    """,
+    "j1_top_customers_by_orders": """
+        SELECT c.c_name, count(*) AS total_orders
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_name
+        ORDER BY total_orders DESC, c.c_name
+        LIMIT 10
+    """,
+    "a2_monthly_revenue_no_january": """
+        SELECT monthname(o_orderdate) AS month_name,
+               round(sum(o_totalprice), 2) AS total_revenue
+        FROM orders
+        WHERE monthname(o_orderdate) <> 'January'
+        GROUP BY month_name
+        ORDER BY total_revenue DESC, month_name
+        LIMIT 5
+    """,
+    "a8_top_nation_months": """
+        SELECT n.n_name, strftime(o.o_orderdate, '%Y-%m') AS month_year,
+               count(*) AS total_orders,
+               round(sum(o.o_totalprice), 2) AS total_revenue
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name, month_year
+        ORDER BY total_revenue DESC, n.n_name, month_year
+        LIMIT 10
+    """,
+    "w2_best_month_per_customer": """
+        WITH monthly AS (
+            SELECT c.c_custkey, c.c_name,
+                   strftime(o.o_orderdate, '%Y-%m') AS month_year,
+                   count(DISTINCT l.l_suppkey) AS distinct_suppliers
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name, month_year
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY c_custkey
+                ORDER BY distinct_suppliers DESC, month_year
+            ) AS rn
+            FROM monthly
+        )
+        SELECT c_name, month_year, distinct_suppliers
+        FROM ranked WHERE rn = 1
+        ORDER BY distinct_suppliers DESC, c_name, month_year
+        LIMIT 10
+    """,
+    "s1_scan_prune": """
+        SELECT l_orderkey, l_linenumber, l_quantity
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_quantity > 45
+    """,
+    "s4_seed_static_union": """
+        SELECT r_name FROM region
+        UNION ALL
+        SELECT 'SEED_REGION' AS r_name
+    """,
+    "s8_quarantine_events": """
+        WITH tagged AS (
+            SELECT event_id,
+                   CASE
+                     WHEN value > 95 THEN 'value out of range'
+                     WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) > 90
+                       THEN 'props k out of range'
+                     WHEN upper(event_type) NOT IN
+                          ('CLICK','VIEW','PURCHASE','SIGNUP','ERROR')
+                       THEN 'unknown event type'
+                   END AS error_message
+            FROM events
+        )
+        SELECT event_id, error_message FROM tagged
+        WHERE error_message IS NOT NULL
+    """,
+    "p2_customers_without_events": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        LEFT JOIN (SELECT DISTINCT user_id FROM events) e
+          ON c.c_custkey = e.user_id
+        WHERE e.user_id IS NULL
+    """,
+    "p3_regex_extract_brand": """
+        SELECT p_partkey,
+               CAST(regexp_extract(p_brand, '\\d+') AS INTEGER) AS brand_num
+        FROM part
+        WHERE regexp_matches(p_brand, '^Brand#\\d+$')
+    """,
+    "p4_range_validation": """
+        SELECT l_returnflag, count(*) AS in_range_cnt
+        FROM lineitem
+        WHERE l_quantity BETWEEN 20 AND 30
+          AND l_discount BETWEEN 0.02 AND 0.08
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "p5_set_membership": """
+        SELECT event_id, event_type
+        FROM events
+        WHERE upper(event_type) NOT IN ('CLICK','VIEW','PURCHASE','SIGNUP')
+    """,
+    "p6_conditional_repair": """
+        SELECT l_returnflag,
+               round(sum(CASE WHEN l_quantity > 40 THEN 40.0
+                              ELSE l_quantity END), 1) AS sum_qty_clamped
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "p7_nullif_normalize": """
+        SELECT doc_id,
+               coalesce(nullif(nullif(trim(source), ''), 'src0'), 'UNKNOWN')
+                 AS source_norm
+        FROM documents
+    """,
+    "j3_compound_on_left": """
+        SELECT o.o_orderstatus, count(l.l_orderkey) AS matched_lines
+        FROM orders o
+        LEFT JOIN lineitem l
+          ON o.o_orderkey = l.l_orderkey AND l.l_quantity > 48
+        GROUP BY o.o_orderstatus
+        ORDER BY o.o_orderstatus
+    """,
+    "j4_customers_no_orders": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    "j7_customers_with_open_orders": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
+    """,
+    "j8_substring_theta": """
+        SELECT p.p_partkey, t.type_word
+        FROM part p
+        JOIN (SELECT DISTINCT p_type AS type_word FROM part) t
+          ON p.p_name LIKE '%' || lower(t.type_word) || '%'
+    """,
+    "j9_interval_attribution": f"""
+        WITH w AS ({_SIGNUP_WINDOWS}), p AS ({_PURCHASES})
+        SELECT p.event_id, p.user_id, w.start_ts
+        FROM p JOIN w
+          ON p.user_id = w.user_id
+         AND p.ts >= w.start_ts
+         AND (w.end_ts IS NULL OR p.ts < w.end_ts)
+    """,
+    "j11_priority_attribution": f"""
+        WITH w0 AS ({_SIGNUP_WINDOWS}),
+        w AS (
+            SELECT *, min(start_ts) OVER (PARTITION BY user_id) AS first_start
+            FROM w0
+        ),
+        p AS ({_PURCHASES}),
+        c AS (
+            SELECT p.event_id, p.user_id, w.start_ts,
+                   CASE
+                     WHEN w.start_ts IS NULL THEN 3
+                     WHEN p.ts >= w.start_ts
+                          AND (w.end_ts IS NULL OR p.ts < w.end_ts) THEN 1
+                     WHEN p.ts < w.first_start
+                          AND w.start_ts = w.first_start THEN 2
+                     ELSE 3
+                   END AS prio
+            FROM p LEFT JOIN w ON p.user_id = w.user_id
+        ),
+        r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY event_id ORDER BY prio, start_ts
+            ) AS rn
+            FROM c
+        )
+        SELECT event_id, user_id, start_ts AS attributed_start
+        FROM r WHERE rn = 1
+    """,
+    "j12_fallback_active_else_earliest": f"""
+        WITH w AS ({_SIGNUP_WINDOWS}),
+        fw AS (
+            SELECT user_id AS fw_user_id, min(ts) AS first_start
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        p AS ({_PURCHASES})
+        SELECT p.event_id, p.user_id,
+               coalesce(w.start_ts, fw.first_start) AS attributed_start
+        FROM p
+        LEFT JOIN w ON p.user_id = w.user_id
+                   AND p.ts >= w.start_ts
+                   AND (w.end_ts IS NULL OR p.ts < w.end_ts)
+        LEFT JOIN fw ON p.user_id = fw.fw_user_id
+    """,
+    "a5_count_distinct_multi": """
+        SELECT o.o_orderpriority,
+               count(DISTINCT l.l_partkey) AS distinct_parts,
+               count(DISTINCT l.l_suppkey) AS distinct_suppliers,
+               count(*) AS total_lines
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority
+    """,
+    "a7_distinct_on_first_line": """
+        WITH ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+            ) AS rn
+            FROM lineitem
+        )
+        SELECT l_orderkey, l_partkey, l_quantity FROM ranked WHERE rn = 1
+    """,
+    "a9_group_by_expression": """
+        SELECT coalesce(nullif(p_type, 'PROMO'), 'OTHER') AS type_class,
+               count(*) AS n_parts,
+               round(avg(p_retailprice), 2) AS avg_price
+        FROM part
+        GROUP BY type_class
+        ORDER BY type_class
+    """,
+    "w1_lag_delta": """
+        SELECT event_id, user_id,
+               round(value - lag(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ), 2) AS value_delta
+        FROM events
+    """,
+    "w3_scd2_intervals": f"""
+        SELECT user_id, start_ts, end_ts FROM ({_SIGNUP_WINDOWS})
+    """,
+    "t1_topk_lineitems": """
+        SELECT l_orderkey, l_linenumber, l_extendedprice
+        FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+        LIMIT 10
+    """,
+    "f_string_census": """
+        SELECT p_partkey,
+               upper(p_name) AS up_name,
+               array_to_string(
+                   list_transform(string_split(p_name, ' '),
+                                  w -> upper(w[1]) || substr(w, 2)),
+                   ' ') AS cap_name,
+               reverse(p_name) AS rev_name,
+               CAST(length(p_name) AS INTEGER) AS name_len,
+               CAST(instr(p_name, ' ') AS INTEGER) AS space_pos,
+               split_part(p_name, ' ', 1) AS first_word,
+               split_part(p_name, ' ', -1) AS last_word,
+               lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+               p_name || '|' || p_brand AS name_brand
+        FROM part
+    """,
+    "f_date_census": """
+        SELECT o_orderkey,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               monthname(o_orderdate) AS month_name,
+               strftime(o_orderdate, '%Y-%m') AS month_year,
+               o_orderdate::DATE - 1 AS prev_day,
+               make_date(CAST(year(o_orderdate) AS INTEGER),
+                         CAST(month(o_orderdate) AS INTEGER), 1) AS month_start
+        FROM orders
+    """,
+    "f_cast_census": """
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+               CAST(value AS DECIMAL(9,2)) AS value_dec,
+               (upper(CASE WHEN event_type = 'click' THEN 'Y' ELSE 'N' END) = 'Y')
+                 AS is_click
+        FROM events
+    """,
+}

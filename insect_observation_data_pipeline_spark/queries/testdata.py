@@ -1,0 +1,678 @@
+"""Operator-coverage query library over the driver testdata (SURVEY §2 -> §7.7).
+
+Each function takes ``(spark, sf_dir)`` and returns a DataFrame; keys in
+``QUERIES`` are stable operator-coded names. Every computed column is
+aliased to match the DuckDB oracle in
+:mod:`insect_observation_data_pipeline_spark.queries.oracle` exactly (the driver's compare hashes
+values under sorted column names).
+
+Reference parity mapping (reference query -> testdata analog):
+- oltp_queries.sql:6-15  top plant-pollinator pairs -> ``flagship_top_part_supplier``
+- oltp_queries.sql:18-24 habitats full sort         -> ``t2_orders_by_priority``
+- oltp_queries.sql:27-37 filtered counts by quality -> ``a4_status_filtered_counts``
+- oltp_queries.sql:40-48 top users                  -> ``j1_top_customers_by_orders``
+- olap_queries.sql:6-16  top months minus January   -> ``a2_monthly_revenue_no_january``
+- olap_queries.sql:19-35 top location-months        -> ``a8_top_nation_months``
+- olap_queries.sql:39-69 best month per user (rank) -> ``w2_best_month_per_customer``
+
+Scale notes are inline per query; the global stance: built-in expressions
+only (whole-stage codegen, no Python UDFs), joins keep equi components so
+Catalyst never falls back to cartesian products, small computed dims are
+broadcast explicitly, everything else is left to AQE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.sources.parquet import read_table
+from insect_observation_data_pipeline_spark.operators import (
+    Rule,
+    distinct_on,
+    fallback_coalesce_join,
+    interval_join,
+    priority_match,
+    scd2_end_date,
+    split_valid_invalid,
+    top_k,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Flagship + reference-query analogs
+# ---------------------------------------------------------------------------
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 part-supplier pairs by lineitem count.
+
+    Analog of the reference's flagship top-10 plant-pollinator pairs
+    (oltp_queries.sql:6-15): two dim joins + grouped count + deterministic
+    top-k. part/supplier are not force-broadcast: at 100 TB neither is
+    driver-small, and AQE broadcasts them automatically at test scale.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    s = _t(spark, sf_dir, "supplier")
+    pairs = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .select(p.p_name.alias("part_name"), s.s_name.alias("supplier_name"))
+        .groupBy("part_name", "supplier_name")
+        .agg(F.count(F.lit(1)).alias("interaction_count"))
+    )
+    return top_k(
+        pairs,
+        [F.desc("interaction_count"), F.asc("part_name"), F.asc("supplier_name")],
+        10,
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped rollup (A1/A2/A3/A10): the bench headline scan+agg.
+
+    One parquet scan -> partial/final hash agg on 6 groups; filter and the
+    5-column projection push into the scan.
+    """
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped: selective dim filter -> 2 joins -> top-k revenue."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    agg = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    return top_k(agg, [F.desc("revenue"), F.asc("o_orderkey")], 10)
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped 6-way join; region/nation broadcast (fixed 5/25 rows)."""
+    r = F.broadcast(_t(spark, sf_dir, "region"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+def t2_orders_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sort, no limit (analog: habitats by observation count,
+    oltp_queries.sql:18-24)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("total_orders"))
+        .orderBy(F.desc("total_orders"), F.asc("o_orderpriority"))
+    )
+
+
+def a4_status_filtered_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(*) FILTER analog (oltp_queries.sql:27-37): conditional counts
+    per group in one pass."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(F.col("l_returnflag") == "R", True)).alias("returned_cnt"),
+            F.count(F.when(F.col("l_returnflag") == "A", True)).alias("accepted_cnt"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def j1_top_customers_by_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner equi-join + grouped count + top-k (oltp_queries.sql:40-48)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name")
+        .agg(F.count(F.lit(1)).alias("total_orders"))
+    )
+    return top_k(agg, [F.desc("total_orders"), F.asc("c_name")], 10)
+
+
+def a2_monthly_revenue_no_january(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 months by revenue, January excluded — the reference's
+    placeholder-month exclusion rule (olap_queries.sql:6-16,
+    04_ETL1_part3.sql:379-388)."""
+    o = _t(spark, sf_dir, "orders")
+    agg = (
+        o.withColumn("month_name", F.date_format("o_orderdate", "MMMM"))
+        .filter(F.col("month_name") != "January")
+        .groupBy("month_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_revenue"))
+    )
+    return top_k(agg, [F.desc("total_revenue"), F.asc("month_name")], 5)
+
+
+def a8_top_nation_months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key rollup + top-k (olap_queries.sql:19-35)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    agg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .withColumn("month_year", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("n_name", "month_year")
+        .agg(
+            F.count(F.lit(1)).alias("total_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+    )
+    return top_k(
+        agg, [F.desc("total_revenue"), F.asc("n_name"), F.asc("month_year")], 10
+    )
+
+
+def w2_best_month_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-per-group rn=1 over a distinct-count rollup
+    (olap_queries.sql:39-69: top monthly unique locations per user)."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    monthly = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .withColumn("month_year", F.date_format("o_orderdate", "yyyy-MM"))
+        .groupBy("c_custkey", "c_name", "month_year")
+        .agg(F.countDistinct("l_suppkey").alias("distinct_suppliers"))
+    )
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.desc("distinct_suppliers"), F.asc("month_year")
+    )
+    best = (
+        monthly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_name", "month_year", "distinct_suppliers")
+    )
+    return top_k(
+        best,
+        [F.desc("distinct_suppliers"), F.asc("c_name"), F.asc("month_year")],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scans / sources / sinks (S*)
+# ---------------------------------------------------------------------------
+
+
+def s1_scan_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection+filter that must push into the parquet scan (S1).
+    ``.explain`` shows PushedFilters + 4-column ReadSchema."""
+    l = _t(spark, sf_dir, "lineitem")
+    return l.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_quantity") > 45)
+    ).select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def s4_seed_static_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Static VALUES seed unioned with table data (S4,
+    01_create_oltp.sql:130-150)."""
+    r = _t(spark, sf_dir, "region").select("r_name")
+    seed = spark.createDataFrame([("SEED_REGION",)], "r_name string")
+    return r.unionByName(seed)
+
+
+def s8_quarantine_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarantine split with first-matching-rule reason (S8/J7,
+    04_ETL1_part3.sql:158-235). Returns the invalid rows + reason."""
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    rules = [
+        Rule(F.col("value") > 95, "value out of range"),
+        Rule(k > 90, "props k out of range"),
+        Rule(
+            ~F.upper("event_type").isin("CLICK", "VIEW", "PURCHASE", "SIGNUP", "ERROR"),
+            "unknown event type",
+        ),
+    ]
+    _, invalid = split_valid_invalid(e, rules, capture_row=False)
+    return invalid.select("event_id", "error_message")
+
+
+# ---------------------------------------------------------------------------
+# Projections / filters / predicates (P*)
+# ---------------------------------------------------------------------------
+
+
+def p2_customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left join + IS NULL missing-lookup predicate (P2/J2)."""
+    c = _t(spark, sf_dir, "customer")
+    u = _t(spark, sf_dir, "events").select("user_id").distinct()
+    return (
+        c.join(u, c.c_custkey == u.user_id, "left")
+        .filter(F.col("user_id").isNull())
+        .select("c_custkey", "c_name")
+    )
+
+
+def p3_regex_extract_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex predicate + extraction (P3, 04_ETL1_part3.sql:183-221)."""
+    p = _t(spark, sf_dir, "part")
+    return p.filter(F.col("p_brand").rlike(r"^Brand#\d+$")).select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"\d+", 0).cast("int").alias("brand_num"),
+    )
+
+
+def p4_range_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range predicates (P4: lat/lon/day/month bounds analog)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            F.col("l_quantity").between(20, 30)
+            & F.col("l_discount").between(0.02, 0.08)
+        )
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("in_range_cnt"))
+        .orderBy("l_returnflag")
+    )
+
+
+def p5_set_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN set-membership predicate (P5, UPPER(pollen) NOT IN ('Y','N')
+    at 04_ETL1_part3.sql:228-229)."""
+    e = _t(spark, sf_dir, "events")
+    return e.filter(
+        ~F.upper("event_type").isin("CLICK", "VIEW", "PURCHASE", "SIGNUP")
+    ).select("event_id", "event_type")
+
+
+def p6_conditional_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional value repair (P6: impossible-date clamping analog,
+    04_ETL1_part3.sql:370-377): clamp quantity to 40 then aggregate."""
+    l = _t(spark, sf_dir, "lineitem")
+    clamped = F.when(F.col("l_quantity") > 40, F.lit(40.0)).otherwise(
+        F.col("l_quantity")
+    )
+    return (
+        l.withColumn("qty_clamped", clamped)
+        .groupBy("l_returnflag")
+        .agg(F.round(F.sum("qty_clamped"), 1).alias("sum_qty_clamped"))
+        .orderBy("l_returnflag")
+    )
+
+
+def p7_nullif_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULLIF/TRIM normalization + COALESCE default (P7,
+    04_ETL1_part3.sql:117-154)."""
+    d = _t(spark, sf_dir, "documents")
+    src = F.nullif(F.nullif(F.trim("source"), F.lit("")), F.lit("src0"))
+    return d.select(
+        "doc_id", F.coalesce(src, F.lit("UNKNOWN")).alias("source_norm")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins (J*)
+# ---------------------------------------------------------------------------
+
+
+def j3_compound_on_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT JOIN with non-key residual condition in ON (J3,
+    08_ETL2_part2.sql:39-46)."""
+    o = _t(spark, sf_dir, "orders")
+    l = _t(spark, sf_dir, "lineitem")
+    joined = o.join(
+        l, (o.o_orderkey == l.l_orderkey) & (l.l_quantity > 48), "left"
+    )
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(F.count("l_orderkey").alias("matched_lines"))
+        .orderBy("o_orderstatus")
+    )
+
+
+def j4_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: insert-if-absent / NOT EXISTS shape (J4-J6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+def j7_customers_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join: EXISTS shape (J7)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def j8_substring_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring theta-join (J8: authors ILIKE '%'||last_name||'%',
+    04_ETL1_part3.sql:390-395). The tiny derived dim (6 distinct p_type
+    values) is broadcast -> BroadcastNestedLoopJoin, never a shuffled
+    cartesian."""
+    p = _t(spark, sf_dir, "part")
+    words = F.broadcast(
+        p.select(F.col("p_type").alias("type_word")).distinct()
+    )
+    return p.join(
+        words, F.expr("p_name LIKE concat('%', lower(type_word), '%')")
+    ).select("p_partkey", "type_word")
+
+
+def _signup_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style validity windows derived from signup events: half-open
+    [ts, next_ts) per user (W1/W3 analog over events, FIXTURES.md §4)."""
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("start_ts"), "event_id"
+    )
+    return scd2_end_date(
+        signups,
+        ["user_id"],
+        "start_ts",
+        end_col="end_ts",
+        order_tiebreak=[F.col("event_id").asc()],
+        closed_end=False,
+    ).select("user_id", "start_ts", "end_ts")
+
+
+def _purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+
+
+def j9_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/temporal-validity join (J9, 04_ETL1_part3.sql:401-405):
+    attribute each purchase to the signup window containing it. Equi on
+    user_id + range residual -> hash/SMJ, never cartesian."""
+    w = _signup_windows(spark, sf_dir)
+    p = _purchases(spark, sf_dir)
+    return interval_join(
+        p, w, ["user_id"], "ts", "start_ts", "end_ts", closed_end=False
+    ).select("event_id", "user_id", "start_ts")
+
+
+def j11_priority_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prioritized candidate match (J11, 04_ETL1_part3.sql:396-416):
+    1=purchase inside window, 2=before user's first window -> earliest,
+    3=no window. row_number over (priority, start) keeps the best."""
+    w = _signup_windows(spark, sf_dir).withColumn(
+        "first_start", F.min("start_ts").over(Window.partitionBy("user_id"))
+    )
+    p = _purchases(spark, sf_dir)
+    prio = (
+        F.when(F.col("start_ts").isNull(), F.lit(3))
+        .when(
+            (F.col("ts") >= F.col("start_ts"))
+            & (F.col("end_ts").isNull() | (F.col("ts") < F.col("end_ts"))),
+            F.lit(1),
+        )
+        .when(
+            (F.col("ts") < F.col("first_start"))
+            & (F.col("start_ts") == F.col("first_start")),
+            F.lit(2),
+        )
+        .otherwise(F.lit(3))
+    )
+    best = priority_match(
+        p,
+        w,
+        on=["user_id"],
+        probe_key=["event_id"],
+        priority=prio,
+        order_by=[F.col("start_ts").asc()],
+    )
+    return best.select(
+        "event_id",
+        "user_id",
+        F.col("start_ts").alias("attributed_start"),
+    )
+
+
+def j12_fallback_active_else_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fallback join pair + COALESCE (J12, 08_ETL2_part2.sql:85,98-104):
+    active window else earliest window."""
+    w = _signup_windows(spark, sf_dir)
+    fw = (
+        w.groupBy("user_id").agg(F.min("start_ts").alias("first_start"))
+    ).withColumnRenamed("user_id", "fw_user_id")
+    p = _purchases(spark, sf_dir)
+    out = fallback_coalesce_join(
+        p,
+        w,
+        fw,
+        primary_cond=[
+            p["user_id"] == w["user_id"],
+            p["ts"] >= w["start_ts"],
+            w["end_ts"].isNull() | (p["ts"] < w["end_ts"]),
+        ],
+        secondary_cond=[p["user_id"] == F.col("fw_user_id")],
+        pick=[("attributed_start", w["start_ts"], F.col("first_start"))],
+    )
+    return out.select(p["event_id"], p["user_id"], "attributed_start")
+
+
+# ---------------------------------------------------------------------------
+# Aggregations / windows / sorts (A*, W*, T*)
+# ---------------------------------------------------------------------------
+
+
+def a5_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Several exact COUNT(DISTINCT) measures in one grouped agg (A5,
+    08_ETL2_part2.sql:146-149). Exact (expand-based), not approx — oracle
+    equality requires it; approx_count_distinct is the opt-in scale
+    variant."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_suppliers"),
+            F.count(F.lit(1)).alias("total_lines"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def a7_distinct_on_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON (k) ORDER BY k, o emulation (A7,
+    03_ETL1_part2.sql:108-127): first lineitem per order."""
+    l = _t(spark, sf_dir, "lineitem")
+    first = distinct_on(
+        l,
+        ["l_orderkey"],
+        [F.col("l_linenumber").asc(), F.col("l_partkey").asc()],
+    )
+    return first.select("l_orderkey", "l_partkey", "l_quantity")
+
+
+def a9_group_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY computed expression (A9, 08_ETL2_part2.sql:118,177)."""
+    p = _t(spark, sf_dir, "part")
+    type_class = F.coalesce(F.nullif(F.col("p_type"), F.lit("PROMO")), F.lit("OTHER"))
+    return (
+        p.withColumn("type_class", type_class)
+        .groupBy("type_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        )
+        .orderBy("type_class")
+    )
+
+
+def w1_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG over (entity, time) partition (W1, 03_ETL1_part2.sql:164-169):
+    per-user event value delta."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+    )
+
+
+def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 end-dating via lead() in one pass (W1/M3 replacement,
+    03_ETL1_part2.sql:160-188): the signup validity windows themselves."""
+    return _signup_windows(spark, sf_dir)
+
+
+def t1_topk_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic top-k -> TakeOrderedAndProject (T1)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return top_k(
+        l.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [F.desc("l_extendedprice"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        10,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function census (§2h)
+# ---------------------------------------------------------------------------
+
+
+def f_string_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function census (§2h: TRIM/UPPER/LOWER/INITCAP/SPLIT_PART/
+    REVERSE/POSITION/LPAD/concat/LENGTH)."""
+    p = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.upper(name).alias("up_name"),
+        F.initcap(name).alias("cap_name"),
+        F.reverse(name).alias("rev_name"),
+        F.length(name).alias("name_len"),
+        F.instr(name, " ").alias("space_pos"),
+        F.split(name, " ").getItem(0).alias("first_word"),
+        F.element_at(F.split(name, " "), -1).alias("last_word"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_pad"),
+        F.concat_ws("|", name, F.col("p_brand")).alias("name_brand"),
+    )
+
+
+def f_date_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date function census (§2h: EXTRACT/TO_CHAR/make_date/interval)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("order_year"),
+        F.month(d).alias("order_month"),
+        F.date_format(d, "MMMM").alias("month_name"),
+        F.date_format(d, "yyyy-MM").alias("month_year"),
+        F.date_sub(d.cast("date"), 1).alias("prev_day"),
+        F.make_date(F.year(d), F.month(d), F.lit(1)).alias("month_start"),
+    )
+
+
+def f_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cast census (§2h: ::INTEGER, ::BOOLEAN-from-flag, ::DECIMAL, JSON
+    extraction)."""
+    e = _t(spark, sf_dir, "events")
+    flag = F.when(F.col("event_type") == "click", F.lit("Y")).otherwise(F.lit("N"))
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_int"),
+        F.col("value").cast("decimal(9,2)").alias("value_dec"),
+        (F.upper(flag) == "Y").alias("is_click"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "flagship_top_part_supplier": flagship,
+    "q1_pricing_summary": q1_pricing_summary,
+    "q3_shipping_priority": q3_shipping_priority,
+    "q5_local_supplier_volume": q5_local_supplier_volume,
+    "t2_orders_by_priority": t2_orders_by_priority,
+    "a4_status_filtered_counts": a4_status_filtered_counts,
+    "j1_top_customers_by_orders": j1_top_customers_by_orders,
+    "a2_monthly_revenue_no_january": a2_monthly_revenue_no_january,
+    "a8_top_nation_months": a8_top_nation_months,
+    "w2_best_month_per_customer": w2_best_month_per_customer,
+    "s1_scan_prune": s1_scan_prune,
+    "s4_seed_static_union": s4_seed_static_union,
+    "s8_quarantine_events": s8_quarantine_events,
+    "p2_customers_without_events": p2_customers_without_events,
+    "p3_regex_extract_brand": p3_regex_extract_brand,
+    "p4_range_validation": p4_range_validation,
+    "p5_set_membership": p5_set_membership,
+    "p6_conditional_repair": p6_conditional_repair,
+    "p7_nullif_normalize": p7_nullif_normalize,
+    "j3_compound_on_left": j3_compound_on_left,
+    "j4_customers_no_orders": j4_customers_no_orders,
+    "j7_customers_with_open_orders": j7_customers_with_open_orders,
+    "j8_substring_theta": j8_substring_theta,
+    "j9_interval_attribution": j9_interval_attribution,
+    "j11_priority_attribution": j11_priority_attribution,
+    "j12_fallback_active_else_earliest": j12_fallback_active_else_earliest,
+    "a5_count_distinct_multi": a5_count_distinct_multi,
+    "a7_distinct_on_first_line": a7_distinct_on_first_line,
+    "a9_group_by_expression": a9_group_by_expression,
+    "w1_lag_delta": w1_lag_delta,
+    "w3_scd2_intervals": w3_scd2_intervals,
+    "t1_topk_lineitems": t1_topk_lineitems,
+    "f_string_census": f_string_census,
+    "f_date_census": f_date_census,
+    "f_cast_census": f_cast_census,
+}

@@ -1,0 +1,81 @@
+"""Parquet table sources.
+
+The engine's warehouse layout is one directory per layer with one parquet
+dataset per table (``<dir>/<table>.parquet``). Reads are plain
+``spark.read.parquet`` so Catalyst gets column pruning + predicate pushdown
+into the vectorized parquet reader for free — at 100 TB this (plus partition
+pruning on partitioned layouts) is the single biggest lever, so nothing here
+may wrap the scan in an opaque UDF or RDD.
+
+Replaces the reference's postgres_fdw cross-database hop
+(/root/reference/03_sql/03_olap/06_connect_olap_to_oltp.sql:3-18): both
+layers live in one Spark warehouse, so a "foreign" table is just another
+parquet path (or ``spark.read.jdbc`` for a genuinely remote RDBMS).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
+    """Read one warehouse table. Column pruning/pushdown stay enabled.
+
+    Files written with nanosecond-precision timestamps (unsupported by
+    Spark's parquet reader) are read via the legacy nanos-as-long path and
+    the column is rebuilt as a microsecond timestamp with exact integer
+    ``div 1000`` truncation — bit-identical to DuckDB/pyarrow's ns->us
+    truncation, so oracle comparisons stay exact.
+    """
+    path = f"{base_dir}/{name}.parquet"
+    nanos_cols = _nanos_timestamp_columns(path)
+    if not nanos_cols:
+        return spark.read.parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    from pyspark.sql import functions as F
+
+    for col in nanos_cols:
+        if df.schema[col].dataType.simpleString() == "bigint":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def _nanos_timestamp_columns(path: str) -> set[str]:
+    """Columns stored as TIMESTAMP(NANOS) in the parquet footer.
+
+    Driver-side footer peek (pyarrow) — O(KB), no data read. Needed because
+    Spark either rejects nanos outright or (with the legacy conf) exposes
+    them as raw longs with no marker of their true type.
+    """
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.ParquetDataset(path).schema
+        return {
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        }
+    except Exception:
+        return set()
+
+
+def read_tables(
+    spark: SparkSession, base_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    return {n: read_table(spark, base_dir, n) for n in names}
