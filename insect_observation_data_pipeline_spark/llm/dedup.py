@@ -1,0 +1,267 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Everything is built-in expressions (md5 / arrays / lambda HOFs) so the
+same code whole-stage-codegens and survives a 1000-executor scale-up:
+
+- exact: hash-groupBy on a content fingerprint — one shuffle on the hash.
+- n-gram Jaccard: shingle -> explode -> self-join on shingle. Exact but
+  quadratic in colliding docs; the scale path is MinHash below.
+- MinHash+LSH: per-doc signature (one agg pass over exploded shingles),
+  banded bucket join so only same-bucket docs pair up — the classic
+  shingle->minhash->band->bucket-join pipeline; candidate pairs are then
+  verified with exact Jaccard.
+- SimHash: per-doc 16-bit signature in one agg pass; near-dups share
+  signatures within small Hamming distance.
+
+Hash functions are md5-hex based (lexicographic min over hex strings is a
+valid uniform min-hash) — deliberately engine-portable so the DuckDB
+oracle can reproduce signatures bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+from insect_observation_data_pipeline_spark.llm.textstats import fingerprint128, tokens
+
+
+def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via content-hash groupBy: keeper = min id per group."""
+    return (
+        docs.select(F.col(id_col), fingerprint128(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (empty array when < n tokens)."""
+    toks = tokens(text)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))  # 1-based start positions
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, i + off) for off in range(n)]
+        ),
+    )
+    return F.when(cnt >= n, F.array_distinct(grams)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded pairs."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    )
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for all doc pairs sharing >=1 shingle.
+
+    Self-join on shingle; |A ∩ B| = shared-shingle count, |A ∪ B| from
+    per-doc sizes. Pairs with no shared shingle never materialize.
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            stable_round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One row per doc: minhash_0..minhash_{k-1} (md5-hex min-hash).
+
+    Single shuffle: explode shingles -> groupBy doc with k min-aggs.
+    """
+    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"minhash_{j}")
+        for j in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    Band hash = md5 of the concatenated signature slice. The bucket join
+    shuffles on (band_idx, band_hash) — only same-bucket docs ever meet,
+    which is what makes near-dup detection sub-quadratic at scale.
+    """
+    rows_per_band = num_hashes // bands
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"minhash_{b * rows_per_band + r}")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = signatures.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"), F.col(f"band_{b}").alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = stacked.alias("a")
+    b = stacked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """Full pipeline: candidates from LSH, verified with exact Jaccard.
+
+    Exact verification runs ONLY over the candidate pairs — that
+    restriction (not the signatures) is what makes MinHash sub-quadratic:
+    the shingle self-join is gated by the (small, broadcastable) candidate
+    set instead of touching every colliding doc pair in the corpus.
+    """
+    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    sigs = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
+                f"minhash_{j}"
+            )
+            for j in range(num_hashes)
+        ]
+    )
+    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+    return (
+        cands.join(jac, ["doc_a", "doc_b"], "left")
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash16(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash over whitespace tokens (frequency-weighted).
+
+    Bit b of md5(token) is extracted arithmetically from the hex digit
+    (portable to any engine with md5 + integer math). Per doc: sum +-1 per
+    bit over all tokens, bit set where the sum is positive.
+    """
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h4", F.substring(F.md5(F.col("tok")), 1, 4))
+    bit_sums = []
+    for b in range(16):
+        k = b // 4  # hex char index (0-based)
+        shift = b % 4
+        digit = F.instr(F.lit(_HEX), F.substring(F.col("h4"), k + 1, 1)) - 1
+        bit = F.floor(digit / (2 ** shift)) % 2
+        bit_sums.append(
+            F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"s{b}")
+        )
+    summed = tok.groupBy("doc_id").agg(*bit_sums)
+    sim = None
+    for b in range(16):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return summed.select("doc_id", sim.cast("int").alias("simhash"))

@@ -1,0 +1,102 @@
+"""Multimodal column plumbing: binary payloads + typed metadata.
+
+Images/audio/video are opaque ``binary`` columns with a typed metadata
+struct. The Spark-side plumbing (schemas, batch iteration via
+``mapInPandas``, partition sizing) is real and tested; the actual codec
+work is stubbed (no imaging/audio libs in this environment) behind
+``DECODERS`` — swap in a real decoder without touching the pipeline.
+
+Scale notes: binary blobs ride in the same parquet row groups as their
+metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
+task. Decode runs in ``mapInPandas`` so bytes cross to Python once per
+Arrow batch, not per row; metadata-only queries never touch the bytes
+(column pruning drops the binary column at the scan).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("n_bytes", IntegerType(), True),
+        StructField("sha256", StringType(), True),
+        StructField("feature_kind", StringType(), True),
+    ]
+)
+
+
+def _decode_image_stub(payload: bytes) -> Any:
+    raise NotImplementedError(
+        "image decode requires an imaging library not present in this "
+        "environment; register a real decoder in DECODERS['image']"
+    )
+
+
+def _fake_deterministic_decode(payload: bytes) -> dict:
+    """Deterministic fake decoder for tests: derives 'features' from bytes."""
+    return {"n_bytes": len(payload or b""), "feature_kind": "fake"}
+
+
+DECODERS: dict[str, Callable[[bytes], Any]] = {
+    "image": _decode_image_stub,
+    "fake": _fake_deterministic_decode,
+}
+
+
+def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Metadata pass that never leaves the JVM: size + digest per blob."""
+    return df.select(
+        "media_id",
+        F.octet_length(F.col(payload_col)).alias("n_bytes"),
+        F.sha2(F.col(payload_col), 256).alias("sha256"),
+    )
+
+
+def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
+    """Arrow-batched decode via mapInPandas (one Python hop per batch)."""
+    import pandas as pd  # local import: executor-side dependency
+    import hashlib
+
+    decode = DECODERS[decoder]
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                feats = decode(payload)
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "n_bytes": feats.get("n_bytes"),
+                        "sha256": hashlib.sha256(payload or b"").hexdigest(),
+                        "feature_kind": feats.get("feature_kind"),
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)

@@ -1,0 +1,154 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline. Query side is broadcast (k
+  query vectors), candidates stream through a single projection — no
+  shuffle except the final per-query top-k, which TakeOrdered-style
+  window keeps tiny.
+- IVF top-k: the scale path. Vectors are pre-assigned to cells (here the
+  testdata's label column stands in for a k-means assignment); a query
+  probes only its nearest cell's vectors, pruning ~90% of the scan at 10
+  cells — the standard inverted-file ANN trade.
+
+Dot products use built-in higher-order functions (zip_with + aggregate)
+over double-cast arrays — JVM-side, no Python. For very wide vectors a
+vectorized Pandas-UDF variant would amortize per-element overhead; at
+64-dim the built-in path wins by avoiding Arrow transfer entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+
+def _as_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    a, b = _as_double(a), _as_double(b)
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cosine_sim), k rows per
+    query. Broadcast the (small) query side; rank on rounded similarity
+    with id tiebreak so results are total-ordered and engine-stable."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = q.crossJoin(c).select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").alias("rank"))
+    )
+
+
+def cell_centroids(
+    vectors: DataFrame,
+    *,
+    cell_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell centroid = element-wise mean. posexplode -> avg per (cell,
+    pos) -> rebuild array ordered by pos. Two shuffles over tiny data
+    (cells x dims rows)."""
+    exploded = vectors.select(
+        F.col(cell_col).alias("cell"),
+        F.posexplode(_as_double(F.col(vec_col))).alias("pos", "v"),
+    )
+    per_dim = exploded.groupBy("cell", "pos").agg(F.avg("v").alias("v"))
+    return per_dim.groupBy("cell").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "v"))), lambda s: s["v"]
+        ).alias("centroid")
+    )
+
+
+def ivf_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    k: int = 3,
+    round_digits: int = 4,
+) -> DataFrame:
+    """IVF ANN: route each query to its nearest cell centroid (nprobe=1),
+    then exact top-k within that cell only."""
+    cents = F.broadcast(cell_centroids(candidates, cell_col=cell_col, vec_col=vec_col))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    routed = (
+        q.crossJoin(cents)
+        .withColumn(
+            "c_sim", stable_round(cosine(F.col("q_vec"), F.col("centroid")), round_digits)
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.desc("c_sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("query_id", "q_vec", "cell")
+    )
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(cell_col).alias("cell"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    scored = routed.join(c, "cell").select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").alias("rank"))
+    )

@@ -1,0 +1,268 @@
+"""DuckDB oracles for the LLM-pipeline queries.
+
+The md5-hex-based hashing in the dedup operators is deliberately
+engine-portable, so even MinHash signatures and SimHash bits reproduce
+bit-for-bit here. DuckDB quirks handled: regexp_replace needs the 'g'
+flag (Spark replaces all matches by default); len()/instr()/row_number()
+return BIGINT (cast to INTEGER where Spark yields int); integer division
+is ``//``.
+"""
+
+from __future__ import annotations
+
+_NORM_TEXT = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+_SHINGLES_CTE = f"""
+    toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    sh AS (
+        SELECT DISTINCT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS shingle
+        FROM toks
+    )
+"""
+
+_JACCARD_CTE = f"""
+    {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jac AS (
+        SELECT i.doc_a, i.doc_b,
+               ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+    )
+"""
+
+
+def _simhash_sums() -> str:
+    terms = []
+    for b in range(16):
+        k = b // 4
+        div = 2 ** (b % 4)
+        digit = f"(instr('0123456789abcdef', substr(h4, {k + 1}, 1)) - 1)"
+        terms.append(
+            f"sum(CASE WHEN ({digit} // {div}) % 2 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        )
+    return ",\n               ".join(terms)
+
+
+def _simhash_value() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(16)
+    )
+
+
+_MINHASH_SIGS = ",\n               ".join(
+    f"min(md5('{j}:' || shingle)) AS m{j}" for j in range(8)
+)
+
+_BANDS_UNION = "\n        UNION ALL\n".join(
+    f"        SELECT doc_id, {b} AS band_idx, "
+    f"md5(m{2 * b} || '|' || m{2 * b + 1}) AS band_hash FROM sigs"
+    for b in range(4)
+)
+
+LLM_ORACLE: dict[str, str] = {
+    "x1_dedup_exact": f"""
+        SELECT md5({_NORM_TEXT}) AS fp,
+               min(doc_id) AS keeper_id,
+               count(*) AS n_docs
+        FROM documents
+        GROUP BY 1
+    """,
+    "x2_token_stats": f"""
+        SELECT doc_id,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
+        FROM documents
+    """,
+    "x3_text_quality": f"""
+        WITH base AS (
+            SELECT doc_id, text, {_TOKS} AS tk FROM documents
+        ), m AS (
+            SELECT doc_id, text, tk,
+                   CAST(len(tk) AS INTEGER) AS n_tokens,
+                   CAST(len(tk) AS DOUBLE) AS nd,
+                   CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) AS sum_len,
+                   CAST(len(list_filter(tk, t -> list_contains(
+                       ['the','a','of','and','to','in'], t))) AS DOUBLE) AS stop_cnt,
+                   CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
+                        AS DOUBLE) / len(text) AS alnum_raw
+            FROM base
+        )
+        SELECT doc_id,
+               n_tokens,
+               ((floor(abs(sum_len / nd) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum_len / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS avg_token_len,
+               ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS stopword_ratio,
+               ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS alnum_ratio,
+               ((floor(abs(least(nd / 100.0, 1.0) * 0.5 + ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.3 + ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.2) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (least(nd / 100.0, 1.0) * 0.5 + ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.3 + ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.2) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS quality_score
+        FROM m
+    """,
+    "x4_lang_id": f"""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   len(list_filter({_TOKS}, t -> list_contains(
+                       ['the','a','of','and'], t))) AS s_en,
+                   len(list_filter({_TOKS}, t -> list_contains(
+                       ['und','der','die','das'], t))) AS s_de,
+                   len(list_filter({_TOKS}, t -> list_contains(
+                       ['le','la','les','et'], t))) AS s_fr,
+                   len(list_filter({_TOKS}, t -> list_contains(
+                       ['el','los','las','una'], t))) AS s_es
+            FROM documents
+        ), p AS (
+            SELECT doc_id, lang,
+                   CASE
+                     WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                     ELSE 'und'
+                   END AS pred_lang
+            FROM s
+        )
+        SELECT doc_id, pred_lang, lang, (pred_lang = lang) AS is_correct FROM p
+    """,
+    "x5_fingerprint": f"""
+        SELECT doc_id,
+               md5({_NORM_TEXT}) AS fp128,
+               ('0x' || substr(md5({_NORM_TEXT}), 1, 8))::BIGINT AS fp64
+        FROM documents
+    """,
+    "x6_ngram_jaccard": f"""
+        WITH {_JACCARD_CTE}
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
+    """,
+    "x7_minhash_lsh": f"""
+        WITH {_JACCARD_CTE},
+        sigs AS (
+            SELECT doc_id,
+               {_MINHASH_SIGS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+{_BANDS_UNION}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b, coalesce(j.jaccard, 0.0) AS jaccard
+        FROM cand c LEFT JOIN jac j
+          ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE coalesce(j.jaccard, 0.0) >= 0.2
+    """,
+    "x8_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+        ), h AS (
+            SELECT doc_id, substr(md5(tok), 1, 4) AS h4 FROM tok
+        ), b AS (
+            SELECT doc_id,
+               {_simhash_sums()}
+            FROM h GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({_simhash_value()} AS INTEGER) AS simhash FROM b
+    """,
+    "x9_ann_bruteforce": """
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+            FROM embeddings WHERE vec_id >= 5
+        ), scored AS (
+            SELECT query_id, neighbor_id,
+                   ((floor(abs(list_cosine_similarity(qv, cv)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (list_cosine_similarity(qv, cv)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS cosine_sim
+            FROM q, c
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 5
+    """,
+    "x10_ann_ivf": """
+        WITH dims AS (
+            SELECT e.label AS cell, t.i AS i,
+                   CAST(e.embedding[t.i] AS DOUBLE) AS v
+            FROM embeddings e, generate_series(1, 64) t(i)
+            WHERE e.vec_id >= 5
+        ), per_dim AS (
+            SELECT cell, i, avg(v) AS av FROM dims GROUP BY cell, i
+        ), cent AS (
+            SELECT cell, list(av ORDER BY i) AS centroid FROM per_dim GROUP BY cell
+        ), q AS (
+            SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+            FROM embeddings WHERE vec_id < 5
+        ), routed AS (
+            SELECT query_id, qv, cell,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY ((floor(abs(list_cosine_similarity(qv, centroid)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (list_cosine_similarity(qv, centroid)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) DESC,
+                                cell
+                   ) AS rn
+            FROM q, cent
+        ), sel AS (
+            SELECT query_id, qv, cell FROM routed WHERE rn = 1
+        ), scored AS (
+            SELECT s.query_id, e.vec_id AS neighbor_id,
+                   ((floor(abs(list_cosine_similarity(s.qv, e.embedding::DOUBLE[])) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (list_cosine_similarity(s.qv, e.embedding::DOUBLE[])) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS cosine_sim
+            FROM sel s JOIN embeddings e
+              ON e.label = s.cell AND e.vec_id >= 5
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= 3
+    """,
+    "m1_binary_meta": """
+        SELECT doc_id,
+               CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+               sha256(text) AS sha_hex
+        FROM documents
+    """,
+    "e1_hourly_event_stats": """
+        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+               count(*) AS n_events,
+               ((floor(abs(sum(value)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(value)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "e2_sessionization": """
+        WITH g AS (
+            SELECT user_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   )) AS gap_us
+            FROM events
+        )
+        SELECT user_id,
+               count(*) AS n_events,
+               CAST(1 + sum(CASE WHEN gap_us > 600000000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_sessions
+        FROM g
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+}

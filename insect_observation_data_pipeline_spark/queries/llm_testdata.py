@@ -1,0 +1,158 @@
+"""Training-data-pipeline queries over documents/embeddings/events
+(north-star extensions: dedup, similarity search, text analysis,
+multimodal metadata, streaming-shaped event rollups)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+from insect_observation_data_pipeline_spark.llm import dedup, similarity, textstats
+from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_table(spark, sf_dir, name)
+
+
+def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint."""
+    return dedup.exact_groups(_t(spark, sf_dir, "documents"))
+
+
+def x2_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counting."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.token_count(t).alias("n_tokens"),
+        textstats.bpe_ish_count(t).alias("n_bpe_tokens"),
+    )
+
+
+def x3_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/char-class signals + score."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", *textstats.quality_columns(F.col("text")))
+
+
+def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs the labeled lang column."""
+    d = _t(spark, sf_dir, "documents")
+    pred = textstats.lang_id(F.col("text"))
+    return d.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        "lang",
+        (pred == F.col("lang")).alias("is_correct"),
+    )
+
+
+def x5_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """128-bit + 64-bit content fingerprints."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        textstats.fingerprint128(t).alias("fp128"),
+        textstats.fingerprint64(t).alias("fp64"),
+    )
+
+
+def x6_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard near-dup pairs (threshold 0.2)."""
+    return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def x7_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) candidates verified with exact Jaccard."""
+    return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.2)
+
+
+def x8_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash signature per document."""
+    return dedup.simhash16(_t(spark, sf_dir, "documents"))
+
+
+def _emb_split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    e = _t(spark, sf_dir, "embeddings")
+    return e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+
+
+def x9_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for 5 query vectors."""
+    q, c = _emb_split(spark, sf_dir)
+    return similarity.brute_force_topk(q, c, k=5)
+
+
+def x10_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3: route to nearest label-cell centroid, search that cell."""
+    q, c = _emb_split(spark, sf_dir)
+    return similarity.ivf_topk(q, c, k=3)
+
+
+def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal metadata pass over an opaque binary payload (text bytes
+    stand in for image/audio blobs): size + digest, JVM-only."""
+    d = _t(spark, sf_dir, "documents")
+    payload = F.col("text").cast("binary")
+    return d.select(
+        "doc_id",
+        F.octet_length(payload).alias("n_bytes"),
+        F.sha2(payload, 256).alias("sha_hex"),
+    )
+
+
+def e1_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window rollup (batch form of the streaming windowed agg)."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (>10 min idle starts a new session)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    tagged = e.withColumn(
+        "new_session", F.when(gap > 600 * 1_000_000, 1).otherwise(0)
+    )
+    return (
+        tagged.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.lit(1) + F.sum("new_session")).alias("n_sessions"),
+        )
+        .orderBy("user_id")
+    )
+
+
+LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "x1_dedup_exact": x1_dedup_exact,
+    "x2_token_stats": x2_token_stats,
+    "x3_text_quality": x3_text_quality,
+    "x4_lang_id": x4_lang_id,
+    "x5_fingerprint": x5_fingerprint,
+    "x6_ngram_jaccard": x6_ngram_jaccard,
+    "x7_minhash_lsh": x7_minhash_lsh,
+    "x8_simhash": x8_simhash,
+    "x9_ann_bruteforce": x9_ann_bruteforce,
+    "x10_ann_ivf": x10_ann_ivf,
+    "m1_binary_meta": m1_binary_meta,
+    "e1_hourly_event_stats": e1_hourly_event_stats,
+    "e2_sessionization": e2_sessionization,
+}

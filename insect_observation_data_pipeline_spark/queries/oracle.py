@@ -36,11 +36,11 @@ ORACLE: dict[str, str] = {
     """,
     "q1_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 2) AS avg_qty,
-               round(avg(l_discount), 4) AS avg_disc,
+               ((floor(abs(sum(l_quantity)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(l_quantity)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_qty,
+               ((floor(abs(sum(l_extendedprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(l_extendedprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_base_price,
+               ((floor(abs(sum(l_extendedprice * (1 - l_discount))) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(l_extendedprice * (1 - l_discount))) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_disc_price,
+               ((floor(abs(avg(l_quantity)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (avg(l_quantity)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS avg_qty,
+               ((floor(abs(avg(l_discount)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (avg(l_discount)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
@@ -49,7 +49,7 @@ ORACLE: dict[str, str] = {
     """,
     "q3_shipping_priority": """
         SELECT o.o_orderkey, o.o_orderdate::DATE AS order_date,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               ((floor(abs(sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(l.l_extendedprice * (1 - l.l_discount))) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -62,7 +62,7 @@ ORACLE: dict[str, str] = {
     """,
     "q5_local_supplier_volume": """
         SELECT n.n_name,
-               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+               ((floor(abs(sum(l.l_extendedprice * (1 - l.l_discount))) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(l.l_extendedprice * (1 - l.l_discount))) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS revenue
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         JOIN customer c ON o.o_custkey = c.c_custkey
@@ -99,7 +99,7 @@ ORACLE: dict[str, str] = {
     """,
     "a2_monthly_revenue_no_january": """
         SELECT monthname(o_orderdate) AS month_name,
-               round(sum(o_totalprice), 2) AS total_revenue
+               ((floor(abs(sum(o_totalprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(o_totalprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total_revenue
         FROM orders
         WHERE monthname(o_orderdate) <> 'January'
         GROUP BY month_name
@@ -109,7 +109,7 @@ ORACLE: dict[str, str] = {
     "a8_top_nation_months": """
         SELECT n.n_name, strftime(o.o_orderdate, '%Y-%m') AS month_year,
                count(*) AS total_orders,
-               round(sum(o.o_totalprice), 2) AS total_revenue
+               ((floor(abs(sum(o.o_totalprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(o.o_totalprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total_revenue
         FROM orders o
         JOIN customer c ON o.o_custkey = c.c_custkey
         JOIN nation n ON c.c_nationkey = n.n_nationkey
@@ -192,8 +192,7 @@ ORACLE: dict[str, str] = {
     """,
     "p6_conditional_repair": """
         SELECT l_returnflag,
-               round(sum(CASE WHEN l_quantity > 40 THEN 40.0
-                              ELSE l_quantity END), 1) AS sum_qty_clamped
+               ((floor(abs(sum(CASE WHEN l_quantity > 40 THEN 40.0 ELSE l_quantity END)) * 10.0 + 0.5) / 10.0) * (CASE WHEN (sum(CASE WHEN l_quantity > 40 THEN 40.0 ELSE l_quantity END)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_qty_clamped
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
@@ -294,7 +293,8 @@ ORACLE: dict[str, str] = {
     "a7_distinct_on_first_line": """
         WITH ranked AS (
             SELECT *, row_number() OVER (
-                PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey
+                PARTITION BY l_orderkey
+                ORDER BY l_linenumber, l_partkey, l_quantity
             ) AS rn
             FROM lineitem
         )
@@ -303,16 +303,14 @@ ORACLE: dict[str, str] = {
     "a9_group_by_expression": """
         SELECT coalesce(nullif(p_type, 'PROMO'), 'OTHER') AS type_class,
                count(*) AS n_parts,
-               round(avg(p_retailprice), 2) AS avg_price
+               ((floor(abs(avg(p_retailprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (avg(p_retailprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS avg_price
         FROM part
         GROUP BY type_class
         ORDER BY type_class
     """,
     "w1_lag_delta": """
         SELECT event_id, user_id,
-               round(value - lag(value) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-               ), 2) AS value_delta
+               ((floor(abs(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS value_delta
         FROM events
     """,
     "w3_scd2_intervals": f"""

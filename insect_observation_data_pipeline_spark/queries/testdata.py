@@ -28,6 +28,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
 from insect_observation_data_pipeline_spark.sources.parquet import read_table
 from insect_observation_data_pipeline_spark.operators import (
     Rule,
@@ -86,13 +88,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.filter(F.col("l_shipdate") <= F.lit("2001-06-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(
+            stable_round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            stable_round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("sum_disc_price"),
-            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            stable_round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            stable_round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -113,7 +115,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -140,7 +142,7 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )
@@ -195,7 +197,7 @@ def a2_monthly_revenue_no_january(spark: SparkSession, sf_dir: str) -> DataFrame
         o.withColumn("month_name", F.date_format("o_orderdate", "MMMM"))
         .filter(F.col("month_name") != "January")
         .groupBy("month_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("total_revenue"))
+        .agg(stable_round(F.sum("o_totalprice"), 2).alias("total_revenue"))
     )
     return top_k(agg, [F.desc("total_revenue"), F.asc("month_name")], 5)
 
@@ -212,7 +214,7 @@ def a8_top_nation_months(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name", "month_year")
         .agg(
             F.count(F.lit(1)).alias("total_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_revenue"),
         )
     )
     return top_k(
@@ -346,7 +348,7 @@ def p6_conditional_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.withColumn("qty_clamped", clamped)
         .groupBy("l_returnflag")
-        .agg(F.round(F.sum("qty_clamped"), 1).alias("sum_qty_clamped"))
+        .agg(stable_round(F.sum("qty_clamped"), 1).alias("sum_qty_clamped"))
         .orderBy("l_returnflag")
     )
 
@@ -539,7 +541,13 @@ def a7_distinct_on_first_line(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = distinct_on(
         l,
         ["l_orderkey"],
-        [F.col("l_linenumber").asc(), F.col("l_partkey").asc()],
+        # (linenumber, partkey, quantity) is a total order within an order
+        # in this dataset — required for a deterministic DISTINCT ON pick.
+        [
+            F.col("l_linenumber").asc(),
+            F.col("l_partkey").asc(),
+            F.col("l_quantity").asc(),
+        ],
     )
     return first.select("l_orderkey", "l_partkey", "l_quantity")
 
@@ -553,7 +561,7 @@ def a9_group_by_expression(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_class")
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+            stable_round(F.avg("p_retailprice"), 2).alias("avg_price"),
         )
         .orderBy("type_class")
     )
@@ -567,7 +575,7 @@ def w1_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
-        F.round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
+        stable_round(F.col("value") - F.lag("value").over(w), 2).alias("value_delta"),
     )
 
 
