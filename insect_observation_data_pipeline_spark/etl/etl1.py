@@ -1,0 +1,568 @@
+"""ETL1: raw CSV staging -> validated, normalized silver (OLTP-shaped).
+
+Rebuilds /root/reference/03_sql/02_etl_csv_to_oltp/ (3 sequential scripts)
+as pure DataFrame -> DataFrame functions. Differences from the reference
+are *mechanical*, never semantic:
+
+- insert-if-absent (NOT IN / NOT EXISTS anti-join ladders) becomes
+  recompute-from-full-input + dropDuplicates — idempotent by construction
+  (M1 in SURVEY §2i);
+- the two-phase SCD2 "insert then UPDATE previous end_date" becomes a
+  single lead() window (M3/W1);
+- validate-append-then-DELETE quarantine becomes one-pass tagged split
+  (S8/J7, see operators.quarantine);
+- SERIAL surrogate keys become row_number() over the business key — dense,
+  deterministic, reproducible across runs (SURVEY §4 point 3).
+
+Semantic guardrails preserved: observations are APPEND-ONLY and full
+duplicates are legal (re-ingest doubles them by design, README.md:19);
+missing month -> January-1 placeholder; observations predating a user's
+first affiliation attach to the earliest one.
+
+Scale notes: lookups/dims are tiny (broadcast); the only big-data paths
+are the staging scan, the quarantine split (one pass), and the
+observation->user attribution join (small build side, broadcast). The
+author substring match is a BroadcastNestedLoopJoin against ~tens of
+users — bounded work per staging row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.functions.dates import build_observation_date
+from insect_observation_data_pipeline_spark.functions.text import (
+    normalize_na,
+    parse_first_name,
+    parse_last_name,
+    species_case,
+)
+from insect_observation_data_pipeline_spark.operators import (
+    Rule,
+    distinct_on,
+    priority_match,
+    scd2_end_date,
+    split_valid_invalid,
+)
+
+# raw CSV layouts (FIXTURES.md §1-3; staging DDL 02_ETL1_part1.sql:7-12,
+# 03_ETL1_part2.sql:6-18, 04_ETL1_part3.sql:9-40)
+INSTITUTIONS_COLS = ["institution", "city", "county"]
+USERS_COLS = [
+    "full_name",
+    "username",
+    "email",
+    "institution",
+    "affiliation_start",
+    "city",
+    "county",
+    "subscription_type",
+    "subscription_start",
+    "join_date",
+]
+OBSERVATIONS_COLS = [
+    "authors", "title", "journal", "pub_year", "pub_vol", "doi",
+    "methodology", "pollinator_survey", "plant_survey",
+    "nbn_pollinator_code", "col_pollinator_code", "pollinator_species",
+    "caste", "nbn_plant_code", "col_plant_code", "plant_species",
+    "interactions", "date", "month", "year", "grid_letter", "grid_code",
+    "latitude", "longitude", "habitat", "pollination", "pollen", "nectar",
+    "record", "articleurl",
+]
+#: the 16 retained observation columns (04_ETL1_part3.sql:79-114)
+OBS_KEPT = [
+    "authors", "nbn_pollinator_code", "pollinator_species", "caste",
+    "nbn_plant_code", "plant_species", "interactions", "date", "month",
+    "year", "latitude", "longitude", "habitat", "pollination", "pollen",
+    "nectar",
+]
+
+_NUM = r"^-?\d+(\.\d+)?$"
+
+
+def _sk(df: DataFrame, name: str, order_cols: list[str]) -> DataFrame:
+    """Dense deterministic surrogate key (SERIAL replacement)."""
+    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
+    return df.withColumn(name, F.row_number().over(w))
+
+
+@dataclass
+class Etl1Result:
+    silver: dict[str, DataFrame] = field(default_factory=dict)
+    quarantine: dict[str, DataFrame] = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------------------
+# part 1: institutions (02_ETL1_part1.sql)
+# ---------------------------------------------------------------------------
+
+
+def load_institutions(staging: DataFrame) -> Etl1Result:
+    """Staging (institution, city, county, country) -> geography chain +
+    institutions. Reference: 02_ETL1_part1.sql:30-79."""
+    rules = [
+        Rule(
+            F.col("institution").isNull() | (F.trim("institution") == ""),
+            "Missing institution name.",
+        )
+    ]
+    valid, invalid = split_valid_invalid(staging, rules)
+    valid = valid.select(
+        F.trim("institution").alias("institution_name"),
+        normalize_na(F.col("city")).alias("city_name"),
+        normalize_na(F.col("county")).alias("county_name"),
+        F.trim("country").alias("country_name"),
+    )
+
+    countries = _sk(
+        valid.select("country_name").distinct(), "country_id", ["country_name"]
+    )
+    counties = _sk(
+        valid.filter(F.col("county_name").isNotNull())
+        .select("county_name", "country_name")
+        .distinct(),
+        "county_id",
+        ["county_name", "country_name"],
+    ).join(F.broadcast(countries), "country_name").select(
+        "county_id", "county_name", "country_id"
+    )
+    cities = _sk(
+        valid.filter(F.col("city_name").isNotNull())
+        .select("city_name", "county_name")
+        .distinct(),
+        "city_id",
+        ["city_name", "county_name"],
+    ).join(
+        F.broadcast(
+            counties.join(F.broadcast(countries), "country_id").select(
+                "county_id", "county_name"
+            )
+        ),
+        "county_name",
+        "left",
+    ).select("city_id", "city_name", "county_id")
+
+    institutions = (
+        _sk(
+            valid.select("institution_name", "city_name").distinct(),
+            "institution_id",
+            ["institution_name"],
+        )
+        .join(F.broadcast(cities), "city_name", "left")
+        .select("institution_id", "institution_name", "city_id")
+    )
+    # seeded 'Unaffiliated' institution (01_create_oltp.sql:148-150)
+    spark = staging.sparkSession
+    unaff = spark.createDataFrame(
+        [("Unaffiliated",)], "institution_name string"
+    ).select(
+        F.lit(0).alias("institution_id"),
+        "institution_name",
+        F.lit(None).cast("int").alias("city_id"),
+    )
+    institutions = institutions.unionByName(unaff)
+
+    return Etl1Result(
+        silver={
+            "countries": countries,
+            "counties": counties,
+            "cities": cities,
+            "institutions": institutions,
+        },
+        quarantine={"invalid_institutions": invalid},
+    )
+
+
+# ---------------------------------------------------------------------------
+# part 2: users + SCD2 histories (03_ETL1_part2.sql)
+# ---------------------------------------------------------------------------
+
+
+def load_users(staging: DataFrame, institutions: DataFrame) -> Etl1Result:
+    """Staging users -> users, user_institution (SCD2), user_subscription
+    (SCD2). Reference: 03_ETL1_part2.sql:54-246."""
+    required = [
+        "full_name", "username", "email", "institution",
+        "affiliation_start", "subscription_type", "subscription_start",
+        "join_date",
+    ]
+    rules = [
+        Rule(F.col(c).isNull() | (F.trim(c) == ""), f"Missing required field: {c}.")
+        for c in required
+    ] + [
+        Rule(F.try_to_date(c, "yyyy-MM-dd").isNull(), f"Unparseable date: {c}.")
+        for c in ["affiliation_start", "subscription_start", "join_date"]
+    ]
+    valid, invalid = split_valid_invalid(staging, rules)
+    valid = valid.select(
+        F.trim("full_name").alias("full_name"),
+        F.trim("username").alias("username"),
+        F.trim("email").alias("email"),
+        F.trim("institution").alias("institution_name"),
+        F.try_to_date("affiliation_start", "yyyy-MM-dd").alias("affiliation_start"),
+        normalize_na(F.col("city")).alias("city_name"),
+        F.trim("subscription_type").alias("subscription_type_name"),
+        F.try_to_date("subscription_start", "yyyy-MM-dd").alias("subscription_start"),
+        F.try_to_date("join_date", "yyyy-MM-dd").alias("join_date"),
+    )
+
+    # users: first row per username by join_date (DISTINCT ON,
+    # 03_ETL1_part2.sql:108-127) with deterministic tiebreaks.
+    first = distinct_on(
+        valid,
+        ["username"],
+        [F.col("join_date").asc(), F.col("email").asc(), F.col("full_name").asc()],
+    )
+    users = _sk(
+        first.select(
+            "username",
+            parse_first_name(F.col("full_name")).alias("first_name"),
+            parse_last_name(F.col("full_name")).alias("last_name"),
+            "email",
+            "join_date",
+        ),
+        "user_id",
+        ["username"],
+    )
+
+    # SCD2: one interval per (user, institution, start); end-date = next
+    # start - 1 day via lead() (03_ETL1_part2.sql:137-188).
+    aff = distinct_on(
+        valid.select("username", "institution_name", "affiliation_start"),
+        ["username", "affiliation_start"],
+        [F.col("institution_name").asc()],
+    )
+    user_institution = (
+        scd2_end_date(
+            aff.withColumnRenamed("affiliation_start", "start_date"),
+            ["username"],
+            "start_date",
+        )
+        .join(F.broadcast(users.select("user_id", "username")), "username")
+        .join(
+            F.broadcast(institutions.select("institution_id", "institution_name")),
+            "institution_name",
+            "left",
+        )
+    )
+    user_institution = _sk(
+        user_institution.select(
+            "user_id", "institution_id", "institution_name", "start_date", "end_date"
+        ),
+        "user_institution_id",
+        ["user_id", "start_date"],
+    )
+
+    subs = distinct_on(
+        valid.select("username", "subscription_type_name", "subscription_start"),
+        ["username", "subscription_start"],
+        [F.col("subscription_type_name").asc()],
+    )
+    user_subscription = scd2_end_date(
+        subs.withColumnRenamed("subscription_start", "start_date"),
+        ["username"],
+        "start_date",
+    ).join(F.broadcast(users.select("user_id", "username")), "username")
+    user_subscription = _sk(
+        user_subscription.select(
+            "user_id", "subscription_type_name", "start_date", "end_date"
+        ),
+        "user_subscription_id",
+        ["user_id", "start_date"],
+    )
+
+    return Etl1Result(
+        silver={
+            "users": users,
+            "user_institution": user_institution,
+            "user_subscription": user_subscription,
+        },
+        quarantine={"invalid_users": invalid},
+    )
+
+
+# ---------------------------------------------------------------------------
+# part 3: observations (04_ETL1_part3.sql)
+# ---------------------------------------------------------------------------
+
+#: NBN-code canonicalization by species name (04_ETL1_part3.sql:240-290).
+NBN_REPAIRS_POLLINATOR = {"Apis mellifera": "NHMSYS0000875385"}
+NBN_REPAIRS_PLANT = {"Prunella vulgaris": "NBNSYS0000004312"}
+
+
+def observation_rules() -> list[Rule]:
+    """Quarantine predicate families (04_ETL1_part3.sql:158-235); order =
+    reference script order (first failing family names the error)."""
+    lat = F.col("latitude")
+    lon = F.col("longitude")
+    return [
+        Rule(F.col("authors").isNull(), "Missing authors."),
+        Rule(F.col("pollinator_species").isNull(), "Missing pollinator species."),
+        Rule(F.col("plant_species").isNull(), "Missing plant species."),
+        Rule(
+            F.col("interactions").isNotNull() & ~F.col("interactions").rlike(r"^\d+$"),
+            "Invalid interactions value.",
+        ),
+        Rule(
+            F.col("date").isNotNull()
+            & (
+                ~F.col("date").rlike(r"^\d{1,2}$")
+                | ~F.col("date").try_cast("int").between(1, 31)
+            ),
+            "Invalid day of month.",
+        ),
+        Rule(
+            F.col("month").isNotNull()
+            & (
+                ~F.col("month").rlike(r"^\d{1,2}$")
+                | ~F.col("month").try_cast("int").between(1, 12)
+            ),
+            "Invalid month.",
+        ),
+        Rule(
+            F.col("year").isNotNull()
+            & (
+                ~F.col("year").rlike(r"^\d{4}$")
+                | ~F.col("year").try_cast("int").between(1800, 2100)
+            ),
+            "Invalid year.",
+        ),
+        Rule(
+            lat.isNotNull()
+            & (~lat.rlike(_NUM) | ~lat.try_cast("decimal(9,6)").between(-90, 90)),
+            "Invalid latitude.",
+        ),
+        Rule(
+            lon.isNotNull()
+            & (~lon.rlike(_NUM) | ~lon.try_cast("decimal(9,6)").between(-180, 180)),
+            "Invalid longitude.",
+        ),
+        Rule(
+            F.col("pollination").isNotNull() & ~F.col("pollination").rlike(r"^[1-4]$"),
+            "Invalid pollination quality.",
+        ),
+        Rule(
+            F.col("pollen").isNotNull() & ~F.upper("pollen").isin("Y", "N"),
+            "Invalid pollen flag.",
+        ),
+        Rule(
+            F.col("nectar").isNotNull() & ~F.upper("nectar").isin("Y", "N"),
+            "Invalid nectar flag.",
+        ),
+    ]
+
+
+def _repair_codes(df: DataFrame) -> DataFrame:
+    """Manual data repairs (P6): uppercase NBN codes + per-species
+    canonicalization (04_ETL1_part3.sql:240-290)."""
+    df = df.withColumn("nbn_pollinator_code", F.upper("nbn_pollinator_code"))
+    df = df.withColumn("nbn_plant_code", F.upper("nbn_plant_code"))
+    for species, code in NBN_REPAIRS_POLLINATOR.items():
+        df = df.withColumn(
+            "nbn_pollinator_code",
+            F.when(
+                F.col("pollinator_species") == species, F.lit(code)
+            ).otherwise(F.col("nbn_pollinator_code")),
+        )
+    for species, code in NBN_REPAIRS_PLANT.items():
+        df = df.withColumn(
+            "nbn_plant_code",
+            F.when(F.col("plant_species") == species, F.lit(code)).otherwise(
+                F.col("nbn_plant_code")
+            ),
+        )
+    return df
+
+
+def load_observations(
+    staging: DataFrame,
+    users: DataFrame,
+    user_institution: DataFrame,
+) -> Etl1Result:
+    """Staging observations -> lookups + append-only observations.
+
+    Reference: 04_ETL1_part3.sql:117-454. ``staging`` must carry a
+    ``raw_data_id`` column (the driver adds one at ingest).
+    """
+    kept = staging.select("raw_data_id", *[normalize_na(F.col(c)).alias(c) for c in OBS_KEPT])
+    valid, invalid = split_valid_invalid(kept, observation_rules())
+    valid = _repair_codes(
+        valid.withColumn("pollinator_species", species_case(F.col("pollinator_species")))
+        .withColumn("plant_species", species_case(F.col("plant_species")))
+        .withColumn("habitat", F.initcap("habitat"))
+        .withColumn("caste", F.trim("caste"))
+    )
+
+    # lookups, insert-if-absent -> recompute distinct + dense sk
+    pollinators = _sk(
+        distinct_on(
+            valid.select(
+                F.col("pollinator_species").alias("species_name"),
+                F.col("nbn_pollinator_code").alias("nbn_code"),
+            ),
+            ["species_name"],
+            [F.col("nbn_code").asc_nulls_last()],
+        ),
+        "pollinator_id",
+        ["species_name"],
+    )
+    plants = _sk(
+        distinct_on(
+            valid.select(
+                F.col("plant_species").alias("species_name"),
+                F.col("nbn_plant_code").alias("nbn_code"),
+            ),
+            ["species_name"],
+            [F.col("nbn_code").asc_nulls_last()],
+        ),
+        "plant_id",
+        ["species_name"],
+    )
+    castes = _sk(
+        valid.filter(F.col("caste").isNotNull())
+        .select(F.col("caste").alias("caste_name"))
+        .distinct(),
+        "caste_id",
+        ["caste_name"],
+    )
+    habitats = _sk(
+        valid.filter(F.col("habitat").isNotNull())
+        .select(F.col("habitat").alias("habitat_name"))
+        .distinct(),
+        "habitat_id",
+        ["habitat_name"],
+    )
+    locations = _sk(
+        valid.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .select(
+            F.col("latitude").cast("decimal(9,6)").alias("latitude"),
+            F.col("longitude").cast("decimal(9,6)").alias("longitude"),
+        )
+        .distinct(),
+        "location_id",
+        ["latitude", "longitude"],
+    )
+
+    # observation date with January placeholder (04_ETL1_part3.sql:370-388)
+    dated = valid.withColumn(
+        "observation_date",
+        build_observation_date(
+            F.col("year").cast("int"), F.col("month").cast("int"), F.col("date").cast("int")
+        ),
+    )
+
+    # author -> user attribution: substring theta-join (J8,
+    # 04_ETL1_part3.sql:390-395) then affiliation priority pick (J11,
+    # :396-416). Candidates = every (user x affiliation interval).
+    cand = (
+        users.select("user_id", "last_name")
+        .join(user_institution, "user_id")
+        .select(
+            "user_id", "last_name", "user_institution_id", "start_date", "end_date"
+        )
+    )
+    matched = dated.join(
+        F.broadcast(cand),
+        F.lower(F.col("authors")).contains(F.lower(F.col("last_name"))),
+        "left",
+    )
+    first_start = F.min("start_date").over(
+        Window.partitionBy("raw_data_id", "user_id")
+    )
+    prio = (
+        F.when(F.col("user_id").isNull(), F.lit(9))
+        .when(
+            F.col("observation_date").isNotNull()
+            & (F.col("observation_date") >= F.col("start_date"))
+            & (F.col("end_date").isNull() | (F.col("observation_date") <= F.col("end_date"))),
+            F.lit(1),
+        )
+        .when(
+            F.col("observation_date").isNull() & F.col("end_date").isNull(), F.lit(2)
+        )
+        .when(
+            F.col("observation_date").isNotNull()
+            & (F.col("observation_date") < first_start)
+            & (F.col("start_date") == first_start),
+            F.lit(3),
+        )
+        .otherwise(F.lit(4))
+    )
+    w = Window.partitionBy("raw_data_id").orderBy(
+        F.col("__prio").asc(),
+        F.col("start_date").asc_nulls_last(),
+        F.col("user_id").asc_nulls_last(),
+    )
+    attributed = (
+        matched.withColumn("__prio", prio)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__prio", "__rn", "last_name", "start_date", "end_date")
+    )
+
+    observations = (
+        attributed.join(
+            F.broadcast(pollinators.select(
+                F.col("species_name").alias("pollinator_species"),
+                "pollinator_id",
+            )),
+            "pollinator_species",
+        )
+        .join(
+            F.broadcast(plants.select(
+                F.col("species_name").alias("plant_species"), "plant_id"
+            )),
+            "plant_species",
+        )
+        .join(
+            F.broadcast(castes.select(F.col("caste_name").alias("caste"), "caste_id")),
+            "caste",
+            "left",
+        )
+        .join(
+            F.broadcast(
+                habitats.select(F.col("habitat_name").alias("habitat"), "habitat_id")
+            ),
+            "habitat",
+            "left",
+        )
+        .join(
+            F.broadcast(locations.select(
+                "location_id",
+                F.col("latitude").alias("lat_d"),
+                F.col("longitude").alias("lon_d"),
+            )),
+            (F.col("latitude").cast("decimal(9,6)") == F.col("lat_d"))
+            & (F.col("longitude").cast("decimal(9,6)") == F.col("lon_d")),
+            "left",
+        )
+        .select(
+            F.col("raw_data_id").alias("observation_id"),
+            "user_institution_id",
+            "pollinator_id",
+            "caste_id",
+            "plant_id",
+            "habitat_id",
+            "location_id",
+            "observation_date",
+            F.col("interactions").cast("int").alias("interaction_count"),
+            F.col("pollination").cast("smallint").alias("pollination_quality_id"),
+            (F.upper("pollen") == "Y").alias("pollen_collected"),
+            (F.upper("nectar") == "Y").alias("nectar_collected"),
+        )
+    )
+
+    return Etl1Result(
+        silver={
+            "pollinator_species": pollinators,
+            "plant_species": plants,
+            "castes": castes,
+            "habitats": habitats,
+            "locations": locations,
+            "observations": observations,
+        },
+        quarantine={"invalid_observations": invalid},
+    )

@@ -1,0 +1,88 @@
+"""Structured Streaming surface over the events table.
+
+The reference is batch-only (SURVEY §2j) — this is a net-new capability
+kept out of the oracle-checked path. Design:
+
+- ``read_events_stream``: file-source stream with an explicit schema (no
+  inference on a stream) — swap the path for a Kafka source in prod.
+- ``windowed_event_counts``: tumbling event-time window + watermark, so
+  late events are handled and state is bounded — the streaming form of the
+  batch ``e1_hourly_event_stats`` query (same groupBy(window(...)) logical
+  plan; Spark plans stateful aggregation under ``writeStream``).
+- ``run_batch_backfill``: the SAME transformation applied in batch mode —
+  one code path for backfill and live tail, the main reason to express the
+  rollup over ``window()`` instead of ``date_trunc``.
+
+Scale notes: state is keyed by (window, event_type) — cardinality bounded
+by watermark horizon; shuffle partitions follow the session conf and AQE
+does not apply to streaming, so size `spark.sql.shuffle.partitions`
+against expected state, not batch data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("ts", TimestampType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+        StructField("props", StringType(), True),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    return (
+        spark.readStream.format(fmt)
+        .schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .load(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Tumbling-window counts per event type with late-data watermark."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_batch_backfill(spark: SparkSession, path: str) -> DataFrame:
+    """Same rollup in batch mode (backfill path shares the stream code)."""
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    base, name = path.rsplit("/", 1)
+    events = read_table(spark, base, name.removesuffix(".parquet"))
+    return windowed_event_counts(events)

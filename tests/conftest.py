@@ -1,0 +1,139 @@
+from __future__ import annotations
+
+import csv
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from insect_observation_data_pipeline_spark import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+    )
+    s.sparkContext.setLogLevel("ERROR")
+    yield s
+
+
+def write_csv(path: Path, header: list[str], rows: list[tuple]) -> str:
+    with open(path, "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(header)
+        w.writerows(rows)
+    return str(path)
+
+
+@pytest.fixture(scope="session")
+def fixtures_dir(tmp_path_factory) -> Path:
+    """Reference-shaped fixture CSVs (FIXTURES.md §1-3)."""
+    d = tmp_path_factory.mktemp("fixtures")
+
+    write_csv(
+        d / "institutions.csv",
+        ["institution", "city", "county"],
+        [
+            ("Institute of Advanced Waggling", "Oxford", "Oxfordshire"),
+            ("The Bumblebee Behaviour Bureau", "Colchester", "Essex"),
+            ("Apiary Analytics", "Oxford", "Oxfordshire"),
+            ("", "Nowhere", "NA"),  # -> quarantine
+        ],
+    )
+
+    write_csv(
+        d / "users.csv",
+        [
+            "full_name", "username", "email", "institution",
+            "affiliation_start", "city", "county", "subscription_type",
+            "subscription_start", "join_date",
+        ],
+        [
+            # chapdude63: 3 rows -> institution change + subscription change (SCD2)
+            ("R. E. Chapman", "chapdude63", "r63@iw.org",
+             "Institute of Advanced Waggling", "2018-04-08", "Oxford",
+             "Oxfordshire", "Free", "2018-04-08", "2018-04-08"),
+            ("R. E. Chapman", "chapdude63", "r63@iw.org",
+             "The Bumblebee Behaviour Bureau", "2019-01-07", "Oxford",
+             "Oxfordshire", "Free", "2018-04-08", "2018-04-08"),
+            ("R. E. Chapman", "chapdude63", "r63@iw.org",
+             "The Bumblebee Behaviour Bureau", "2019-01-07", "Oxford",
+             "Oxfordshire", "Pro", "2020-04-10", "2018-04-08"),
+            # org-format name (no initials)
+            ("The North London Natural History Society", "nlnhs",
+             "info@nlnhs.org", "Unaffiliated", "2017-01-01", "London", "",
+             "HiveMind", "2017-01-01", "2017-01-01"),
+            # plain user
+            ("A. Smith", "asmith", "a@s.org", "Apiary Analytics",
+             "2019-06-01", "Oxford", "Oxfordshire", "Free", "2019-06-01",
+             "2019-06-01"),
+            # invalid: missing email
+            ("B. Broken", "bbroken", "", "Apiary Analytics", "2019-06-01",
+             "", "", "Free", "2019-06-01", "2019-06-01"),
+            # invalid: bad date
+            ("C. Badd", "cbadd", "c@b.org", "Apiary Analytics",
+             "not-a-date", "", "", "Free", "2019-06-01", "2019-06-01"),
+        ],
+    )
+
+    obs_header = [
+        "authors", "title", "journal", "pub_year", "pub_vol", "doi",
+        "methodology", "pollinator_survey", "plant_survey",
+        "nbn_pollinator_code", "col_pollinator_code", "pollinator_species",
+        "caste", "nbn_plant_code", "col_plant_code", "plant_species",
+        "interactions", "date", "month", "year", "grid_letter", "grid_code",
+        "latitude", "longitude", "habitat", "pollination", "pollen",
+        "nectar", "record", "articleurl",
+    ]
+
+    def obs(authors, poll_sp, plant_sp, caste="worker", inter="3", day="14",
+            month="6", year="2019", lat="50.867", lon="-0.087",
+            habitat="urban", quality="1", pollen="Y", nectar="N",
+            nbn_poll="nhmsys0000875423", nbn_plant="NA"):
+        return (
+            authors, "T", "J", "2020", "1", "doi", "m", "ps", "pls",
+            nbn_poll, "NA", poll_sp, caste, nbn_plant, "NA", plant_sp,
+            inter, day, month, year, "", "", lat, lon, habitat, quality,
+            pollen, nectar, "r", "url",
+        )
+
+    rows = [
+        obs("Chapman R.E., Smith A.", "apis mellifera", "prunella vulgaris"),
+        # exact duplicate — legal, must survive (README.md:19)
+        obs("Chapman R.E., Smith A.", "apis mellifera", "prunella vulgaris"),
+        # missing month -> January placeholder
+        obs("Chapman R.E.", "bombus terrestris", "trifolium repens",
+            month="NA", day="NA"),
+        # missing year -> NULL observation date
+        obs("Chapman R.E.", "bombus terrestris", "trifolium repens",
+            year="NA"),
+        # observation predating chapdude63's first affiliation (2018-04-08)
+        obs("Chapman R.E.", "apis mellifera", "trifolium repens",
+            year="2005", month="3", day="2"),
+        # impossible date: Feb 31 -> clamp to 28
+        obs("Smith A.", "apis mellifera", "prunella vulgaris",
+            month="2", day="31", lat="51.5", lon="-0.1", habitat="suburban"),
+        # same location as row 1 (locations dedup)
+        obs("Smith A.", "bombus terrestris", "prunella vulgaris"),
+        # quarantine rows, one per family:
+        obs("NA", "apis mellifera", "prunella vulgaris"),          # authors
+        obs("Smith A.", "NA", "prunella vulgaris"),                # pollinator
+        obs("Smith A.", "apis mellifera", "prunella vulgaris",
+            inter="three"),                                        # interactions
+        obs("Smith A.", "apis mellifera", "prunella vulgaris",
+            lat="95.0"),                                           # latitude range
+        obs("Smith A.", "apis mellifera", "prunella vulgaris",
+            quality="5"),                                          # pollination
+        obs("Smith A.", "apis mellifera", "prunella vulgaris",
+            pollen="X"),                                           # pollen flag
+        # unknown author -> no user match
+        obs("Unknownperson Z.", "apis mellifera", "prunella vulgaris"),
+    ]
+    write_csv(d / "observations.csv", obs_header, rows)
+    return d

@@ -1,0 +1,77 @@
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.functions.dates import build_observation_date, clamp_day
+from insect_observation_data_pipeline_spark.functions.numeric import stable_round, sround_sql
+from insect_observation_data_pipeline_spark.functions.text import (
+    normalize_na,
+    parse_first_name,
+    parse_last_name,
+    species_case,
+)
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_name_parsing(spark):
+    cases = [
+        ("R. E. Chapman", "R. E.", "Chapman"),
+        ("The North London Natural History Society", None,
+         "The North London Natural History Society"),
+        ("A. Smith", "A.", "Smith"),
+    ]
+    for full, first, last in cases:
+        assert _one(spark, parse_first_name(F.lit(full))) == first
+        assert _one(spark, parse_last_name(F.lit(full))) == last
+
+
+def test_species_case(spark):
+    assert _one(spark, species_case(F.lit("apis MELLIFERA"))) == "Apis mellifera"
+    assert _one(spark, species_case(F.lit(" prunella vulgaris "))) == "Prunella vulgaris"
+
+
+def test_normalize_na(spark):
+    assert _one(spark, normalize_na(F.lit("  NA "))) is None
+    assert _one(spark, normalize_na(F.lit("   "))) is None
+    assert _one(spark, normalize_na(F.lit(" x "))) == "x"
+
+
+def test_clamp_day_reference_quirks(spark):
+    # Feb always clamps to 28, even leap years (04_ETL1_part3.sql:370-377)
+    assert _one(spark, clamp_day(F.lit(2020), F.lit(2), F.lit(29))) == 28
+    assert _one(spark, clamp_day(F.lit(2019), F.lit(4), F.lit(31))) == 30
+    assert _one(spark, clamp_day(F.lit(2019), F.lit(1), F.lit(31))) == 31
+
+
+def test_build_observation_date_placeholders(spark):
+    d = _one(
+        spark,
+        build_observation_date(F.lit(2019), F.lit(None).cast("int"), F.lit(None).cast("int")),
+    )
+    assert str(d) == "2019-01-01"  # January placeholder
+    assert (
+        _one(
+            spark,
+            build_observation_date(F.lit(None).cast("int"), F.lit(6), F.lit(14)),
+        )
+        is None
+    )
+
+
+def test_stable_round_matches_duckdb_on_boundaries(spark):
+    """The exact failure class that broke native round(): halfway shortest
+    reprs like 189/40 = 4.725."""
+    vals = [189 / 40, 0.125, -0.125, 2.675, 1e15 / 7, 0.0, -0.0049999]
+    con = duckdb.connect()
+    for v in vals:
+        for d in (2, 3, 4):
+            s_val = _one(spark, stable_round(F.lit(v), d))
+            # CAST: a bare 4.725 literal is DECIMAL in DuckDB, not DOUBLE
+            d_val = con.execute(
+                f"SELECT {sround_sql(f'CAST({v!r} AS DOUBLE)', d)}"
+            ).fetchone()[0]
+            assert s_val == d_val, (v, d, s_val, d_val)

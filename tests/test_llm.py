@@ -1,0 +1,102 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.llm import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 1
+        (3, "the quick brown fox jumps over the sleepy dog"), # near dup
+        (4, "completely different words entirely unrelated text here"),
+        (5, "ab"),  # < 3 tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_groups(docs):
+    out = {r["keeper_id"]: r["n_docs"] for r in dedup.exact_groups(docs).collect()}
+    assert out[1] == 2  # docs 1+2 collapse
+    assert sum(out.values()) == 5
+
+
+def test_jaccard_near_dup(docs):
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.4 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    got = {
+        (r["doc_a"], r["doc_b"]) for r in dedup.minhash_lsh_dedup(docs, threshold=0.2).collect()
+    }
+    assert (1, 2) in got  # identical docs always share all bands
+
+
+def test_simhash_identical_docs_equal(docs):
+    sigs = {r["doc_id"]: r["simhash"] for r in dedup.simhash16(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert 0 <= sigs[1] < 2**16
+    assert sigs[1] != sigs[4]
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame([(1, "the cat sat")], "doc_id long, text string")
+    row = df.select(
+        textstats.token_count(F.col("text")).alias("n"),
+        textstats.lang_id(F.col("text")).alias("lang"),
+        textstats.fingerprint64(F.col("text")).alias("fp"),
+    ).collect()[0]
+    assert row["n"] == 3
+    assert row["lang"] == "en"
+    assert isinstance(row["fp"], int)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 1),
+        (3, [0.0, 0.9, 0.1], 1),
+        (4, [0.0, 0.0, 1.0], 2),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+
+def test_brute_force_topk(vectors):
+    q = vectors.filter("vec_id = 0")
+    c = vectors.filter("vec_id > 0")
+    out = similarity.brute_force_topk(q, c, k=2).collect()
+    assert [r["neighbor_id"] for r in out] == [1, 2]  # nearest first
+    assert out[0]["rank"] == 1 and out[0]["cosine_sim"] > 0.99
+
+
+def test_ivf_routes_to_nearest_cell(vectors):
+    q = vectors.filter("vec_id = 0")
+    c = vectors.filter("vec_id > 0")
+    out = similarity.ivf_topk(q, c, k=2).collect()
+    # query [1,0,0] routes to cell 0 (centroid ~[0.9,0.1,0]) -> only doc 1
+    assert {r["neighbor_id"] for r in out} == {1}
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [("a", "image", bytearray(b"\x89PNG fake")), ("b", "image", bytearray(b""))],
+        "media_id string, media_type string, payload binary",
+    )
+    meta = {r["media_id"]: r for r in multimodal.binary_metadata(df).collect()}
+    assert meta["a"]["n_bytes"] == 9 and meta["b"]["n_bytes"] == 0
+    feats = {r["media_id"]: r for r in multimodal.extract_features(df, "fake").collect()}
+    assert feats["a"]["n_bytes"] == 9 and feats["a"]["feature_kind"] == "fake"
+    # real decoder stub raises cleanly
+    with pytest.raises(Exception):
+        multimodal.extract_features(df, "image").collect()

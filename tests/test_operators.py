@@ -1,0 +1,91 @@
+from __future__ import annotations
+
+from datetime import date
+
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.operators import (
+    Rule,
+    distinct_on,
+    interval_join,
+    priority_match,
+    scd2_end_date,
+    split_valid_invalid,
+    top_k,
+)
+
+
+def test_quarantine_first_rule_wins(spark):
+    df = spark.createDataFrame(
+        [(1, None, 5), (2, "x", 99), (3, "x", 5)], "id int, name string, v int"
+    )
+    rules = [
+        Rule(F.col("name").isNull(), "missing name"),
+        Rule(F.col("v") > 50, "v out of range"),
+    ]
+    valid, invalid = split_valid_invalid(df, rules)
+    inv = {r["id"]: r["error_message"] for r in invalid.collect()}
+    assert inv == {1: "missing name", 2: "v out of range"}
+    assert [r["id"] for r in valid.collect()] == [3]
+    # row snapshot captured as JSON
+    row = invalid.filter("id = 2").collect()[0]
+    assert '"v":99' in row["row_data"].replace(" ", "")
+
+
+def test_distinct_on_keeps_first_by_order(spark):
+    df = spark.createDataFrame(
+        [("u1", date(2020, 1, 2), "b"), ("u1", date(2020, 1, 1), "a"),
+         ("u2", date(2021, 5, 5), "c")],
+        "k string, d date, payload string",
+    )
+    out = distinct_on(df, ["k"], [F.col("d").asc(), F.col("payload").asc()])
+    got = {r["k"]: r["payload"] for r in out.collect()}
+    assert got == {"u1": "a", "u2": "c"}
+
+
+def test_scd2_end_date_closed(spark):
+    df = spark.createDataFrame(
+        [("u1", date(2018, 4, 8)), ("u1", date(2019, 1, 7)), ("u2", date(2020, 1, 1))],
+        "k string, start_date date",
+    )
+    out = {
+        (r["k"], str(r["start_date"])): r["end_date"]
+        for r in scd2_end_date(df, ["k"], "start_date").collect()
+    }
+    assert str(out[("u1", "2018-04-08")]) == "2019-01-06"  # next start - 1 day
+    assert out[("u1", "2019-01-07")] is None
+    assert out[("u2", "2020-01-01")] is None
+
+
+def test_interval_join_half_open(spark):
+    w = spark.createDataFrame(
+        [("u", date(2020, 1, 1), date(2020, 2, 1)), ("u", date(2020, 2, 1), None)],
+        "k string, s date, e date",
+    )
+    p = spark.createDataFrame(
+        [(1, "u", date(2020, 1, 15)), (2, "u", date(2020, 2, 1)), (3, "u", date(2019, 1, 1))],
+        "id int, k string, t date",
+    )
+    out = interval_join(p, w, ["k"], "t", "s", "e", closed_end=False)
+    got = {r["id"]: str(r["s"]) for r in out.collect()}
+    assert got == {1: "2020-01-01", 2: "2020-02-01"}  # 3 unmatched (inner)
+
+
+def test_priority_match_picks_best(spark):
+    cands = spark.createDataFrame(
+        [("u", 1, "low"), ("u", 2, "high")], "k string, p int, tag string"
+    )
+    probe = spark.createDataFrame([("u", 10)], "k string, id int")
+    out = priority_match(
+        probe, cands, on=["k"], probe_key=["id"],
+        priority=F.col("p"), order_by=[F.col("tag").asc()],
+    )
+    assert out.collect()[0]["tag"] == "low"
+
+
+def test_top_k_deterministic(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 5)], "id int, score int"
+    )
+    out = top_k(df, [F.desc("score"), F.asc("id")], 2).collect()
+    assert [r["id"] for r in out] == [1, 2]
