@@ -40,9 +40,14 @@ def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
-def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (empty array when < n tokens)."""
-    toks = tokens(text)
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a materialized token array.
+
+    ``toks`` MUST be a bound array column (not an inline split(...)
+    expression): lambda bodies re-evaluate their inputs per element, so an
+    inline tokenizer turns shingling into O(tokens^2) string work per row
+    — measured 6x slower at sf0.1.
+    """
     cnt = F.size(toks)
     idx = F.sequence(F.lit(1), cnt - (n - 1))  # 1-based start positions
     grams = F.transform(
@@ -56,11 +61,18 @@ def shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def shingles(text: Column, n: int = 3) -> Column:
+    """Shingles straight from text — convenience form for single use."""
+    return shingles_from_tokens(tokens(text), n)
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded pairs."""
-    return docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(shingles(F.col(text_col), n)).alias("shingle"),
+    """(doc_id, shingle) exploded pairs; tokenizes once per row."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    return toked.select(
+        "doc_id", F.explode(shingles_from_tokens(F.col("__toks"), n)).alias("shingle")
     )
 
 
@@ -195,8 +207,18 @@ def minhash_lsh_dedup(
     restriction (not the signatures) is what makes MinHash sub-quadratic:
     the shingle self-join is gated by the (small, broadcastable) candidate
     set instead of touching every colliding doc pair in the corpus.
+
+    The shingle frame feeds four consumers (signatures, both join sides,
+    sizes); without persisting it the source is re-scanned and re-shingled
+    per consumer — at 100 TB that is 4x the dominant cost. MEMORY_AND_DISK
+    keeps it correct when the corpus exceeds executor memory; a production
+    pipeline would checkpoint it to the warehouse instead.
     """
-    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    from pyspark import StorageLevel
+
+    sh = doc_shingles(docs, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(

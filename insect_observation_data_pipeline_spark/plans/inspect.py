@@ -1,0 +1,65 @@
+"""Physical-plan introspection: make scale properties assertable.
+
+The 100 TB posture lives or dies on plan shape, not code style. These
+helpers parse ``explain('formatted')`` output so tests can assert the
+properties that matter:
+
+- filters reached the parquet scan (PushedFilters),
+- column pruning happened (ReadSchema width),
+- small dims broadcast (BroadcastHashJoin / BroadcastNestedLoopJoin),
+- no accidental CartesianProduct,
+- whole-stage codegen covers the hot path.
+
+Parsing explain text is inherently version-coupled; these are test/debug
+aids, not runtime dependencies.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across scans."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        entry = m.group(1).strip()
+        if entry:
+            out.extend(p.strip() for p in entry.split(","))
+    return out
+
+
+def read_schema_columns(df: DataFrame) -> list[list[str]]:
+    """Column lists read by each parquet scan (pruning check)."""
+    plan = formatted_plan(df)
+    out = []
+    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
+        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+        out.append(cols)
+    return out
+
+
+def plan_flags(df: DataFrame) -> dict[str, bool]:
+    plan = formatted_plan(df)
+    return {
+        "broadcast_hash_join": "BroadcastHashJoin" in plan,
+        "broadcast_nested_loop_join": "BroadcastNestedLoopJoin" in plan,
+        "sort_merge_join": "SortMergeJoin" in plan,
+        "shuffled_hash_join": "ShuffledHashJoin" in plan,
+        "cartesian_product": "CartesianProduct" in plan,
+        "whole_stage_codegen": "WholeStageCodegen" in plan or "codegen id" in plan,
+        "take_ordered": "TakeOrderedAndProject" in plan,
+        "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
+    }

@@ -1,0 +1,60 @@
+"""Physical-plan assertions: the scale properties the engine promises.
+
+These test plan SHAPE, not results — pushdown reaching the scan, column
+pruning, broadcast selection, top-k via TakeOrderedAndProject, no
+cartesian products, no Python UDFs in hot paths.
+"""
+
+from __future__ import annotations
+
+from insect_observation_data_pipeline_spark.plans import plan_flags, pushed_filters, read_schema_columns
+from insect_observation_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_and_projection_pushdown(spark):
+    df = QUERIES["s1_scan_prune"](spark, SF)
+    pushed = " ".join(pushed_filters(df))
+    assert "l_shipdate" in pushed and "l_quantity" in pushed
+    scans = read_schema_columns(df)
+    assert scans and all(len(c) <= 4 for c in scans)  # 4-col ReadSchema
+
+
+def test_q1_prunes_to_needed_columns(spark):
+    scans = read_schema_columns(QUERIES["q1_pricing_summary"](spark, SF))
+    assert scans and len(scans[0]) <= 6
+
+
+def test_joins_broadcast_not_cartesian(spark):
+    for name in ["q3_shipping_priority", "q5_local_supplier_volume",
+                 "flagship_top_part_supplier"]:
+        flags = plan_flags(QUERIES[name](spark, SF))
+        assert flags["broadcast_hash_join"], name
+        assert not flags["cartesian_product"], name
+        assert not flags["python_udf"], name
+
+
+def test_substring_theta_is_broadcast_nlj(spark):
+    flags = plan_flags(QUERIES["j8_substring_theta"](spark, SF))
+    assert flags["broadcast_nested_loop_join"]
+    assert not flags["cartesian_product"]
+
+
+def test_topk_uses_take_ordered(spark):
+    flags = plan_flags(QUERIES["t1_topk_lineitems"](spark, SF))
+    assert flags["take_ordered"]
+
+
+def test_interval_join_keeps_equi_component(spark):
+    """J9 must plan as an equi join (hash/SMJ) with a range residual,
+    never a cartesian product."""
+    flags = plan_flags(QUERIES["j9_interval_attribution"](spark, SF))
+    assert flags["broadcast_hash_join"] or flags["sort_merge_join"] or flags["shuffled_hash_join"]
+    assert not flags["cartesian_product"]
+
+
+def test_no_python_udf_anywhere(spark):
+    for name, fn in QUERIES.items():
+        flags = plan_flags(fn(spark, SF))
+        assert not flags["python_udf"], f"{name} has a Python UDF in its plan"
