@@ -152,3 +152,41 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").alias("rank"))
     )
+
+
+def near_dup_pairs(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    threshold: float = 0.35,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by cluster cell.
+
+    Cluster-then-dedup: the self-join runs only within a cell (equi-join
+    on ``cell_col``, here the IVF/k-means assignment), so the pair space
+    is sum(|cell|^2) instead of n^2 — the standard blocking trade for
+    embedding dedup at 100 TB (cells shuffle-partition independently; a
+    skewed mega-cell would need salting or sub-clustering). ``a_id <
+    b_id`` keeps each unordered pair once; similarity is rounded before
+    thresholding so the cut is engine-stable.
+    """
+    a = vectors.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("a_id"),
+        F.col(vec_col).alias("a_vec"),
+    )
+    b = vectors.select(
+        F.col(cell_col).alias("cell"),
+        F.col(id_col).alias("b_id"),
+        F.col(vec_col).alias("b_vec"),
+    )
+    sim = stable_round(cosine(F.col("a_vec"), F.col("b_vec")), round_digits)
+    return (
+        a.join(b, "cell")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )

@@ -265,4 +265,15 @@ LLM_ORACLE: dict[str, str] = {
         GROUP BY user_id
         ORDER BY user_id
     """,
+    "x11_dedup_embedding": """
+        WITH e AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+        ), scored AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                   ((floor(abs(list_cosine_similarity(a.v, b.v)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (list_cosine_similarity(a.v, b.v)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS cosine_sim
+            FROM e a JOIN e b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+        )
+        SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.35
+    """,
 }

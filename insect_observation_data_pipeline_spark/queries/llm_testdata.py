@@ -96,6 +96,14 @@ def x10_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, k=3)
 
 
+def x11_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, blocked by cluster cell (the
+    scale path for semantic dedup: cluster -> per-cell self-join)."""
+    return similarity.near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
 def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata pass over an opaque binary payload (text bytes
     stand in for image/audio blobs): size + digest, JVM-only."""
@@ -152,6 +160,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,
     "x10_ann_ivf": x10_ann_ivf,
+    "x11_dedup_embedding": x11_dedup_embedding,
     "m1_binary_meta": m1_binary_meta,
     "e1_hourly_event_stats": e1_hourly_event_stats,
     "e2_sessionization": e2_sessionization,

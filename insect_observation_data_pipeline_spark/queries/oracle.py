@@ -357,4 +357,65 @@ ORACLE: dict[str, str] = {
                  AS is_click
         FROM events
     """,
+    "j5_multikey_anti": """
+        SELECT DISTINCT l_partkey, l_suppkey
+        FROM lineitem l
+        WHERE l_quantity >= 45
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem l2
+            WHERE l2.l_partkey = l.l_partkey
+              AND l2.l_suppkey = l.l_suppkey
+              AND l2.l_quantity <= 5
+          )
+    """,
+    "j10_join_using": """
+        SELECT c.c_nationkey, count(*) AS n_events,
+               ((floor(abs(sum(e.value)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(e.value)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_value
+        FROM (SELECT user_id AS custkey, value FROM events) e
+        JOIN (SELECT c_custkey AS custkey, c_nationkey FROM customer) c
+          USING (custkey)
+        GROUP BY c.c_nationkey
+        ORDER BY c.c_nationkey
+    """,
+    "g1_set_except": """
+        SELECT user_id, ts::DATE AS event_day
+        FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT user_id, ts::DATE
+        FROM events WHERE event_type = 'purchase'
+    """,
+    "a3_conditional_sum": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_discount > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS discounted_cnt,
+               CAST(sum(CASE WHEN l_tax = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS taxfree_cnt,
+               count(*) AS total_cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "a6_distinct_pairs": """
+        SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+    "a10_coalesce_zero_agg": """
+        SELECT c.c_custkey,
+               ((floor(abs(coalesce(sum(e.value), 0)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (coalesce(sum(e.value), 0)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total_value
+        FROM customer c
+        LEFT JOIN events e ON c.c_custkey = e.user_id
+        GROUP BY c.c_custkey
+    """,
+    "u1_upsert_last_wins": """
+        WITH r AS (
+            SELECT user_id, event_type, event_id, value,
+                   row_number() OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rn
+            FROM events
+        )
+        SELECT user_id, event_type, event_id AS last_event_id,
+               ((floor(abs(value) * 100.0 + 0.5) / 100.0) * (CASE WHEN (value) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS last_value
+        FROM r WHERE rn = 1
+    """,
 }

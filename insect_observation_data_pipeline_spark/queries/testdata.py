@@ -510,9 +510,116 @@ def j12_fallback_active_else_earliest(spark: SparkSession, sf_dir: str) -> DataF
     return out.select(p["event_id"], p["user_id"], "attributed_start")
 
 
+def j5_multikey_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-key anti-join (J5/J6: NOT EXISTS on composite keys,
+    03_ETL1_part2.sql:152-157, 07_ETL2_part1.sql:86-90): distinct
+    high-quantity (part, supplier) pairs with no low-quantity line for the
+    same pair. Both sides dedup before the anti-join (dedup-before-join,
+    02_ETL1_part1.sql:39-44) so the shuffle carries keys only."""
+    l = _t(spark, sf_dir, "lineitem")
+    hi = l.filter(F.col("l_quantity") >= 45).select("l_partkey", "l_suppkey").distinct()
+    lo = l.filter(F.col("l_quantity") <= 5).select("l_partkey", "l_suppkey").distinct()
+    return hi.join(lo, ["l_partkey", "l_suppkey"], "left_anti")
+
+
+def j10_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join USING with a coalesced key column (J10,
+    07_ETL2_part1.sql:83-85): events joined to customers on the shared
+    key name, rolled up per nation."""
+    e = _t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("custkey"), "value"
+    )
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_nationkey"
+    )
+    return (
+        e.join(c, "custkey")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def g1_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set EXCEPT (§2g, the quarantine good/bad split as a set op):
+    (user, day) pairs with a view but no purchase that day.
+    ``subtract`` = EXCEPT DISTINCT."""
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("event_day")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id", day)
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return viewers.subtract(purchasers)
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows / sorts (A*, W*, T*)
 # ---------------------------------------------------------------------------
+
+
+def a3_conditional_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SUM(CASE WHEN) conditional aggregates (A3,
+    08_ETL2_part2.sql:27-35): discounted / tax-free line tallies."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(F.col("l_discount") > 0, 1).otherwise(0)).alias(
+                "discounted_cnt"
+            ),
+            F.sum(F.when(F.col("l_tax") == 0, 1).otherwise(0)).alias("taxfree_cnt"),
+            F.count(F.lit(1)).alias("total_cnt"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+def a6_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT DISTINCT value-set dedup (A6, 02_ETL1_part1.sql:39,48)."""
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority")
+        .distinct()
+    )
+
+
+def a10_coalesce_zero_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COALESCE(SUM(x), 0) default-zero semantics (A10,
+    08_ETL2_part2.sql:25-28): per-customer event value, customers with no
+    events kept at 0."""
+    c = _t(spark, sf_dir, "customer")
+    e = _t(spark, sf_dir, "events")
+    return (
+        c.join(e, c.c_custkey == e.user_id, "left")
+        .groupBy("c_custkey")
+        .agg(
+            stable_round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias(
+                "total_value"
+            )
+        )
+    )
+
+
+def u1_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (ON CONFLICT DO UPDATE, M2/M3 08_ETL2_part2.sql:60-66) as a
+    pure recompute: latest state per (user_id, event_type) key from the
+    event changelog — the Spark-idiomatic replacement for mutation, same
+    observable table. At scale this is one shuffle (window over the key);
+    Delta MERGE is the incremental variant."""
+    e = _t(spark, sf_dir, "events")
+    latest = distinct_on(
+        e,
+        ["user_id", "event_type"],
+        [F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select(
+        "user_id",
+        "event_type",
+        F.col("event_id").alias("last_event_id"),
+        stable_round(F.col("value"), 2).alias("last_value"),
+    )
 
 
 def a5_count_distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -674,6 +781,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j9_interval_attribution": j9_interval_attribution,
     "j11_priority_attribution": j11_priority_attribution,
     "j12_fallback_active_else_earliest": j12_fallback_active_else_earliest,
+    "j5_multikey_anti": j5_multikey_anti,
+    "j10_join_using": j10_join_using,
+    "g1_set_except": g1_set_except,
+    "a3_conditional_sum": a3_conditional_sum,
+    "a6_distinct_pairs": a6_distinct_pairs,
+    "a10_coalesce_zero_agg": a10_coalesce_zero_agg,
+    "u1_upsert_last_wins": u1_upsert_last_wins,
     "a5_count_distinct_multi": a5_count_distinct_multi,
     "a7_distinct_on_first_line": a7_distinct_on_first_line,
     "a9_group_by_expression": a9_group_by_expression,
