@@ -3,5 +3,17 @@ from insect_observation_data_pipeline_spark.streaming.events import (
     windowed_event_counts,
     run_batch_backfill,
 )
+from insect_observation_data_pipeline_spark.streaming.stateful import (
+    advance_session_state,
+    dedup_stream,
+    sessionize_stateful,
+)
 
-__all__ = ["read_events_stream", "windowed_event_counts", "run_batch_backfill"]
+__all__ = [
+    "read_events_stream",
+    "windowed_event_counts",
+    "run_batch_backfill",
+    "advance_session_state",
+    "dedup_stream",
+    "sessionize_stateful",
+]

@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators over the events stream.
+
+The reference is batch-only (SURVEY §2j); these are the net-new streaming
+capabilities a training-data pipeline needs beyond windowed aggregation:
+
+- ``sessionize_stateful``: gap-based sessionization as an
+  ``applyInPandasWithState`` operator — arbitrary per-key state Spark's
+  built-in windowed aggs can't express (session count depends on the gap
+  to the *previous* event, not on a fixed window grid). The streaming
+  twin of the batch ``e2_sessionization`` query: on a single-batch
+  replay the outputs are identical (asserted in tests).
+- ``dedup_stream``: exactly-once-per-key streaming dedup via
+  ``dropDuplicatesWithinWatermark`` — state is bounded by the watermark
+  horizon instead of growing forever, the scale-safe form of streaming
+  exact dedup.
+
+Scale notes: state lives in the state store keyed by user_id — one entry
+per active user, independent of event volume; the update function sees
+Arrow batches per key (no per-row Python hop). The gap logic itself is a
+pure function (``advance_session_state``) so cross-batch continuation is
+unit-testable without a streaming harness.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_GAP_US = 600 * 1_000_000  # 10 min idle starts a new session
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("last_ts_us", LongType(), True),
+        StructField("n_sessions", LongType(), True),
+        StructField("n_events", LongType(), True),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("n_events", LongType(), True),
+        StructField("n_sessions", LongType(), True),
+    ]
+)
+
+
+def advance_session_state(
+    last_ts_us: int | None,
+    n_sessions: int,
+    n_events: int,
+    ts_us_sorted: list[int],
+    gap_us: int = SESSION_GAP_US,
+) -> tuple[int | None, int, int]:
+    """Fold a sorted batch of event timestamps into session state.
+
+    Pure function so the cross-batch semantics (a session spanning a
+    micro-batch boundary must NOT be double-counted) are testable without
+    Spark. Matches the batch lag()-gap formulation exactly: the first
+    event ever opens session 1; an event > gap after its predecessor
+    opens a new one.
+    """
+    for ts in ts_us_sorted:
+        if last_ts_us is None or ts - last_ts_us > gap_us:
+            n_sessions += 1
+        last_ts_us = ts
+        n_events += 1
+    return last_ts_us, n_sessions, n_events
+
+
+def _update_sessions(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import pandas as pd
+
+    if state.exists:
+        last_ts_us, n_sessions, n_events = state.get
+    else:
+        last_ts_us, n_sessions, n_events = None, 0, 0
+
+    ts_us: list[int] = []
+    for pdf in pdfs:
+        # normalize to µs explicitly: Arrow may hand us ns- or µs-unit
+        ts_us.extend(
+            int(v) for v in pdf["ts"].astype("datetime64[us]").astype("int64")
+        )
+    ts_us.sort()
+    last_ts_us, n_sessions, n_events = advance_session_state(
+        last_ts_us, n_sessions, n_events, ts_us
+    )
+    state.update((last_ts_us, n_sessions, n_events))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n_events], "n_sessions": [n_sessions]}
+    )
+
+
+def sessionize_stateful(events: DataFrame) -> DataFrame:
+    """Gap-based sessionization as a custom stateful operator.
+
+    Works on both a stream (``applyInPandasWithState``, update output
+    mode) and a batch DataFrame (same grouping, one "batch" per key) —
+    the backfill/live parity property again.
+    """
+    grouped = events.select("user_id", "ts").groupBy("user_id")
+    if events.isStreaming:
+        return grouped.applyInPandasWithState(
+            _update_sessions,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    # batch fallback: same per-key fold without a state store
+    import pandas as pd  # noqa: F401
+
+    def run_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+        import pandas as pd
+
+        ts_us = sorted(
+            int(v) for v in pdf["ts"].astype("datetime64[us]").astype("int64")
+        )
+        _, n_sessions, n_events = advance_session_state(None, 0, 0, ts_us)
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [n_events],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return grouped.applyInPandas(run_batch, SESSION_OUTPUT_SCHEMA)
+
+
+def dedup_stream(
+    events: DataFrame,
+    *,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key only until the
+    watermark passes it, so state is O(keys-per-horizon) instead of
+    O(all keys ever) — required for an unbounded stream. Batch callers
+    get plain ``dropDuplicates`` (same observable result on replay).
+    """
+    if not events.isStreaming:
+        return events.dropDuplicates(list(key_cols))
+    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )

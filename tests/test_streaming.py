@@ -40,3 +40,113 @@ def test_stream_matches_batch_backfill(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == expected
+
+
+def _events_us(spark, tmp_path, name="events_us2"):
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    src = str(tmp_path / f"{name}.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    return src
+
+
+def test_stateful_sessionization_stream_matches_batch_query(spark, tmp_path):
+    """applyInPandasWithState sessionizer on a replayed stream == the
+    batch lag()-gap sessionization query (e2)."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import e2_sessionization
+    from insect_observation_data_pipeline_spark.streaming import sessionize_stateful
+
+    src = _events_us(spark, tmp_path)
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .load(src)
+    )
+    q = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("sess_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in spark.sql("SELECT * FROM sess_state").collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in e2_sessionization(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_stateful_sessionization_batch_mode(spark):
+    """Same operator applied to a batch DataFrame (backfill path)."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import e2_sessionization
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+    from insect_observation_data_pipeline_spark.streaming import sessionize_stateful
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in sessionize_stateful(events).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in e2_sessionization(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert got == expected
+
+
+def test_advance_session_state_across_batch_boundary():
+    """A session spanning a micro-batch boundary is not double-counted;
+    a gap falling exactly on the boundary still opens a new session."""
+    from insect_observation_data_pipeline_spark.streaming import advance_session_state
+
+    gap = 600 * 1_000_000
+    # batch 1: two events 1s apart -> one session
+    st = advance_session_state(None, 0, 0, [0, 1_000_000], gap)
+    assert st == (1_000_000, 1, 2)
+    # batch 2 continues within the gap -> same session
+    st = advance_session_state(*st, [2_000_000], gap)
+    assert st == (2_000_000, 1, 3)
+    # batch 3 starts beyond the gap -> new session
+    st = advance_session_state(*st, [2_000_000 + gap + 1], gap)
+    assert st == (2_000_000 + gap + 1, 2, 4)
+    # exactly-at-gap is NOT a new session (strict > in the batch query)
+    st2 = advance_session_state(0, 1, 1, [gap], gap)
+    assert st2 == (gap, 1, 2)
+
+
+def test_dedup_stream_removes_duplicates(spark, tmp_path):
+    """Streaming dedup with watermark-bounded state drops replayed rows."""
+    from insect_observation_data_pipeline_spark.streaming import dedup_stream
+
+    src = _events_us(spark, tmp_path, "events_dup")
+    # append the same file's rows again -> exact duplicates
+    spark.read.parquet(src).write.mode("append").parquet(src)
+    total = spark.read.parquet(src).count()
+    distinct = spark.read.parquet(src).select("event_id").distinct().count()
+    assert total == 2 * distinct
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .load(src)
+    )
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM dedup_out").collect()[0]["n"]
+    assert got == distinct
+    # batch path: plain dropDuplicates
+    assert dedup_stream(spark.read.parquet(src)).count() == distinct
