@@ -7,7 +7,12 @@ cartesian products, no Python UDFs in hot paths.
 
 from __future__ import annotations
 
-from insect_observation_data_pipeline_spark.plans import plan_flags, pushed_filters, read_schema_columns
+from insect_observation_data_pipeline_spark.plans import (
+    formatted_plan,
+    plan_flags,
+    pushed_filters,
+    read_schema_columns,
+)
 from insect_observation_data_pipeline_spark.queries import QUERIES
 
 SF = "/root/testdata/sf0.001"
@@ -58,3 +63,34 @@ def test_no_python_udf_anywhere(spark):
     for name, fn in QUERIES.items():
         flags = plan_flags(fn(spark, SF))
         assert not flags["python_udf"], f"{name} has a Python UDF in its plan"
+
+
+def test_embedding_dedup_blocked_not_cartesian(spark):
+    """x11's per-cell self-join must be an equi join on the blocking
+    cell, never a global cross product."""
+    flags = plan_flags(QUERIES["x11_dedup_embedding"](spark, SF))
+    assert (
+        flags["broadcast_hash_join"]
+        or flags["sort_merge_join"]
+        or flags["shuffled_hash_join"]
+    )
+    assert not flags["cartesian_product"]
+
+
+def test_multikey_anti_join_shape(spark):
+    """J5 composite-key anti-join: hash/SMJ anti, scans pruned to the
+    two key columns + filter column."""
+    df = QUERIES["j5_multikey_anti"](spark, SF)
+    plan = formatted_plan(df)
+    assert "LeftAnti" in plan
+    assert not plan_flags(df)["cartesian_product"]
+    scans = read_schema_columns(df)
+    assert scans and all(len(c) <= 3 for c in scans)
+
+
+def test_upsert_recompute_uses_window_group_limit(spark):
+    """u1's latest-per-key recompute plans with WindowGroupLimit (rank
+    pre-filter before the full window sort) on Spark 4."""
+    df = QUERIES["u1_upsert_last_wins"](spark, SF)
+    plan = formatted_plan(df)
+    assert "WindowGroupLimit" in plan
