@@ -50,8 +50,10 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: JIT + parquet footer caches, excluded from timings
-    run_once(QUERIES["q1_pricing_summary"](spark, sf_dir))
+    # warmup: one untimed pass over the full set (JIT, codegen compile,
+    # parquet footer caches) so timings measure steady-state execution
+    for name in BENCH_QUERIES:
+        run_once(QUERIES[name](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
