@@ -89,3 +89,44 @@ def test_top_k_deterministic(spark):
     )
     out = top_k(df, [F.desc("score"), F.asc("id")], 2).collect()
     assert [r["id"] for r in out] == [1, 2]
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting changes physical distribution only — results identical to
+    the plain equi-join, for inner and left."""
+    from insect_observation_data_pipeline_spark.operators import salted_join
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    e = read_table(spark, sf, "events").select(
+        F.col("user_id").alias("custkey"), "event_id", "value"
+    )
+    c = read_table(spark, sf, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_name", "c_nationkey"
+    )
+    for how in ("inner", "left"):
+        plain = e.join(c, ["custkey"], how)
+        salted = salted_join(e, c, ["custkey"], buckets=8, how=how)
+        assert salted.columns == plain.columns
+        assert salted.count() == plain.count()
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_count_distinct_matches_exact(spark):
+    from insect_observation_data_pipeline_spark.operators import salted_count_distinct
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    l = read_table(spark, sf, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in l.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    salted = {
+        r["l_returnflag"]: r["n_distinct"]
+        for r in salted_count_distinct(l, ["l_returnflag"], "l_partkey").collect()
+    }
+    assert salted == exact
