@@ -79,3 +79,39 @@ def read_tables(
     spark: SparkSession, base_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
 ) -> dict[str, DataFrame]:
     return {n: read_table(spark, base_dir, n) for n in names}
+
+
+def register_views(
+    spark: SparkSession, base_dir: str, names: tuple[str, ...] = TESTDATA_TABLES
+) -> None:
+    """Expose the warehouse tables as temp views: the SQL surface.
+
+    After this, every workload expressible in the DataFrame library runs
+    as ``spark.sql(...)`` too — both compile to the same Catalyst plans
+    (SURVEY §3 EP3: queries are dual DataFrame/SQL functions).
+    """
+    for name in names:
+        read_table(spark, base_dir, name).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: tuple[str, ...],
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a table hive-partitioned (+ optionally sorted within files).
+
+    Partition columns become directories, so any filter on them prunes
+    whole partitions at plan time (`PartitionFilters` in explain) — the
+    100 TB analog of an index. ``sort_by`` clusters rows inside each file
+    so min/max row-group stats make non-partition predicates selective
+    too (poor man's Z-order). Keep partition cardinality moderate
+    (<= ~10k dirs): tiny partitions mean tiny files and listing overhead.
+    """
+    out = df.repartition(*[df[c] for c in partition_by])
+    if sort_by:
+        out = out.sortWithinPartitions(*sort_by)
+    out.write.partitionBy(*partition_by).mode(mode).parquet(path)

@@ -18,3 +18,53 @@ def test_entry_runs(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"part_name", "supplier_name", "interaction_count"}
+
+
+def test_sql_surface_matches_dataframe(spark):
+    """register_views makes the workload runnable via spark.sql with
+    results identical to the DataFrame library."""
+    from insect_observation_data_pipeline_spark.queries import QUERIES
+    from insect_observation_data_pipeline_spark.sources.parquet import register_views
+
+    sf = "/root/testdata/sf0.001"
+    register_views(spark, sf)
+    got = spark.sql(
+        """
+        SELECT p.p_name AS part_name, s.s_name AS supplier_name,
+               count(*) AS interaction_count
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+        ORDER BY interaction_count DESC, part_name, supplier_name
+        LIMIT 10
+        """
+    ).collect()
+    expected = QUERIES["flagship_top_part_supplier"](spark, sf).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in expected]
+
+
+def test_write_partitioned_prunes(spark, tmp_path):
+    """Partition filters prune at plan time: a filtered read touches only
+    the matching partition directories."""
+    from insect_observation_data_pipeline_spark.plans import formatted_plan
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table, write_partitioned
+
+    out = str(tmp_path / "orders_part")
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    write_partitioned(
+        orders.withColumn("o_status", orders["o_orderstatus"]),
+        out,
+        partition_by=("o_status",),
+        sort_by=("o_orderdate",),
+    )
+    df = spark.read.parquet(out).filter("o_status = 'F'")
+    plan = formatted_plan(df)
+    # the partition predicate moves into PartitionFilters (plan-time
+    # directory pruning), not PushedFilters / post-scan Filter
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "o_status" in pf.group(1)
+    assert df.count() == orders.filter("o_orderstatus = 'F'").count()
