@@ -75,3 +75,29 @@ def test_stable_round_matches_duckdb_on_boundaries(spark):
                 f"SELECT {sround_sql(f'CAST({v!r} AS DOUBLE)', d)}"
             ).fetchone()[0]
             assert s_val == d_val, (v, d, s_val, d_val)
+
+
+def test_approx_distinct_within_tolerance(spark):
+    """HLL++ estimate lands within 3x the configured rsd of exact."""
+    from insect_observation_data_pipeline_spark.functions import approx_distinct
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    l = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    exact = l.select(F.countDistinct("l_partkey").alias("n")).collect()[0]["n"]
+    est = l.select(approx_distinct("l_partkey", rsd=0.05).alias("n")).collect()[0]["n"]
+    assert abs(est - exact) / exact <= 0.15
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    from insect_observation_data_pipeline_spark.functions import approx_quantiles
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    l = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    got = l.select(
+        approx_quantiles("l_extendedprice", [0.5, 0.9]).alias("q")
+    ).collect()[0]["q"]
+    exact = l.selectExpr(
+        "percentile(l_extendedprice, array(0.5, 0.9)) AS q"
+    ).collect()[0]["q"]
+    for est, ex in zip(got, exact):
+        assert abs(est - ex) / ex <= 0.01
