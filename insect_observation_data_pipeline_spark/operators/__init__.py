@@ -7,12 +7,14 @@ from insect_observation_data_pipeline_spark.operators.asof import (
     fallback_coalesce_join,
 )
 from insect_observation_data_pipeline_spark.operators.topk import top_k
+from insect_observation_data_pipeline_spark.operators.merge import merge_upsert
 from insect_observation_data_pipeline_spark.operators.skew import (
     salted_count_distinct,
     salted_join,
 )
 
 __all__ = [
+    "merge_upsert",
     "salted_join",
     "salted_count_distinct",
     "Rule",

@@ -115,3 +115,27 @@ def write_partitioned(
     if sort_by:
         out = out.sortWithinPartitions(*sort_by)
     out.write.partitionBy(*partition_by).mode(mode).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    *,
+    bucket_by: tuple[str, ...],
+    num_buckets: int = 32,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a managed table hash-bucketed on the join/agg key.
+
+    Two tables bucketed on the same key with the same bucket count join
+    with NO shuffle on either side (bucketing is a persisted
+    pre-shuffle) — the co-located-join lever for fact-to-fact joins at
+    100 TB, where broadcasting is impossible and a per-query shuffle of
+    the big side dominates runtime. ``sort_by`` additionally pre-sorts
+    within buckets, letting sort-merge join skip its sort.
+    """
+    writer = df.write.bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.mode(mode).format("parquet").saveAsTable(table)

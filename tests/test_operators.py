@@ -130,3 +130,53 @@ def test_salted_count_distinct_matches_exact(spark):
         for r in salted_count_distinct(l, ["l_returnflag"], "l_partkey").collect()
     }
     assert salted == exact
+
+
+def test_merge_upsert_semantics(spark):
+    """Updates win on key collision, unmatched current survives,
+    new keys insert — ON CONFLICT DO UPDATE as recompute."""
+    from insect_observation_data_pipeline_spark.operators import merge_upsert
+
+    current = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, name string, v int"
+    )
+    updates = spark.createDataFrame(
+        [(2, "B", 200), (4, "d", 40)], "k int, name string, v int"
+    )
+    got = {r["k"]: (r["name"], r["v"]) for r in merge_upsert(current, updates, ["k"]).collect()}
+    assert got == {1: ("a", 10), 2: ("B", 200), 3: ("c", 30), 4: ("d", 40)}
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Same-key same-count bucketed tables sort-merge join without an
+    Exchange on either side (the persisted pre-shuffle)."""
+    from insect_observation_data_pipeline_spark.plans import formatted_plan
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table, write_bucketed
+
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        read_table(spark, sf, "orders"), "b_orders",
+        bucket_by=("o_custkey",), num_buckets=8, sort_by=("o_custkey",),
+    )
+    write_bucketed(
+        read_table(spark, sf, "customer"), "b_customer",
+        bucket_by=("c_custkey",), num_buckets=8, sort_by=("c_custkey",),
+    )
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            o = spark.table("b_orders")
+            c = spark.table("b_customer")
+            joined = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+                "o_orderkey", "c_name"
+            )
+            plan = formatted_plan(joined)
+            assert "SortMergeJoin" in plan
+            assert "Exchange" not in plan
+            assert joined.count() > 0
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
