@@ -100,3 +100,93 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
 
     return df.select("media_id", "payload").mapInPandas(run, FEATURE_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("payload", BinaryType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("payload", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, width: int, height: int, decoder: str = "fake"
+) -> DataFrame:
+    """Resize plumbing: one Arrow hop, 1 row in -> 1 row out.
+
+    With ``decoder='fake'`` the "resize" is a deterministic byte
+    truncation/padding to width*height so shapes and partitioning are
+    testable without an imaging library; a real decoder replaces only the
+    inner function (decode -> resample -> re-encode), the Spark plumbing
+    (schema, mapInPandas batching, binary transport) is final.
+    """
+    import pandas as pd
+
+    if decoder != "fake":
+        DECODERS[decoder]  # raise KeyError early; real impl goes here
+
+    target = width * height
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                raw = bytes(payload or b"")
+                fake = (raw * (target // max(len(raw), 1) + 1))[:target]
+                out.append(
+                    {
+                        "media_id": media_id,
+                        "payload": fake,
+                        "width": width,
+                        "height": height,
+                    }
+                )
+            yield pd.DataFrame(out, columns=[f.name for f in RESIZED_SCHEMA.fields])
+
+    return df.select("media_id", "payload").mapInPandas(run, RESIZED_SCHEMA)
+
+
+def sample_frames(
+    df: DataFrame, *, every_nth: int = 10, max_frames: int = 8
+) -> DataFrame:
+    """Frame-sampling plumbing: 1 video row in -> N frame rows out.
+
+    Row-expanding mapInPandas (the shape a real video decoder needs:
+    output rows != input rows). The fake "frames" are deterministic byte
+    slices keyed by frame index; ``n_frames`` metadata bounds the sample
+    without touching payload bytes for skipped frames.
+    """
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            out = []
+            for media_id, payload, n_frames in zip(
+                pdf["media_id"], pdf["payload"], pdf["n_frames"]
+            ):
+                raw = bytes(payload or b"")
+                total = int(n_frames) if n_frames is not None and n_frames == n_frames else 0
+                picked = list(range(0, total, every_nth))[:max_frames]
+                for idx in picked:
+                    lo = idx % max(len(raw), 1)
+                    out.append(
+                        {
+                            "media_id": media_id,
+                            "frame_idx": idx,
+                            "payload": raw[lo : lo + 16],
+                        }
+                    )
+            yield pd.DataFrame(out, columns=[f.name for f in FRAME_SCHEMA.fields])
+
+    return df.select("media_id", "payload", "n_frames").mapInPandas(run, FRAME_SCHEMA)

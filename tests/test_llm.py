@@ -100,3 +100,33 @@ def test_multimodal_plumbing(spark):
     # real decoder stub raises cleanly
     with pytest.raises(Exception):
         multimodal.extract_features(df, "image").collect()
+
+
+def test_resize_plumbing(spark):
+    """1-in-1-out Arrow-batched resize: output payload is exactly
+    width*height bytes, deterministic across runs."""
+    df = spark.createDataFrame(
+        [("a", "image", bytearray(b"0123456789")), ("b", "image", bytearray(b""))],
+        "media_id string, media_type string, payload binary",
+    )
+    out = {r["media_id"]: r for r in multimodal.resize_images(df, width=4, height=3).collect()}
+    assert len(out) == 2
+    assert out["a"]["width"] == 4 and out["a"]["height"] == 3
+    assert len(out["a"]["payload"]) == 12
+    assert bytes(out["a"]["payload"]) == b"012345678901"
+    assert len(out["b"]["payload"]) == 0  # empty payload stays empty
+
+
+def test_frame_sample_plumbing(spark):
+    """Row-expanding frame sampler: every_nth stride, max_frames cap,
+    stable frame indices."""
+    df = spark.createDataFrame(
+        [("v1", bytearray(b"videobytes" * 10), 100), ("v2", bytearray(b"x"), 3)],
+        "media_id string, payload binary, n_frames int",
+    )
+    rows = multimodal.sample_frames(df, every_nth=10, max_frames=8).collect()
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_media["v1"]) == [0, 10, 20, 30, 40, 50, 60, 70]  # capped at 8
+    assert sorted(by_media["v2"]) == [0]  # stride 10 over 3 frames
