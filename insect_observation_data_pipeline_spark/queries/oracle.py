@@ -214,7 +214,10 @@ ORACLE: dict[str, str] = {
     "j4_customers_no_orders": """
         SELECT c.c_custkey, c.c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'P'
+        )
     """,
     "j7_customers_with_open_orders": """
         SELECT c.c_custkey, c.c_name

@@ -384,9 +384,17 @@ def j3_compound_on_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def j4_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Anti-join: insert-if-absent / NOT EXISTS shape (J4-J6)."""
+    """Anti-join: insert-if-absent / NOT EXISTS shape (J4-J6).
+
+    Restricted to open ('P') orders so the result is non-empty at every
+    scale factor — a 0-row result would make the oracle hash check
+    vacuous."""
     c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "P")
+        .select("o_custkey")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
