@@ -190,3 +190,77 @@ def near_dup_pairs(
         .select("a_id", "b_id", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+
+
+def hyperplanes(planes: int = 4, dims: int = 64) -> list[list[float]]:
+    """Deterministic ±1 random-projection hyperplanes.
+
+    Component (p, d) is +1/-1 from the parity of md5("p:d") — no RNG, so
+    Spark, the DuckDB oracle, and any re-run derive identical planes
+    (same portability rule as the md5 min-hash in dedup.py).
+    """
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{p}:{d}".encode()).hexdigest(), 16) % 2 == 0
+            else -1.0
+            for d in range(dims)
+        ]
+        for p in range(planes)
+    ]
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """SimHash-style bucket id: one sign bit per hyperplane, concatenated."""
+    v = _as_double(vec)
+    bits = [
+        F.when(dot(v, F.array(*[F.lit(x) for x in h])) > 0, F.lit("1")).otherwise(
+            F.lit("0")
+        )
+        for h in planes
+    ]
+    return F.concat(*bits)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    planes: int = 4,
+    dims: int = 64,
+    round_digits: int = 4,
+) -> DataFrame:
+    """LSH-bucketed ANN: exact top-k within the query's sign bucket only.
+
+    The bucket equi-join replaces IVF's centroid routing — no training
+    step, bucket count = 2^planes, and the candidate scan per query
+    shrinks by ~2^planes. Recall is tunable with multi-probe (flip one
+    bit) or more tables; this single-table form is the scale skeleton.
+    """
+    hp = hyperplanes(planes, dims)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), hp))
+    c = candidates.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), hp))
+    scored = q.join(c, "bucket").select(
+        "query_id",
+        "neighbor_id",
+        stable_round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
+            "cosine_sim"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").alias("rank"))
+    )

@@ -277,3 +277,47 @@ LLM_ORACLE: dict[str, str] = {
         SELECT a_id, b_id, cosine_sim FROM scored WHERE cosine_sim >= 0.35
     """,
 }
+
+
+def _lsh_oracle_sql(planes: int = 4, dims: int = 64, k: int = 3) -> str:
+    """Build the x12 oracle with the SAME deterministic hyperplanes the
+    Spark side derives (md5-parity ±1), embedded as list literals."""
+    from insect_observation_data_pipeline_spark.llm.similarity import hyperplanes
+
+    hp = hyperplanes(planes, dims)
+    lits = [
+        "[" + ",".join(f"{x:.1f}" for x in h) + "]::DOUBLE[]" for h in hp
+    ]
+    bucket = "|| ".join(
+        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN '1' ELSE '0' END)"
+        for lit in lits
+    )
+    cos = "list_cosine_similarity(q.v, c.v)"
+    rounded = (
+        f"((floor(abs({cos}) * 10000.0 + 0.5) / 10000.0) * "
+        f"(CASE WHEN ({cos}) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)"
+    )
+    return f"""
+        WITH e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v,
+                   {bucket} AS bucket
+            FROM embeddings
+        ), q AS (
+            SELECT vec_id AS query_id, v, bucket FROM e WHERE vec_id < 5
+        ), c AS (
+            SELECT vec_id AS neighbor_id, v, bucket FROM e WHERE vec_id >= 5
+        ), scored AS (
+            SELECT q.query_id, c.neighbor_id, {rounded} AS cosine_sim
+            FROM q JOIN c USING (bucket)
+        ), r AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine_sim DESC, neighbor_id
+            ) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INTEGER) AS rank
+        FROM r WHERE rn <= {k}
+    """
+
+
+LLM_ORACLE["x12_ann_lsh"] = _lsh_oracle_sql()

@@ -96,6 +96,13 @@ def x10_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(q, c, k=3)
 
 
+def x12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (random-hyperplane sign buckets): top-3 within
+    the query's bucket — the training-free alternative to IVF routing."""
+    q, c = _emb_split(spark, sf_dir)
+    return similarity.lsh_topk(q, c, k=3, planes=4, dims=64)
+
+
 def x11_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by cluster cell (the
     scale path for semantic dedup: cluster -> per-cell self-join)."""
@@ -161,6 +168,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x9_ann_bruteforce": x9_ann_bruteforce,
     "x10_ann_ivf": x10_ann_ivf,
     "x11_dedup_embedding": x11_dedup_embedding,
+    "x12_ann_lsh": x12_ann_lsh,
     "m1_binary_meta": m1_binary_meta,
     "e1_hourly_event_stats": e1_hourly_event_stats,
     "e2_sessionization": e2_sessionization,
