@@ -408,6 +408,22 @@ ORACLE: dict[str, str] = {
         LEFT JOIN events e ON c.c_custkey = e.user_id
         GROUP BY c.c_custkey
     """,
+    "a11_rollup_revenue": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               ((floor(abs(sum(o_totalprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(o_totalprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total_revenue
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+    "a12_pivot_status": """
+        SELECT l_returnflag,
+               count(*) FILTER (WHERE l_linestatus = 'F') AS cnt_f,
+               count(*) FILTER (WHERE l_linestatus = 'O') AS cnt_o
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
     "u1_upsert_last_wins": """
         WITH r AS (
             SELECT user_id, event_type, event_id, value,

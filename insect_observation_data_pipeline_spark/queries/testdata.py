@@ -610,6 +610,40 @@ def a10_coalesce_zero_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a11_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (hierarchical subtotals + grand total) — beyond
+    the reference surface, standard OLAP capability. One pass: Spark
+    plans rollup as Expand + single hash agg."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+def a12_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: one row per returnflag, one count column per linestatus.
+    Explicit value list so the plan is a single pass (no distinct-values
+    pre-query) — required at scale."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnRenamed("F", "cnt_f")
+        .withColumnRenamed("O", "cnt_o")
+        .na.fill(0, ["cnt_f", "cnt_o"])
+        .orderBy("l_returnflag")
+    )
+
+
 def u1_upsert_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Upsert (ON CONFLICT DO UPDATE, M2/M3 08_ETL2_part2.sql:60-66) as a
     pure recompute: latest state per (user_id, event_type) key from the
@@ -795,6 +829,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_conditional_sum": a3_conditional_sum,
     "a6_distinct_pairs": a6_distinct_pairs,
     "a10_coalesce_zero_agg": a10_coalesce_zero_agg,
+    "a11_rollup_revenue": a11_rollup_revenue,
+    "a12_pivot_status": a12_pivot_status,
     "u1_upsert_last_wins": u1_upsert_last_wins,
     "a5_count_distinct_multi": a5_count_distinct_multi,
     "a7_distinct_on_first_line": a7_distinct_on_first_line,
