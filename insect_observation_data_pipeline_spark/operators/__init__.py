@@ -2,6 +2,7 @@ from insect_observation_data_pipeline_spark.operators.quarantine import Rule, sp
 from insect_observation_data_pipeline_spark.operators.dedupe import distinct_on
 from insect_observation_data_pipeline_spark.operators.scd2 import scd2_end_date
 from insect_observation_data_pipeline_spark.operators.asof import (
+    asof_join,
     interval_join,
     priority_match,
     fallback_coalesce_join,
@@ -21,6 +22,7 @@ __all__ = [
     "split_valid_invalid",
     "distinct_on",
     "scd2_end_date",
+    "asof_join",
     "interval_join",
     "priority_match",
     "fallback_coalesce_join",

@@ -109,3 +109,52 @@ def fallback_coalesce_join(
     for name, pcol, scol in pick:
         out = out.withColumn(name, F.coalesce(pcol, scol))
     return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    *,
+    left_ts: str,
+    right_ts: str,
+    payload: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """As-of join: attach the most recent right row at-or-before each
+    left row's timestamp.
+
+    Implemented as union + running ``last(ignorenulls)`` over a
+    (keys, time) window — the scale form of the interval join's window
+    rewrite (SURVEY §4.2): ONE shuffle on the key columns, state bounded
+    by the window frame, and no join-explosion risk however many right
+    rows precede a left row. At equal timestamps the right row wins
+    (``>=`` as-of semantics: right sorts before left on the tie).
+
+    ``payload`` columns must not collide with left column names.
+    ``how='inner'`` drops left rows with no preceding right row;
+    ``'left'`` keeps them with null payload.
+    """
+    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
+    for p in payload:
+        lt = lt.withColumn(p, F.lit(None).cast(right.schema[p].dataType))
+    rt = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *payload,
+    )
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        *[c for c in unioned.columns if c not in payload],
+        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
+    )
+    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    if how == "inner":
+        out = out.filter(F.col(payload[0]).isNotNull())
+    return out

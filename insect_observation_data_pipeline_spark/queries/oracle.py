@@ -360,6 +360,18 @@ ORACLE: dict[str, str] = {
                  AS is_click
         FROM events
     """,
+    "j13_asof_latest_signup": """
+        WITH s AS (
+            SELECT user_id, ts AS asof_start FROM events
+            WHERE event_type = 'signup'
+        ), p AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase'
+        )
+        SELECT p.event_id, p.user_id, s.asof_start
+        FROM p ASOF JOIN s
+          ON p.user_id = s.user_id AND p.ts >= s.asof_start
+    """,
     "j5_multikey_anti": """
         SELECT DISTINCT l_partkey, l_suppkey
         FROM lineitem l

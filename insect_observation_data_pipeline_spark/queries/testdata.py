@@ -33,6 +33,7 @@ from insect_observation_data_pipeline_spark.functions.numeric import stable_roun
 from insect_observation_data_pipeline_spark.sources.parquet import read_table
 from insect_observation_data_pipeline_spark.operators import (
     Rule,
+    asof_join,
     distinct_on,
     fallback_coalesce_join,
     interval_join,
@@ -458,6 +459,28 @@ def j9_interval_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "user_id", "start_ts")
 
 
+def j13_asof_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (J9's scale rewrite as a first-class operator): attach
+    each purchase to the user's most recent signup at-or-before it.
+    Union + running last() — one shuffle, no pair explosion."""
+    e = _t(spark, sf_dir, "events")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("asof_start")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    out = asof_join(
+        purchases,
+        signups,
+        ["user_id"],
+        left_ts="ts",
+        right_ts="asof_start",
+        payload=["asof_start"],
+    )
+    return out.select("event_id", "user_id", "asof_start")
+
+
 def j11_priority_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prioritized candidate match (J11, 04_ETL1_part3.sql:396-416):
     1=purchase inside window, 2=before user's first window -> earliest,
@@ -823,6 +846,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j9_interval_attribution": j9_interval_attribution,
     "j11_priority_attribution": j11_priority_attribution,
     "j12_fallback_active_else_earliest": j12_fallback_active_else_earliest,
+    "j13_asof_latest_signup": j13_asof_latest_signup,
     "j5_multikey_anti": j5_multikey_anti,
     "j10_join_using": j10_join_using,
     "g1_set_except": g1_set_except,

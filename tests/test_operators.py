@@ -180,3 +180,33 @@ def test_bucketed_join_has_no_shuffle(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_asof_join_semantics(spark):
+    """Equal-ts right row matches (>= semantics); inner drops left rows
+    with no preceding right; left keeps them as nulls."""
+    from insect_observation_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 5), (3, 20, 50)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(10, 50, "a"), (10, 100, "b"), (10, 150, "c"), (20, 60, "d")],
+        "k int, rts int, v string",
+    )
+    inner = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, ["k"], left_ts="ts", right_ts="rts", payload=["v"]
+        ).collect()
+    }
+    # lid=1: ts=100 -> right at 100 exactly ('b'); lid=2: ts=5 -> none;
+    # lid=3: ts=50 -> none in k=20 (60 > 50)
+    assert inner == {1: "b"}
+    left_out = {
+        r["lid"]: r["v"]
+        for r in asof_join(
+            left, right, ["k"], left_ts="ts", right_ts="rts", payload=["v"], how="left"
+        ).collect()
+    }
+    assert left_out == {1: "b", 2: None, 3: None}
