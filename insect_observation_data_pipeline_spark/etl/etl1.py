@@ -555,8 +555,11 @@ def load_observations(
         )
     )
 
+    from insect_observation_data_pipeline_spark.sources.seed import pollination_qualities
+
     return Etl1Result(
         silver={
+            "pollination_qualities": pollination_qualities(staging.sparkSession),
             "pollinator_species": pollinators,
             "plant_species": plants,
             "castes": castes,

@@ -49,15 +49,19 @@ def most_observed_habitats(silver: dict[str, DataFrame]) -> DataFrame:
 def summary_by_pollination_quality(silver: dict[str, DataFrame]) -> DataFrame:
     """oltp_queries.sql:27-37 (COUNT FILTER + LEFT JOIN USING)."""
     o = silver["observations"]
-    pq = silver.get("pollination_qualities")
-    out = o.groupBy("pollination_quality_id").agg(
-        F.count(F.when(F.col("pollen_collected"), True)).alias("with_pollen"),
-        F.count(F.when(F.col("nectar_collected"), True)).alias("with_nectar"),
-        F.count(F.lit(1)).alias("total"),
+    pq = silver["pollination_qualities"].select(
+        "pollination_quality_id", "description"
     )
-    if pq is not None:
-        out = out.join(F.broadcast(pq), "pollination_quality_id", "left")
-    return out.orderBy(F.asc_nulls_last("pollination_quality_id"))
+    return (
+        o.join(F.broadcast(pq), "pollination_quality_id", "left")
+        .groupBy("pollination_quality_id", "description")
+        .agg(
+            F.count(F.when(F.col("pollen_collected"), True)).alias("with_pollen"),
+            F.count(F.when(F.col("nectar_collected"), True)).alias("with_nectar"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .orderBy(F.asc_nulls_last("pollination_quality_id"))
+    )
 
 
 def top_users_by_observations(silver: dict[str, DataFrame], k: int = 10) -> DataFrame:
@@ -135,3 +139,99 @@ def top_monthly_locations_per_user(gold: dict[str, DataFrame], k: int = 10) -> D
         [F.desc("distinct_location_count"), F.asc("username"), F.asc("month_year")],
         k,
     )
+
+
+def register_layers(
+    spark, silver: dict[str, DataFrame], gold: dict[str, DataFrame]
+) -> None:
+    """Expose silver/gold frames as temp views so the SQL twins below run
+    via ``spark.sql`` (EP3's dual DataFrame/SQL surface — both compile to
+    the same Catalyst plans)."""
+    for name, df in {**silver, **gold}.items():
+        df.createOrReplaceTempView(name)
+
+
+REFERENCE_SQL: dict[str, str] = {
+    # oltp_queries.sql:6-15
+    "top_plant_pollinator_pairs": """
+        SELECT ps.species_name AS plant, po.species_name AS pollinator,
+               count(*) AS interaction_count
+        FROM observations o
+        JOIN plant_species ps USING (plant_id)
+        JOIN pollinator_species po USING (pollinator_id)
+        GROUP BY 1, 2
+        ORDER BY interaction_count DESC, plant, pollinator
+        LIMIT 10
+    """,
+    # oltp_queries.sql:18-24
+    "most_observed_habitats": """
+        SELECT h.habitat_name, count(*) AS total_observations
+        FROM observations o JOIN habitats h USING (habitat_id)
+        GROUP BY h.habitat_name
+        ORDER BY total_observations DESC, habitat_name
+    """,
+    # oltp_queries.sql:40-48
+    "top_users_by_observations": """
+        SELECT u.last_name, count(*) AS total_observations
+        FROM observations o
+        JOIN user_institution ui USING (user_institution_id)
+        JOIN users u USING (user_id)
+        GROUP BY u.last_name
+        ORDER BY total_observations DESC, last_name
+        LIMIT 10
+    """,
+    # oltp_queries.sql:27-37 (COUNT FILTER + LEFT JOIN USING)
+    "summary_by_pollination_quality": """
+        SELECT o.pollination_quality_id, pq.description,
+               count(CASE WHEN o.pollen_collected THEN TRUE END) AS with_pollen,
+               count(CASE WHEN o.nectar_collected THEN TRUE END) AS with_nectar,
+               count(*) AS total
+        FROM observations o
+        LEFT JOIN pollination_qualities pq USING (pollination_quality_id)
+        GROUP BY o.pollination_quality_id, pq.description
+        ORDER BY o.pollination_quality_id ASC NULLS LAST
+    """,
+    # olap_queries.sql:6-16
+    "top_confirmed_months": """
+        SELECT d.month_name,
+               sum(fp.confirmed_pollination_count) AS total_confirmed
+        FROM fact_pollination_activity fp
+        JOIN dim_date d USING (date_sk)
+        WHERE d.month_name <> 'January'
+        GROUP BY d.month_name
+        ORDER BY total_confirmed DESC, month_name
+        LIMIT 5
+    """,
+    # olap_queries.sql:19-35
+    "top_location_months": """
+        SELECT l.latitude, l.longitude, d.month_year,
+               sum(fp.observation_count) AS total_observations
+        FROM fact_pollination_activity fp
+        JOIN dim_location l USING (location_sk)
+        JOIN dim_date d USING (date_sk)
+        GROUP BY 1, 2, 3
+        ORDER BY total_observations DESC, latitude, longitude, month_year
+        LIMIT 10
+    """,
+    # olap_queries.sql:39-69
+    "top_monthly_locations_per_user": """
+        WITH monthly AS (
+            SELECT f.user_sk, u.username, f.date_sk, d.month_year,
+                   count(DISTINCT f.location_sk) AS distinct_location_count
+            FROM fact_user_location_monthly f
+            JOIN dim_user u USING (user_sk)
+            JOIN dim_date d USING (date_sk)
+            GROUP BY 1, 2, 3, 4
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY user_sk
+                ORDER BY distinct_location_count DESC, month_year
+            ) AS rn
+            FROM monthly
+        )
+        SELECT username, month_year, distinct_location_count
+        FROM ranked WHERE rn = 1
+        ORDER BY distinct_location_count DESC, username, month_year
+        LIMIT 10
+    """,
+}

@@ -29,9 +29,19 @@ SUBSCRIPTION_TYPES = [
     ("BeeWatch+",),
 ]
 
+# (pollination_quality_id, quality_code, description) — seed VALUES from
+# 01_create_oltp.sql:139-145; ids follow insert order (SERIAL).
 POLLINATION_QUALITIES = [
-    (1, "Confirmed pollination"),
-    (2, "Probable pollination"),
-    (3, "Possible pollination"),
-    (4, "Not a pollinator"),
+    (1, 1, "pollination confirmed"),
+    (2, 2, "pollination inferred"),
+    (3, 3, "pollination inferred from circumstantial evidence"),
+    (4, 4, "no pollination, the visitor is not a pollinator"),
 ]
+
+POLLINATION_QUALITIES_SCHEMA = (
+    "pollination_quality_id SMALLINT, quality_code SMALLINT, description STRING"
+)
+
+
+def pollination_qualities(spark: SparkSession) -> DataFrame:
+    return seed_frame(spark, POLLINATION_QUALITIES, POLLINATION_QUALITIES_SCHEMA)

@@ -170,3 +170,25 @@ def test_reference_queries_run(pipeline):
     assert all(r["month_name"] != "January" for r in months)
     assert refq.top_location_months(g).count() > 0
     assert refq.top_monthly_locations_per_user(g).count() > 0
+
+
+def test_reference_sql_twins_match_dataframe(spark, pipeline):
+    """EP3 dual surface: spark.sql twins produce the same rows as the
+    DataFrame functions (same Catalyst plans underneath)."""
+    from insect_observation_data_pipeline_spark.queries import reference as refq
+
+    s, g = pipeline["silver"], pipeline["gold"]
+    refq.register_layers(spark, s, g)
+    pairs = [
+        (refq.top_plant_pollinator_pairs(s), "top_plant_pollinator_pairs"),
+        (refq.most_observed_habitats(s), "most_observed_habitats"),
+        (refq.top_users_by_observations(s), "top_users_by_observations"),
+        (refq.summary_by_pollination_quality(s), "summary_by_pollination_quality"),
+        (refq.top_confirmed_months(g), "top_confirmed_months"),
+        (refq.top_location_months(g), "top_location_months"),
+        (refq.top_monthly_locations_per_user(g), "top_monthly_locations_per_user"),
+    ]
+    for df, key in pairs:
+        got = [tuple(r) for r in spark.sql(refq.REFERENCE_SQL[key]).collect()]
+        expected = [tuple(r) for r in df.collect()]
+        assert got == expected, key
