@@ -3,6 +3,7 @@ from insect_observation_data_pipeline_spark.streaming.events import (
     windowed_event_counts,
     run_batch_backfill,
 )
+from insect_observation_data_pipeline_spark.streaming.joins import attribute_purchases
 from insect_observation_data_pipeline_spark.streaming.stateful import (
     advance_session_state,
     dedup_stream,
@@ -13,6 +14,7 @@ __all__ = [
     "read_events_stream",
     "windowed_event_counts",
     "run_batch_backfill",
+    "attribute_purchases",
     "advance_session_state",
     "dedup_stream",
     "sessionize_stateful",

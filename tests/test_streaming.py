@@ -150,3 +150,39 @@ def test_dedup_stream_removes_duplicates(spark, tmp_path):
     assert got == distinct
     # batch path: plain dropDuplicates
     assert dedup_stream(spark.read.parquet(src)).count() == distinct
+
+
+def test_stream_stream_attribution_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream temporal join on replay == the same
+    bounded-horizon predicate in batch."""
+    from insect_observation_data_pipeline_spark.streaming import attribute_purchases
+
+    src = _events_us(spark, tmp_path, "events_ss")
+    batch = spark.read.parquet(src)
+    b_purch = batch.filter("event_type = 'purchase'")
+    b_sign = batch.filter("event_type = 'signup'")
+    expected = {
+        (r["purchase_id"], r["signup_ts"])
+        for r in attribute_purchases(b_purch, b_sign).collect()
+    }
+
+    stream = (
+        spark.readStream.format("parquet").schema(batch.schema).load(src)
+    )
+    s_purch = stream.filter("event_type = 'purchase'")
+    s_sign = stream.filter("event_type = 'signup'")
+    q = (
+        attribute_purchases(s_purch, s_sign)
+        .writeStream.format("memory")
+        .queryName("ss_attr")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["signup_ts"])
+        for r in spark.sql("SELECT * FROM ss_attr").collect()
+    }
+    assert len(expected) > 0
+    assert got == expected
