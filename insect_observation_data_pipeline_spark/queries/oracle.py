@@ -436,6 +436,14 @@ ORACLE: dict[str, str] = {
         GROUP BY l_returnflag
         ORDER BY l_returnflag
     """,
+    "a13_cube_counts": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_lines,
+               ((floor(abs(sum(l_quantity)) * 10.0 + 0.5) / 10.0) * (CASE WHEN (sum(l_quantity)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
     "u1_upsert_last_wins": """
         WITH r AS (
             SELECT user_id, event_type, event_id, value,

@@ -651,6 +651,23 @@ def a11_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a13_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE: all grouping-set combinations in one Expand pass
+    (rounds out the rollup/cube/grouping-sets family)."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            stable_round(F.sum("l_quantity"), 1).alias("sum_qty"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
 def a12_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: one row per returnflag, one count column per linestatus.
     Explicit value list so the plan is a single pass (no distinct-values
@@ -855,6 +872,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a10_coalesce_zero_agg": a10_coalesce_zero_agg,
     "a11_rollup_revenue": a11_rollup_revenue,
     "a12_pivot_status": a12_pivot_status,
+    "a13_cube_counts": a13_cube_counts,
     "u1_upsert_last_wins": u1_upsert_last_wins,
     "a5_count_distinct_multi": a5_count_distinct_multi,
     "a7_distinct_on_first_line": a7_distinct_on_first_line,
