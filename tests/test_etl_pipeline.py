@@ -192,3 +192,45 @@ def test_reference_sql_twins_match_dataframe(spark, pipeline):
         got = [tuple(r) for r in spark.sql(refq.REFERENCE_SQL[key]).collect()]
         expected = [tuple(r) for r in df.collect()]
         assert got == expected, key
+
+
+def test_observation_etl_at_volume(spark, pipeline):
+    """50k synthetic staged observation rows through the full ETL1
+    observation path: guards against accidentally quadratic behavior
+    (self-joins, per-row Python) and re-checks invariants at volume."""
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    n = 50_000
+    base = spark.range(n).withColumnRenamed("id", "raw_data_id")
+    cols = {
+        "authors": F.concat(F.lit("R. E. Chapman; observer "), F.col("raw_data_id") % 7),
+        "pollinator_species": F.concat(F.lit("bombus sp"), F.col("raw_data_id") % 50),
+        "plant_species": F.concat(F.lit("trifolium sp"), F.col("raw_data_id") % 40),
+        "habitat": F.when(F.col("raw_data_id") % 2 == 0, "urban").otherwise("suburban"),
+        "caste": F.when(F.col("raw_data_id") % 3 == 0, "worker").otherwise("queen"),
+        "interactions": (F.col("raw_data_id") % 9 + 1).cast("string"),
+        "date": F.lit(None).cast("string"),
+        "month": ((F.col("raw_data_id") % 12) + 1).cast("string"),
+        "year": (F.lit(2015) + F.col("raw_data_id") % 8).cast("string"),
+        "latitude": (F.lit(51.0) + (F.col("raw_data_id") % 500) / 1000.0).cast("string"),
+        "longitude": (F.lit(-1.0) - (F.col("raw_data_id") % 500) / 1000.0).cast("string"),
+        "pollination": ((F.col("raw_data_id") % 4) + 1).cast("string"),
+        "pollen": F.when(F.col("raw_data_id") % 2 == 0, "Y").otherwise("N"),
+        "nectar": F.when(F.col("raw_data_id") % 5 == 0, "Y").otherwise("N"),
+    }
+    staged = base
+    for c in etl1.OBSERVATIONS_COLS:
+        staged = staged.withColumn(c, cols.get(c, F.lit("NA")))
+
+    users = pipeline["silver"]["users"]
+    ui = pipeline["silver"]["user_institution"]
+    r = etl1.load_observations(staged, users, ui)
+    obs = r.silver["observations"]
+    assert obs.count() == n  # all rows valid by construction
+    assert r.silver["pollinator_species"].count() == 50
+    assert r.silver["plant_species"].count() == 40
+    assert r.silver["locations"].count() == 500
+    # January-placeholder rule: month backfilled dates always day 1
+    assert (
+        obs.filter(F.dayofmonth("observation_date") != 1).count() == 0
+    )
