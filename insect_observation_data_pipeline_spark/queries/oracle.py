@@ -355,7 +355,7 @@ ORACLE: dict[str, str] = {
     "f_cast_census": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
-               CAST(value AS DECIMAL(9,2)) AS value_dec,
+               CAST(CAST(((floor(abs(value) * 100.0 + 0.5) / 100.0) * (CASE WHEN (value) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS DECIMAL(9,2)) AS DOUBLE) AS value_dec,
                (upper(CASE WHEN event_type = 'click' THEN 'Y' ELSE 'N' END) = 'Y')
                  AS is_click
         FROM events

@@ -825,13 +825,26 @@ def f_date_census(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def f_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cast census (§2h: ::INTEGER, ::BOOLEAN-from-flag, ::DECIMAL, JSON
-    extraction)."""
+    extraction).
+
+    The decimal column goes through ``stable_round`` first and is cast back
+    to DOUBLE at the end: raw double->decimal(9,2) casts disagree across
+    engines on .005 boundaries (Spark HALF_UPs the shortest decimal repr,
+    DuckDB rounds the binary value), and Decimal cell rendering itself is
+    engine-specific — the round-1 driver hashed Spark/DuckDB decimals
+    differently even when values matched. stable_round's output is always a
+    floor(x)/100 double, never a .005 boundary, so the decimal cast is
+    exercised in-plan but the hashed representation is a plain double.
+    """
     e = _t(spark, sf_dir, "events")
     flag = F.when(F.col("event_type") == "click", F.lit("Y")).otherwise(F.lit("N"))
     return e.select(
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
-        F.col("value").cast("decimal(9,2)").alias("value_dec"),
+        stable_round(F.col("value"), 2)
+        .cast("decimal(9,2)")
+        .cast("double")
+        .alias("value_dec"),
         (F.upper(flag) == "Y").alias("is_click"),
     )
 
