@@ -41,6 +41,22 @@ def parse_first_name(full_name: Column) -> Column:
     return F.when(is_initials_name(t), prefix).otherwise(F.lit(None).cast("string"))
 
 
+def boolean_literal(c: Column) -> Column:
+    """Postgres-style boolean-literal cast, the semantics the reference's
+    ``pollen::BOOLEAN`` / ``nectar::BOOLEAN`` relies on
+    (04_ETL1_part3.sql:441-442): case-insensitive y/yes/t/true/1/on ->
+    true, n/no/f/false/0/off -> false, anything else -> NULL (the
+    reference rows with junk flags are quarantined before the cast, so
+    NULL-for-invalid keeps the valid-path semantics identical while
+    staying total)."""
+    t = F.lower(F.trim(c))
+    return (
+        F.when(t.isin("y", "yes", "t", "true", "1", "on"), F.lit(True))
+        .when(t.isin("n", "no", "f", "false", "0", "off"), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
 def species_case(c: Column) -> Column:
     """'Genus species' normalization: first letter upper, rest lower."""
     t = F.trim(c)

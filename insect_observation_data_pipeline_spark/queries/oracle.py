@@ -360,6 +360,48 @@ ORACLE: dict[str, str] = {
                  AS is_click
         FROM events
     """,
+    "f_name_parse": """
+        WITH base AS (
+            SELECT p_partkey,
+                   CASE WHEN p_partkey % 3 = 0
+                          THEN 'A. B. ' || split_part(p_name, ' ', 1)
+                        WHEN p_partkey % 3 = 1
+                          THEN 'Dr ' || split_part(p_name, ' ', 1)
+                        ELSE split_part(p_name, ' ', 1)
+                   END AS full_name
+            FROM part
+        )
+        SELECT p_partkey, full_name,
+               full_name LIKE '%.% %' AS is_initials,
+               CASE WHEN full_name LIKE '%.% %' THEN
+                   left(full_name,
+                        length(full_name) - position(' ' IN reverse(full_name)))
+               END AS first_name_or_initials,
+               CASE WHEN full_name LIKE '%.% %' THEN
+                   split_part(reverse(split_part(reverse(full_name), ' ', 1)),
+                              ' ', 1)
+               ELSE full_name END AS last_name
+        FROM base
+    """,
+    "f_yn_cast": """
+        WITH f AS (
+            SELECT event_id,
+                   CASE WHEN event_type = 'click' THEN 'Y'
+                        WHEN event_type = 'view' THEN 'n'
+                        WHEN event_type = 'purchase' THEN 'Yes'
+                        WHEN event_type = 'signup' THEN 'FALSE'
+                        ELSE 'maybe'
+                   END AS flag_raw
+            FROM events
+        )
+        SELECT event_id, flag_raw,
+               CASE WHEN lower(trim(flag_raw))
+                         IN ('y','yes','t','true','1','on') THEN TRUE
+                    WHEN lower(trim(flag_raw))
+                         IN ('n','no','f','false','0','off') THEN FALSE
+               END AS flag_bool
+        FROM f
+    """,
     "j13_asof_latest_signup": """
         WITH s AS (
             SELECT user_id, ts AS asof_start FROM events

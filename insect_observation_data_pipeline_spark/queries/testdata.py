@@ -849,6 +849,57 @@ def f_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Person-name parsing census (§2h, 03_ETL1_part2.sql:112-121): the
+    LIKE '%.% %' initials detector + first/last split, exercised over a
+    synthesized full_name with all three reference shapes — initials+last
+    ("A. B. word"), plain multi-word org name (no dot -> whole string is
+    the last_name), and single word."""
+    p = _t(spark, sf_dir, "part")
+    word = F.split(F.col("p_name"), " ").getItem(0)
+    full_name = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("A. B. "), word))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("Dr "), word))
+        .otherwise(word)
+    )
+    from insect_observation_data_pipeline_spark.functions.text import (
+        is_initials_name,
+        parse_first_name,
+        parse_last_name,
+    )
+
+    return p.select(
+        "p_partkey",
+        full_name.alias("full_name"),
+        is_initials_name(full_name).alias("is_initials"),
+        parse_first_name(full_name).alias("first_name_or_initials"),
+        parse_last_name(full_name).alias("last_name"),
+    )
+
+
+def f_yn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """'Y'/'N'-style boolean-literal cast census (§2h,
+    04_ETL1_part3.sql:441-442): the Postgres boolean-literal ladder the
+    reference's ::BOOLEAN relies on, over a flag synthesized from
+    event_type so every branch (mixed case, yes/no, t/f, digits, invalid
+    -> NULL) appears in the data."""
+    from insect_observation_data_pipeline_spark.functions.text import boolean_literal
+
+    e = _t(spark, sf_dir, "events")
+    flag = (
+        F.when(F.col("event_type") == "click", F.lit("Y"))
+        .when(F.col("event_type") == "view", F.lit("n"))
+        .when(F.col("event_type") == "purchase", F.lit("Yes"))
+        .when(F.col("event_type") == "signup", F.lit("FALSE"))
+        .otherwise(F.lit("maybe"))
+    )
+    return e.select(
+        "event_id",
+        flag.alias("flag_raw"),
+        boolean_literal(flag).alias("flag_bool"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_top_part_supplier": flagship,
     "q1_pricing_summary": q1_pricing_summary,
@@ -896,4 +947,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_string_census": f_string_census,
     "f_date_census": f_date_census,
     "f_cast_census": f_cast_census,
+    "f_name_parse": f_name_parse,
+    "f_yn_cast": f_yn_cast,
 }
