@@ -11,8 +11,10 @@ are *mechanical*, never semantic:
   single lead() window (M3/W1);
 - validate-append-then-DELETE quarantine becomes one-pass tagged split
   (S8/J7, see operators.quarantine);
-- SERIAL surrogate keys become row_number() over the business key — dense,
-  deterministic, reproducible across runs (SURVEY §4 point 3).
+- SERIAL surrogate keys become xxhash64(entity, business key) — per-row,
+  shuffle-free, deterministic, reproducible across runs and cluster sizes
+  (SURVEY §4 point 3; functions/keys.py). No dense 1..N contract: every
+  FK below is propagated by business-key join, never key arithmetic.
 
 Semantic guardrails preserved: observations are APPEND-ONLY and full
 duplicates are legal (re-ingest doubles them by design, README.md:19);
@@ -34,6 +36,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from insect_observation_data_pipeline_spark.functions.dates import build_observation_date
+from insect_observation_data_pipeline_spark.functions.keys import with_hash_sk
 from insect_observation_data_pipeline_spark.functions.text import (
     normalize_na,
     parse_first_name,
@@ -83,10 +86,11 @@ OBS_KEPT = [
 _NUM = r"^-?\d+(\.\d+)?$"
 
 
-def _sk(df: DataFrame, name: str, order_cols: list[str]) -> DataFrame:
-    """Dense deterministic surrogate key (SERIAL replacement)."""
-    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
-    return df.withColumn(name, F.row_number().over(w))
+def _sk(df: DataFrame, name: str, business_cols: list[str]) -> DataFrame:
+    """Deterministic surrogate key (SERIAL replacement): xxhash64 of the
+    business key — per-row, shuffle-free, no global window (see
+    functions/keys.py for the scale rationale)."""
+    return with_hash_sk(df, name, business_cols)
 
 
 @dataclass
@@ -149,7 +153,9 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
         _sk(
             valid.select("institution_name", "city_name").distinct(),
             "institution_id",
-            ["institution_name"],
+            # full distinct tuple: the same institution name can appear
+            # with two cities, and a hash key must be unique per ROW
+            ["institution_name", "city_name"],
         )
         .join(F.broadcast(cities), "city_name", "left")
         .select("institution_id", "institution_name", "city_id")
@@ -159,9 +165,9 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
     unaff = spark.createDataFrame(
         [("Unaffiliated",)], "institution_name string"
     ).select(
-        F.lit(0).alias("institution_id"),
+        F.lit(0).cast("long").alias("institution_id"),
         "institution_name",
-        F.lit(None).cast("int").alias("city_id"),
+        F.lit(None).cast("long").alias("city_id"),
     )
     institutions = institutions.unionByName(unaff)
 
@@ -458,10 +464,15 @@ def load_observations(
     # 04_ETL1_part3.sql:390-395) then affiliation priority pick (J11,
     # :396-416). Candidates = every (user x affiliation interval).
     cand = (
-        users.select("user_id", "last_name")
+        users.select("user_id", "username", "last_name")
         .join(user_institution, "user_id")
         .select(
-            "user_id", "last_name", "user_institution_id", "start_date", "end_date"
+            "user_id",
+            "username",
+            "last_name",
+            "user_institution_id",
+            "start_date",
+            "end_date",
         )
     )
     matched = dated.join(
@@ -491,16 +502,19 @@ def load_observations(
         )
         .otherwise(F.lit(4))
     )
+    # tiebreak on username (the business key), not user_id: hash surrogate
+    # values are engine-local, so ordering by them would make the pick
+    # irreproducible in any cross-engine replay (the DuckDB e2e oracle).
     w = Window.partitionBy("raw_data_id").orderBy(
         F.col("__prio").asc(),
         F.col("start_date").asc_nulls_last(),
-        F.col("user_id").asc_nulls_last(),
+        F.col("username").asc_nulls_last(),
     )
     attributed = (
         matched.withColumn("__prio", prio)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__prio", "__rn", "last_name", "start_date", "end_date")
+        .drop("__prio", "__rn", "username", "last_name", "start_date", "end_date")
     )
 
     observations = (

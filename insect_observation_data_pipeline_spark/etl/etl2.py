@@ -18,15 +18,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.functions.keys import with_hash_sk
 from insect_observation_data_pipeline_spark.sources.seed import SUBSCRIPTION_TYPES
 
 
-def _sk(df: DataFrame, name: str, order_cols: list[str]) -> DataFrame:
-    w = Window.orderBy(*[F.col(c).asc_nulls_last() for c in order_cols])
-    return df.withColumn(name, F.row_number().over(w))
+def _sk(df: DataFrame, name: str, business_cols: list[str]) -> DataFrame:
+    """xxhash64(business key) surrogate — per-row, no global window
+    (functions/keys.py)."""
+    return with_hash_sk(df, name, business_cols)
 
 
 def build_dims(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:

@@ -134,15 +134,26 @@ def asof_join(
     ``payload`` columns must not collide with left column names.
     ``how='inner'`` drops left rows with no preceding right row;
     ``'left'`` keeps them with null payload.
+
+    Match detection rides a struct whose first field is the right row's
+    own timestamp — never NULL for a real right row — so a most-recent
+    right row with genuinely NULL payload values is still the match (its
+    NULLs are returned), instead of being skipped in favor of an older
+    non-null value. Matches DuckDB ASOF JOIN semantics for nullable
+    payloads.
     """
-    lt = left.withColumn("__ts", F.col(left_ts)).withColumn("__side", F.lit(1))
-    for p in payload:
-        lt = lt.withColumn(p, F.lit(None).cast(right.schema[p].dataType))
     rt = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *payload,
+        F.struct(
+            F.col(right_ts).alias("__match_ts"), *[F.col(p) for p in payload]
+        ).alias("__m"),
+    )
+    lt = (
+        left.withColumn("__ts", F.col(left_ts))
+        .withColumn("__side", F.lit(1))
+        .withColumn("__m", F.lit(None).cast(rt.schema["__m"].dataType))
     )
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
@@ -150,11 +161,12 @@ def asof_join(
         .orderBy(F.col("__ts").asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        *[c for c in unioned.columns if c not in payload],
-        *[F.last(p, ignorenulls=True).over(w).alias(p) for p in payload],
-    )
-    out = filled.filter(F.col("__side") == 1).drop("__ts", "__side")
+    filled = unioned.withColumn("__m", F.last("__m", ignorenulls=True).over(w))
+    out = filled.filter(F.col("__side") == 1)
     if how == "inner":
-        out = out.filter(F.col(payload[0]).isNotNull())
+        out = out.filter(F.col("__m").isNotNull())
+    out = out.select(
+        *[c for c in left.columns],
+        *[F.col(f"__m.{p}").alias(p) for p in payload],
+    )
     return out

@@ -52,7 +52,19 @@ def salted_join(
     Output is identical to ``large.join(small, on, how)``; only the
     physical key distribution changes. Join columns must be same-named
     on both sides (the coalesced-key USING form).
+
+    Only ``inner`` and ``left`` are supported: the salting rewrite
+    replicates the small side once per bucket, so for right/full outer
+    joins every unmatched small-side row would be emitted once per salt
+    bucket instead of once. Those joins need the mirrored rewrite (salt
+    the small side, replicate the large) — not provided here.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: "
+            "replicating the small side breaks right/full outer semantics "
+            "(unmatched small rows would appear once per bucket)"
+        )
     keys = list(on)
     salted_large = large.withColumn(SALT_COL, _row_salt(large, buckets))
     replicated_small = small.withColumn(
@@ -72,8 +84,12 @@ def salted_count_distinct(
 
     Phase 1 shuffles on (keys, value) — a hot key's rows split across
     partitions by value. Phase 2 shuffles only the deduped combinations.
-    Equivalent to ``groupBy(keys).agg(countDistinct(value_col))``.
+    Equivalent to ``groupBy(keys).agg(countDistinct(value_col))``,
+    including NULL handling: ``count(value_col)`` skips the (key, NULL)
+    row that ``distinct()`` keeps, so NULL is never counted as a distinct
+    value, while keys whose values are all NULL still surface with 0
+    (their group exists via the kept NULL row).
     """
     keys = list(keys)
     deduped = df.select(*keys, value_col).distinct()
-    return deduped.groupBy(*keys).agg(F.count(F.lit(1)).alias(alias))
+    return deduped.groupBy(*keys).agg(F.count(value_col).alias(alias))

@@ -51,6 +51,29 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def unpartitioned_windows(df: DataFrame) -> int:
+    """Count window specs with NO partition columns — global sorts that
+    funnel every row through one partition (the scale killer the hashed
+    surrogate keys removed; assert 0 in ETL plans).
+
+    In the analyzed plan a spec prints as
+    ``windowspecdefinition([part cols,] order col ASC|DESC ..., frame)``;
+    partition columns never carry a sort direction, so a first segment
+    with ASC/DESC (or going straight to the frame) means unpartitioned.
+    """
+    txt = df._jdf.queryExecution().analyzed().toString()
+    n = 0
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", txt):
+        first = m.group(1).split(",")[0]
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or first.strip().startswith("specifiedwindowframe")
+        ):
+            n += 1
+    return n
+
+
 def plan_flags(df: DataFrame) -> dict[str, bool]:
     plan = formatted_plan(df)
     return {

@@ -44,8 +44,20 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
         return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(path)
+    # The legacy conf is consumed at schema-inference time (verified: the
+    # relation keeps its long-typed columns and executes fine after the
+    # conf is restored), so scope it to this read instead of leaking a
+    # session-global behavior change to later unrelated parquet reads.
+    conf_key = "spark.sql.legacy.parquet.nanosAsLong"
+    prior = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true")
+    try:
+        df = spark.read.parquet(path)
+    finally:
+        if prior is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prior)
     from pyspark.sql import functions as F
 
     for col in nanos_cols:

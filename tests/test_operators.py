@@ -210,3 +210,66 @@ def test_asof_join_semantics(spark):
         ).collect()
     }
     assert left_out == {1: "b", 2: None, 3: None}
+
+
+def test_salted_count_distinct_ignores_nulls(spark):
+    """countDistinct parity on nullable values: NULL is never a distinct
+    value, and all-NULL keys still surface with 0 (ADVICE r1)."""
+    from insect_observation_data_pipeline_spark.operators import salted_count_distinct
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "y"), ("a", None), ("b", None), ("b", None)],
+        "k string, v string",
+    )
+    exact = {
+        r["k"]: r["n"]
+        for r in df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    got = {
+        r["k"]: r["n_distinct"]
+        for r in salted_count_distinct(df, ["k"], "v").collect()
+    }
+    assert got == exact == {"a": 2, "b": 0}
+
+
+def test_salted_join_rejects_outer_joins(spark):
+    """Replicating the small side is unsound for right/full outer —
+    must raise, not silently emit per-bucket duplicates (ADVICE r1)."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.operators import salted_join
+
+    a = spark.createDataFrame([(1, "x")], "k int, va string")
+    b = spark.createDataFrame([(2, "y")], "k int, vb string")
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="inner.*left"):
+            salted_join(a, b, ["k"], buckets=4, how=how)
+
+
+def test_asof_join_null_payload_matches(spark):
+    """A most-recent right row with NULL payload IS the match: its NULL is
+    returned (not an older non-null value), and under inner the row
+    survives (ADVICE r1: DuckDB ASOF parity for nullable payloads)."""
+    from insect_observation_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame([(1, 10, 100)], "lid int, k int, ts int")
+    right = spark.createDataFrame(
+        [(10, 50, "old"), (10, 90, None)], "k int, rts int, v string"
+    )
+    inner = asof_join(
+        left, right, ["k"], left_ts="ts", right_ts="rts", payload=["v"]
+    ).collect()
+    assert len(inner) == 1 and inner[0]["v"] is None
+
+
+def test_read_table_restores_nanos_conf(spark):
+    """read_table must not leak spark.sql.legacy.parquet.nanosAsLong into
+    the session (ADVICE r1)."""
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    key = "spark.sql.legacy.parquet.nanosAsLong"
+    before = spark.conf.get(key, None)
+    df = read_table(spark, "/root/testdata/sf0.001", "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    assert spark.conf.get(key, None) == before
+    assert df.count() > 0  # restore must not break the deferred action
