@@ -162,16 +162,26 @@ def near_dup_pairs(
     cell_col: str = "label",
     threshold: float = 0.35,
     round_digits: int = 4,
+    max_cell_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by cluster cell.
 
     Cluster-then-dedup: the self-join runs only within a cell (equi-join
     on ``cell_col``, here the IVF/k-means assignment), so the pair space
     is sum(|cell|^2) instead of n^2 — the standard blocking trade for
-    embedding dedup at 100 TB (cells shuffle-partition independently; a
-    skewed mega-cell would need salting or sub-clustering). ``a_id <
-    b_id`` keeps each unordered pair once; similarity is rounded before
-    thresholding so the cut is engine-stable.
+    embedding dedup at 100 TB. ``a_id < b_id`` keeps each unordered pair
+    once; similarity is rounded before thresholding so the cut is
+    engine-stable.
+
+    ``max_cell_rows`` guards the skewed-mega-cell case: a cell with m
+    rows puts an m^2 pair space in ONE shuffle partition. With the cap
+    set, each oversized cell is split into g = ceil(m / cap) salt groups
+    and the self-join runs as a grid join over (cell, i, j) group pairs —
+    EXACT (every pair lands in exactly one (g_a, g_b) task, kept once by
+    the id ordering filter), with per-task pair space bounded by ~cap^2
+    at the cost of replicating each row g times. This is the salting
+    rewrite for self-joins; sub-clustering (a secondary LSH split) is
+    the lossy alternative when even g-fold replication is too much.
     """
     a = vectors.select(
         F.col(cell_col).alias("cell"),
@@ -184,9 +194,31 @@ def near_dup_pairs(
         F.col(vec_col).alias("b_vec"),
     )
     sim = stable_round(cosine(F.col("a_vec"), F.col("b_vec")), round_digits)
+    if max_cell_rows is None:
+        joined = a.join(b, "cell")
+    else:
+        # per-cell salt-group count g; the grid frame is tiny (sum of g^2
+        # over cells) and broadcast
+        meta = vectors.groupBy(F.col(cell_col).alias("cell")).agg(
+            F.ceil(F.count(F.lit(1)) / F.lit(max_cell_rows))
+            .cast("int")
+            .alias("g")
+        )
+        grid = (
+            meta.withColumn("i", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+            .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
+            .select("cell", "g", "i", "j")
+        )
+        ga = F.pmod(F.xxhash64("a_id"), F.col("g"))
+        gb = F.pmod(F.xxhash64("b_id"), F.col("g"))
+        a_tagged = a.join(F.broadcast(grid), "cell").filter(ga == F.col("i"))
+        b_tagged = b.select("cell", "b_id", "b_vec")
+        joined = a_tagged.join(
+            b_tagged,
+            ["cell"],
+        ).filter(F.pmod(F.xxhash64("b_id"), F.col("g")) == F.col("j"))
     return (
-        a.join(b, "cell")
-        .filter(F.col("a_id") < F.col("b_id"))
+        joined.filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", sim.alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
