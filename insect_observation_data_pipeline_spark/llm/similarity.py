@@ -176,12 +176,18 @@ def near_dup_pairs(
     ``max_cell_rows`` guards the skewed-mega-cell case: a cell with m
     rows puts an m^2 pair space in ONE shuffle partition. With the cap
     set, each oversized cell is split into g = ceil(m / cap) salt groups
-    and the self-join runs as a grid join over (cell, i, j) group pairs —
-    EXACT (every pair lands in exactly one (g_a, g_b) task, kept once by
-    the id ordering filter), with per-task pair space bounded by ~cap^2
-    at the cost of replicating each row g times. This is the salting
-    rewrite for self-joins; sub-clustering (a secondary LSH split) is
-    the lossy alternative when even g-fold replication is too much.
+    and the self-join runs as a grid join whose JOIN KEY is the full
+    (cell, i, j) group pair: the a side keeps its own hash group as
+    ``i`` and replicates over every ``j``, the b side keeps its own
+    group as ``j`` and replicates over every ``i``, so pair (a, b)
+    lands in exactly the one task keyed (cell, g_a, g_b) — EXACT, kept
+    once by the id ordering filter, with per-task pair space bounded by
+    ~cap^2 at the cost of replicating each side g times. Both salt
+    columns MUST be in the join key (not post-join filters) or the
+    mega-cell still hash-partitions on ``cell`` alone into one task.
+    This is the salting rewrite for self-joins; sub-clustering (a
+    secondary LSH split) is the lossy alternative when even g-fold
+    replication is too much.
     """
     a = vectors.select(
         F.col(cell_col).alias("cell"),
@@ -209,14 +215,19 @@ def near_dup_pairs(
             .withColumn("j", F.explode(F.sequence(F.lit(0), F.col("g") - 1)))
             .select("cell", "g", "i", "j")
         )
-        ga = F.pmod(F.xxhash64("a_id"), F.col("g"))
-        gb = F.pmod(F.xxhash64("b_id"), F.col("g"))
-        a_tagged = a.join(F.broadcast(grid), "cell").filter(ga == F.col("i"))
-        b_tagged = b.select("cell", "b_id", "b_vec")
-        joined = a_tagged.join(
-            b_tagged,
-            ["cell"],
-        ).filter(F.pmod(F.xxhash64("b_id"), F.col("g")) == F.col("j"))
+        ga = F.pmod(F.xxhash64("a_id"), F.col("g")).cast("int")
+        gb = F.pmod(F.xxhash64("b_id"), F.col("g")).cast("int")
+        a_tagged = (
+            a.join(F.broadcast(grid), "cell")
+            .filter(ga == F.col("i"))
+            .select("cell", "i", "j", "a_id", "a_vec")
+        )
+        b_tagged = (
+            b.join(F.broadcast(grid), "cell")
+            .filter(gb == F.col("j"))
+            .select("cell", "i", "j", "b_id", "b_vec")
+        )
+        joined = a_tagged.join(b_tagged, ["cell", "i", "j"])
     return (
         joined.filter(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", sim.alias("cosine_sim"))

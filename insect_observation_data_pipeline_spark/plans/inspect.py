@@ -51,6 +51,39 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def _balanced_args(txt: str, start: int) -> str:
+    """Return the argument string of the call whose '(' is at ``start``,
+    consuming nested parens correctly."""
+    depth = 0
+    for i in range(start, len(txt)):
+        c = txt[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return txt[start + 1 : i]
+    return txt[start + 1 :]
+
+
+def _split_top_level(args: str) -> list[str]:
+    """Split on commas at paren depth 0 only (``round(x, 2) ASC`` stays
+    one segment)."""
+    out, depth, cur = [], 0, []
+    for c in args:
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        if c == "," and depth == 0:
+            out.append("".join(cur))
+            cur = []
+        else:
+            cur.append(c)
+    out.append("".join(cur))
+    return out
+
+
 def unpartitioned_windows(df: DataFrame) -> int:
     """Count window specs with NO partition columns — global sorts that
     funnel every row through one partition (the scale killer the hashed
@@ -58,13 +91,17 @@ def unpartitioned_windows(df: DataFrame) -> int:
 
     In the analyzed plan a spec prints as
     ``windowspecdefinition([part cols,] order col ASC|DESC ..., frame)``;
-    partition columns never carry a sort direction, so a first segment
-    with ASC/DESC (or going straight to the frame) means unpartitioned.
+    partition columns never carry a sort direction, so a first top-level
+    segment with ASC/DESC (or going straight to the frame) means
+    unpartitioned. Parsing is paren-aware: an order expression containing
+    commas or nested parens (``round(x, 2) ASC``) cannot split
+    mid-expression and silently hide a global sort.
     """
     txt = df._jdf.queryExecution().analyzed().toString()
     n = 0
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", txt):
-        first = m.group(1).split(",")[0]
+    for m in re.finditer(r"windowspecdefinition\(", txt):
+        args = _balanced_args(txt, m.end() - 1)
+        first = _split_top_level(args)[0]
         if (
             " ASC" in first
             or " DESC" in first
@@ -72,6 +109,22 @@ def unpartitioned_windows(df: DataFrame) -> int:
         ):
             n += 1
     return n
+
+
+def join_key_names(df: DataFrame) -> list[list[str]]:
+    """Equi-join key column names per join side, from the formatted plan's
+    ``Left keys``/``Right keys`` lines — lets tests assert that a salting
+    rewrite really moved the salt columns into the shuffle key."""
+    plan = formatted_plan(df)
+    out: list[list[str]] = []
+    for m in re.finditer(r"(?:Left|Right) keys(?: \[\d+\])?: \[([^\]]*)\]", plan):
+        cols = [
+            re.sub(r"#\d+L?", "", c).strip()
+            for c in _split_top_level(m.group(1))
+            if c.strip()
+        ]
+        out.append(cols)
+    return out
 
 
 def plan_flags(df: DataFrame) -> dict[str, bool]:

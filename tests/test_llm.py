@@ -88,6 +88,50 @@ def test_ivf_routes_to_nearest_cell(vectors):
     assert {r["neighbor_id"] for r in out} == {1}
 
 
+@pytest.fixture(scope="module")
+def skewed_vectors(spark):
+    """One mega-cell (48 of 54 rows) — the shape max_cell_rows exists for."""
+    import math
+
+    rows = []
+    for i in range(48):  # cell 0: near-collinear vectors, many pairs
+        ang = 0.01 * i
+        rows.append((i, [math.cos(ang), math.sin(ang), 0.0], 0))
+    for i in range(48, 54):  # small cells
+        rows.append((i, [0.0, float(i % 3 == 0), 1.0], 1 + i % 2))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+def test_near_dup_salted_guard_exact(skewed_vectors):
+    """The (cell, i, j) grid join must return exactly the unguarded pairs
+    — every unordered pair kept once, none lost, none duplicated."""
+    plain = similarity.near_dup_pairs(skewed_vectors, threshold=0.35)
+    salted = similarity.near_dup_pairs(
+        skewed_vectors, threshold=0.35, max_cell_rows=10
+    )
+    p = sorted((r["a_id"], r["b_id"], r["cosine_sim"]) for r in plain.collect())
+    s_rows = [(r["a_id"], r["b_id"], r["cosine_sim"]) for r in salted.collect()]
+    assert len(s_rows) == len(set(s_rows))  # no pair lands in two tasks
+    assert sorted(s_rows) == p
+    assert len(p) > 100  # the mega-cell genuinely produced a big pair space
+
+
+def test_near_dup_salt_groups_in_join_key(skewed_vectors):
+    """The salt columns must be IN the shuffle key of the self-join, not
+    post-join filters — otherwise the mega-cell still lands in one task."""
+    from insect_observation_data_pipeline_spark.plans.inspect import join_key_names
+
+    salted = similarity.near_dup_pairs(
+        skewed_vectors, threshold=0.35, max_cell_rows=10
+    )
+    keys = join_key_names(salted)
+    assert any(
+        {"cell", "i", "j"} <= set(side) for side in keys
+    ), f"salt groups missing from join keys: {keys}"
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [("a", "image", bytearray(b"\x89PNG fake")), ("b", "image", bytearray(b""))],
