@@ -267,6 +267,33 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return F.concat(*bits)
 
 
+def _flip_bit(bucket: Column, p: int, planes: int) -> Column:
+    """Bucket string with the 1-indexed p-th sign bit inverted."""
+    return F.concat(
+        F.substring(bucket, 1, p - 1),
+        F.when(F.substring(bucket, p, 1) == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, p + 1, planes - p),
+    )
+
+
+def probe_buckets(bucket: Column, planes: int, probe_bits: int = 1) -> Column:
+    """Multi-probe bucket set: the exact bucket plus every bucket within
+    Hamming distance ``probe_bits`` (1 = flip each single bit, 2 adds all
+    bit pairs). All probes are distinct strings, so a candidate — which
+    lives in exactly one bucket — can match at most one probe and no
+    dedup is needed after the bucket join."""
+    from itertools import combinations
+
+    out = [bucket]
+    for r in range(1, probe_bits + 1):
+        for ps in combinations(range(1, planes + 1), r):
+            b = bucket
+            for p in ps:
+                b = _flip_bit(b, p, planes)
+            out.append(b)
+    return F.array(*out)
+
+
 def lsh_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -277,18 +304,28 @@ def lsh_topk(
     planes: int = 4,
     dims: int = 64,
     round_digits: int = 4,
+    probe_bits: int = 0,
 ) -> DataFrame:
-    """LSH-bucketed ANN: exact top-k within the query's sign bucket only.
+    """LSH-bucketed ANN: exact top-k within the query's sign bucket(s).
 
     The bucket equi-join replaces IVF's centroid routing — no training
     step, bucket count = 2^planes, and the candidate scan per query
-    shrinks by ~2^planes. Recall is tunable with multi-probe (flip one
-    bit) or more tables; this single-table form is the scale skeleton.
+    shrinks by ~2^planes. ``probe_bits`` turns on multi-probe: each
+    query also searches every bucket within that Hamming distance,
+    trading a (planes choose probe_bits)-fold wider probe set for
+    recall — the standard knob when a true neighbor lands one sign flip
+    away. Only the QUERY side fans out (queries << candidates), so the
+    candidate table is never replicated and the join stays a bucket
+    equi-join.
     """
     hp = hyperplanes(planes, dims)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     ).withColumn("bucket", lsh_bucket(F.col("q_vec"), hp))
+    if probe_bits:
+        q = q.withColumn(
+            "bucket", F.explode(probe_buckets(F.col("bucket"), planes, probe_bits))
+        )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     ).withColumn("bucket", lsh_bucket(F.col("c_vec"), hp))

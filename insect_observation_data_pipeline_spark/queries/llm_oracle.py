@@ -279,19 +279,42 @@ LLM_ORACLE: dict[str, str] = {
 }
 
 
-def _lsh_oracle_sql(planes: int = 4, dims: int = 64, k: int = 3) -> str:
-    """Build the x12 oracle with the SAME deterministic hyperplanes the
-    Spark side derives (md5-parity ±1), embedded as list literals."""
+def _lsh_oracle_sql(
+    planes: int = 4, dims: int = 64, k: int = 3, probe_bits: int = 0
+) -> str:
+    """Build the x12/x13 oracle with the SAME deterministic hyperplanes
+    the Spark side derives (md5-parity ±1), embedded as list literals.
+    ``probe_bits`` mirrors the Spark multi-probe: the query side fans
+    out over every bucket within that Hamming distance (each probe
+    expression is the sign concat with that bit subset inverted); a
+    candidate lives in one bucket so probes never duplicate a pair."""
+    from itertools import combinations
+
     from insect_observation_data_pipeline_spark.llm.similarity import hyperplanes
 
     hp = hyperplanes(planes, dims)
     lits = [
         "[" + ",".join(f"{x:.1f}" for x in h) + "]::DOUBLE[]" for h in hp
     ]
-    bucket = "|| ".join(
-        f"(CASE WHEN list_dot_product(v, {lit}) > 0 THEN '1' ELSE '0' END)"
-        for lit in lits
-    )
+
+    def bucket_expr(flipped: frozenset) -> str:
+        parts = []
+        for idx, lit in enumerate(lits):
+            one, zero = ("0", "1") if idx in flipped else ("1", "0")
+            parts.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0"
+                f" THEN '{one}' ELSE '{zero}' END)"
+            )
+        return " || ".join(parts)
+
+    masks = [frozenset()]
+    for r in range(1, probe_bits + 1):
+        masks += [frozenset(c) for c in combinations(range(planes), r)]
+    if probe_bits:
+        q_bucket = f"unnest([{', '.join(bucket_expr(m) for m in masks)}])"
+    else:
+        q_bucket = bucket_expr(frozenset())
+
     cos = "list_cosine_similarity(q.v, c.v)"
     rounded = (
         f"((floor(abs({cos}) * 10000.0 + 0.5) / 10000.0) * "
@@ -299,13 +322,13 @@ def _lsh_oracle_sql(planes: int = 4, dims: int = 64, k: int = 3) -> str:
     )
     return f"""
         WITH e AS (
-            SELECT vec_id, embedding::DOUBLE[] AS v,
-                   {bucket} AS bucket
-            FROM embeddings
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
         ), q AS (
-            SELECT vec_id AS query_id, v, bucket FROM e WHERE vec_id < 5
+            SELECT vec_id AS query_id, v, {q_bucket} AS bucket
+            FROM e WHERE vec_id < 5
         ), c AS (
-            SELECT vec_id AS neighbor_id, v, bucket FROM e WHERE vec_id >= 5
+            SELECT vec_id AS neighbor_id, v, {bucket_expr(frozenset())} AS bucket
+            FROM e WHERE vec_id >= 5
         ), scored AS (
             SELECT q.query_id, c.neighbor_id, {rounded} AS cosine_sim
             FROM q JOIN c USING (bucket)
@@ -321,3 +344,4 @@ def _lsh_oracle_sql(planes: int = 4, dims: int = 64, k: int = 3) -> str:
 
 
 LLM_ORACLE["x12_ann_lsh"] = _lsh_oracle_sql()
+LLM_ORACLE["x13_ann_lsh_multiprobe"] = _lsh_oracle_sql(probe_bits=3)

@@ -103,6 +103,18 @@ def x12_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.lsh_topk(q, c, k=3, planes=4, dims=64)
 
 
+def x13_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query also searches every bucket within
+    Hamming distance 3 of its own sign bucket (query-side fan-out only —
+    candidates are never replicated). Radius 3 at 4 planes is what this
+    dataset needs for recall@3 >= 0.9 (tests/test_llm.py measures 1.0):
+    the synthetic embeddings are near-random, so a true neighbor's
+    cosine ~0.3 flips each sign bit with p ~0.4. Real clustered
+    embeddings at scale invert the trade — more planes, radius 1-2."""
+    q, c = _emb_split(spark, sf_dir)
+    return similarity.lsh_topk(q, c, k=3, planes=4, dims=64, probe_bits=3)
+
+
 def x11_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by cluster cell (the
     scale path for semantic dedup: cluster -> per-cell self-join)."""
@@ -169,6 +181,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x10_ann_ivf": x10_ann_ivf,
     "x11_dedup_embedding": x11_dedup_embedding,
     "x12_ann_lsh": x12_ann_lsh,
+    "x13_ann_lsh_multiprobe": x13_ann_lsh_multiprobe,
     "m1_binary_meta": m1_binary_meta,
     "e1_hourly_event_stats": e1_hourly_event_stats,
     "e2_sessionization": e2_sessionization,

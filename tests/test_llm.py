@@ -132,6 +132,47 @@ def test_near_dup_salt_groups_in_join_key(skewed_vectors):
     ), f"salt groups missing from join keys: {keys}"
 
 
+def test_lsh_multiprobe_recall(spark):
+    """Multi-probe quantifies the x13 ANN: recall@3 vs exact brute force
+    must reach 0.9 on the driver testdata, and each added probe radius
+    must not lose recall (monotone candidate-set growth)."""
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, c, k=3).collect()
+    }
+    recalls = []
+    for pb in (0, 3):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.lsh_topk(
+                q, c, k=3, planes=4, dims=64, probe_bits=pb
+            ).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[1] >= 0.9, f"multi-probe recall@3 = {recalls[1]}"
+    assert recalls[1] >= recalls[0]
+
+
+def test_probe_buckets_distinct(spark):
+    """Probe set = all buckets within Hamming distance r, no duplicates
+    (a candidate can match at most one probe)."""
+    df = spark.createDataFrame([("1010",)], "bucket string")
+    row = df.select(
+        similarity.probe_buckets(F.col("bucket"), 4, 2).alias("p")
+    ).collect()[0]
+    probes = row["p"]
+    assert len(probes) == 1 + 4 + 6
+    assert len(set(probes)) == len(probes)
+    assert probes[0] == "1010"
+    assert {p for p in probes if sum(a != b for a, b in zip(p, "1010")) == 1} == {
+        "0010", "1110", "1000", "1011"
+    }
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [("a", "image", bytearray(b"\x89PNG fake")), ("b", "image", bytearray(b""))],
