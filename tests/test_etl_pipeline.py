@@ -194,13 +194,9 @@ def test_reference_sql_twins_match_dataframe(spark, pipeline):
         assert got == expected, key
 
 
-def test_observation_etl_at_volume(spark, pipeline):
-    """50k synthetic staged observation rows through the full ETL1
-    observation path: guards against accidentally quadratic behavior
-    (self-joins, per-row Python) and re-checks invariants at volume."""
+def _volume_staged(spark, n: int):
     from insect_observation_data_pipeline_spark.etl import etl1
 
-    n = 50_000
     base = spark.range(n).withColumnRenamed("id", "raw_data_id")
     cols = {
         "authors": F.concat(F.lit("R. E. Chapman; observer "), F.col("raw_data_id") % 7),
@@ -221,7 +217,17 @@ def test_observation_etl_at_volume(spark, pipeline):
     staged = base
     for c in etl1.OBSERVATIONS_COLS:
         staged = staged.withColumn(c, cols.get(c, F.lit("NA")))
+    return staged
 
+
+def test_observation_etl_at_volume(spark, pipeline):
+    """50k synthetic staged observation rows through the full ETL1
+    observation path: guards against accidentally quadratic behavior
+    (self-joins, per-row Python) and re-checks invariants at volume."""
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    n = 50_000
+    staged = _volume_staged(spark, n)
     users = pipeline["silver"]["users"]
     ui = pipeline["silver"]["user_institution"]
     r = etl1.load_observations(staged, users, ui)
@@ -234,6 +240,67 @@ def test_observation_etl_at_volume(spark, pipeline):
     assert (
         obs.filter(F.dayofmonth("observation_date") != 1).count() == 0
     )
+
+
+def test_etl_plan_shape_at_500k(spark, pipeline):
+    """500k rows through ETL1 observations + full ETL2 gold (VERDICT r2
+    #6): beyond invariants, assert the PLAN properties that decide the
+    100 TB posture — no unpartitioned window anywhere, the tiny users
+    side of the author-attribution join broadcast, no cartesian product,
+    no Python UDF in any hot path — and every silver lookup + gold dim
+    key unique at volume."""
+    from insect_observation_data_pipeline_spark.etl import etl1, etl2
+    from insect_observation_data_pipeline_spark.functions.keys import assert_unique
+    from insect_observation_data_pipeline_spark.plans.inspect import (
+        plan_flags,
+        unpartitioned_windows,
+    )
+
+    n = 500_000
+    staged = _volume_staged(spark, n)
+    r = etl1.load_observations(
+        staged, pipeline["silver"]["users"], pipeline["silver"]["user_institution"]
+    )
+    silver = {**pipeline["silver"], **r.silver}
+    gold = etl2.build_gold(silver)
+
+    obs = r.silver["observations"]
+    flags = plan_flags(obs)
+    assert flags["broadcast_hash_join"] or flags["broadcast_nested_loop_join"]
+    assert not flags["cartesian_product"]
+    assert not flags["python_udf"]
+    for name, df in {**r.silver, **gold}.items():
+        assert unpartitioned_windows(df) == 0, name
+        f = plan_flags(df)
+        assert not f["cartesian_product"], name
+        assert not f["python_udf"], name
+
+    assert obs.count() == n
+    for table, col in [
+        ("pollinator_species", "pollinator_id"),
+        ("plant_species", "plant_id"),
+        ("locations", "location_id"),
+        ("castes", "caste_id"),
+        ("habitats", "habitat_id"),
+    ]:
+        assert_unique(r.silver[table], col)
+    for dim, col in [
+        ("dim_pollinator", "pollinator_sk"), ("dim_plant", "plant_sk"),
+        ("dim_caste", "caste_sk"), ("dim_habitat", "habitat_sk"),
+        ("dim_location", "location_sk"), ("dim_date", "date_sk"),
+        ("dim_user", "user_sk"),
+        ("dim_subscription_type", "subscription_type_sk"),
+        ("dim_institution", "institution_sk"),
+    ]:
+        assert_unique(gold[dim], col)
+    # fact totals stay consistent at volume
+    base = obs.filter(
+        F.col("observation_date").isNotNull() & F.col("location_id").isNotNull()
+    )
+    fact_total = gold["fact_pollination_activity"].agg(
+        F.sum("observation_count").alias("t")
+    ).collect()[0]["t"]
+    assert fact_total == base.count()
 
 
 def test_surrogate_keys_unique_and_no_global_window(pipeline):

@@ -4,12 +4,17 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at sf0.01, then compares row count, column names and an order-insensitive
 value hash (columns sorted by name, rows sorted by stringified value).
 
-Usage: python tools/compare.py [sf_dir] [query_name ...]
+Usage: python tools/compare.py [--json OUT.json] [sf_dir] [query_name ...]
+
+``--json`` writes a driver-style per-query dict (rows/schema/hash match
+flags) — committed each round as CORRECTNESS_LOCAL_r{N}.json so queries
+rotated past the driver's 50-entry cap still have verifiable evidence.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 import sys
 import time
 import traceback
@@ -50,8 +55,14 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if argv and argv[0] == "--json":
+        json_out = argv[1]
+        argv = argv[2:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
@@ -70,21 +81,33 @@ def main() -> int:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
-        except Exception:
+        except Exception as e:
             print(f"FAIL {name}: spark error")
             traceback.print_exc(limit=3)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "err": f"spark: {e}"[:200],
+            }
             n_fail += 1
             continue
         if name not in oracles:
             print(f"SKIP {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+            results[name] = {
+                "rows_match": None, "schema_match": None, "hash_match": None,
+                "spark_rows": len(s_rows), "err": None, "note": "rows-only",
+            }
             continue
         try:
             res = con.execute(oracles[name])
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
-        except Exception:
+        except Exception as e:
             print(f"FAIL {name}: duckdb error")
             traceback.print_exc(limit=3)
+            results[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "err": f"duckdb: {e}"[:200],
+            }
             n_fail += 1
             continue
         problems = []
@@ -105,6 +128,14 @@ def main() -> int:
                     if a != b:
                         print(f"  first diff:\n    spark={a!r}\n    duck ={b!r}")
                         break
+        results[name] = {
+            "rows_match": len(s_rows) == len(d_rows),
+            "schema_match": sorted(s_cols) == sorted(d_cols),
+            "hash_match": not problems,
+            "spark_rows": len(s_rows),
+            "oracle_rows": len(d_rows),
+            "err": "; ".join(problems) or None,
+        }
         if problems:
             print(f"FAIL {name}: {'; '.join(problems)}")
             n_fail += 1
@@ -112,6 +143,10 @@ def main() -> int:
             print(f"PASS {name} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(results, f, indent=2)
+        print(f"wrote {json_out} ({len(results)} queries)")
     return 1 if n_fail else 0
 
 
