@@ -2,9 +2,11 @@
 
 Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing (schemas, batch iteration via
-``mapInPandas``, partition sizing) is real and tested; the actual codec
-work is stubbed (no imaging/audio libs in this environment) behind
-``DECODERS`` — swap in a real decoder without touching the pipeline.
+``mapInPandas``, partition sizing) is real and tested. ``DECODERS`` is
+the codec registry: ``image`` is a real stdlib-only PNG structural
+decoder (signature + IHDR dimensions + CRC); pixel-level work (IDAT
+unfiltering, resampling) is where an imaging library would slot in —
+swap the registry entry without touching the pipeline.
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -46,15 +48,41 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", IntegerType(), True),
         StructField("sha256", StringType(), True),
         StructField("feature_kind", StringType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
     ]
 )
 
 
-def _decode_image_stub(payload: bytes) -> Any:
-    raise NotImplementedError(
-        "image decode requires an imaging library not present in this "
-        "environment; register a real decoder in DECODERS['image']"
-    )
+def _decode_image_png(payload: bytes) -> dict:
+    """Real (stdlib-only) PNG structural decode: validates the 8-byte
+    signature, parses the IHDR chunk for dimensions / bit depth / color
+    type, and CRC-checks IHDR. No imaging library needed — this is the
+    header layer every PNG tool agrees on; pixel decode (IDAT inflate +
+    unfiltering) is where a real imaging dependency would slot in."""
+    import struct
+    import zlib
+
+    b = bytes(payload or b"")
+    if len(b) < 33 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG: bad signature")
+    (length,) = struct.unpack(">I", b[8:12])
+    if b[12:16] != b"IHDR" or length != 13:
+        raise ValueError("not a PNG: first chunk is not IHDR")
+    w, h, bit_depth, color_type = struct.unpack(">IIBB", b[16:26])
+    (crc,) = struct.unpack(">I", b[29:33])
+    if zlib.crc32(b[12:29]) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG IHDR CRC mismatch")
+    if w == 0 or h == 0:
+        raise ValueError("PNG: zero dimension")
+    return {
+        "n_bytes": len(b),
+        "feature_kind": "png",
+        "width": w,
+        "height": h,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
 
 
 def _fake_deterministic_decode(payload: bytes) -> dict:
@@ -63,7 +91,7 @@ def _fake_deterministic_decode(payload: bytes) -> dict:
 
 
 DECODERS: dict[str, Callable[[bytes], Any]] = {
-    "image": _decode_image_stub,
+    "image": _decode_image_png,
     "fake": _fake_deterministic_decode,
 }
 
@@ -95,6 +123,8 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                         "n_bytes": feats.get("n_bytes"),
                         "sha256": hashlib.sha256(payload or b"").hexdigest(),
                         "feature_kind": feats.get("feature_kind"),
+                        "width": feats.get("width"),
+                        "height": feats.get("height"),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])
