@@ -42,6 +42,38 @@ def test_stream_matches_batch_backfill(spark, tmp_path):
     assert got == expected
 
 
+def test_windowed_rollup_matches_e1_query(spark):
+    """Twin-drift guard (VERDICT r2 #7): the streaming rollup's
+    transformation applied in batch must equal the oracle-checked
+    e1_hourly_event_stats query — a 1-hour tumbling window() IS
+    date_trunc('hour') on the window start. If either formulation
+    changes semantics (window size, rounding, grouping), this breaks."""
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e1_hourly_event_stats,
+    )
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    twin = windowed_event_counts(events).select(
+        "window_start",
+        "event_type",
+        "n_events",
+        stable_round(F.col("sum_value"), 2).alias("sum_value"),
+    )
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in twin.collect()
+    }
+    expected = {
+        (r["hour_ts"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in e1_hourly_event_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == len(expected) > 0
+    assert got == expected
+
+
 def _events_us(spark, tmp_path, name="events_us2"):
     from insect_observation_data_pipeline_spark.sources.parquet import read_table
 
