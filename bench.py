@@ -2,18 +2,25 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <scale factor>}
+   "queries": {name: sec, ...}, "sf": <scale factor>,
+   "n": <runs per query>, "deltas_vs_prev": {name: ratio, ...}}
 
 Each query executes end-to-end via the noop sink (full plan runs on the
 cluster, no driver-side result transfer skewing the timing). Session
-startup and the warmup run are excluded — the numbers are steady-state
-query wall-clock on local[$SPARK_GRAFT_CPUS].
+startup and the warmup run are excluded. Each query is timed
+$SPARK_GRAFT_BENCH_N times (default 5) in round-robin passes — order
+bias and GC spikes average out — and the reported number is the
+per-query MEDIAN, so run-to-run noise can't masquerade as a
+regression. ``deltas_vs_prev`` is this run / the latest committed
+BENCH_r*.json per query (>1 = slower than last round).
 """
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -44,8 +51,24 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _prev_bench() -> dict[str, float]:
+    """Per-query timings from the latest committed BENCH_r*.json."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    if not files:
+        return {}
+    try:
+        with open(files[-1]) as f:
+            d = json.load(f)
+        # the driver wraps bench.py's JSON line under "parsed"
+        return d.get("queries") or d.get("parsed", {}).get("queries", {})
+    except (OSError, json.JSONDecodeError):
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_N", "5"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -55,11 +78,22 @@ def main() -> None:
     for name in BENCH_QUERIES:
         run_once(QUERIES[name](spark, sf_dir))
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        run_once(QUERIES[name](spark, sf_dir))
-        timings[name] = round(time.time() - t0, 3)
+    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _ in range(n_runs):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            run_once(QUERIES[name](spark, sf_dir))
+            samples[name].append(time.time() - t0)
+    timings = {
+        name: round(statistics.median(ts), 3) for name, ts in samples.items()
+    }
+
+    prev = _prev_bench()
+    deltas = {
+        name: round(timings[name] / prev[name], 3)
+        for name in timings
+        if prev.get(name)
+    }
 
     print(
         json.dumps(
@@ -69,6 +103,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n": n_runs,
+                "deltas_vs_prev": deltas,
             }
         )
     )

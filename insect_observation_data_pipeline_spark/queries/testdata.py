@@ -229,19 +229,31 @@ def w2_best_month_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
+    # aggregate on the narrow (custkey, month) key and defer the customer
+    # join until AFTER rn=1: the big fact join + exact distinct never
+    # carries c_name, and the name lookup touches one row per customer
+    # against a broadcast dim — at 100x the fact size this is the
+    # difference between shuffling names with every lineitem and not.
     monthly = (
-        l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
+        l.select("l_orderkey", "l_suppkey")
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            l.l_orderkey == o.o_orderkey,
+        )
         .withColumn("month_year", F.date_format("o_orderdate", "yyyy-MM"))
-        .groupBy("c_custkey", "c_name", "month_year")
+        .groupBy("o_custkey", "month_year")
         .agg(F.countDistinct("l_suppkey").alias("distinct_suppliers"))
     )
-    w = Window.partitionBy("c_custkey").orderBy(
+    w = Window.partitionBy("o_custkey").orderBy(
         F.desc("distinct_suppliers"), F.asc("month_year")
     )
     best = (
         monthly.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(c.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
         .select("c_name", "month_year", "distinct_suppliers")
     )
     return top_k(
