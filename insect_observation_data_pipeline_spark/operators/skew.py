@@ -39,6 +39,15 @@ def _row_salt(df: DataFrame, buckets: int) -> Column:
     return F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets))
 
 
+def _null_payload(df: DataFrame, keys: list[str]) -> list[Column]:
+    """Typed-NULL stand-ins for a side's non-key columns, schema order."""
+    return [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in df.schema.fields
+        if f.name not in keys
+    ]
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,
@@ -53,24 +62,50 @@ def salted_join(
     physical key distribution changes. Join columns must be same-named
     on both sides (the coalesced-key USING form).
 
-    Only ``inner`` and ``left`` are supported: the salting rewrite
-    replicates the small side once per bucket, so for right/full outer
-    joins every unmatched small-side row would be emitted once per salt
-    bucket instead of once. Those joins need the mirrored rewrite (salt
-    the small side, replicate the large) — not provided here.
+    ``inner`` and ``left`` salt directly: the small side is replicated
+    once per bucket, which never changes either side's emitted
+    multiplicity for those join types.
+
+    ``right`` and ``full`` cannot be salted directly (an unmatched
+    small-side row would surface once per bucket), so they decompose
+    exactly: salted INNER core + the unmatched rows of each preserved
+    side found with an anti-join against the other side's DISTINCT
+    keys. The distinct-key frames are explicitly broadcast — they are
+    at most one row per key, so the anti joins stay shuffle-free and
+    the hot key cannot re-skew them. Output column order is
+    keys + large payload + small payload for every branch.
     """
-    if how not in ("inner", "left"):
-        raise ValueError(
-            f"salted_join supports how='inner'|'left', got {how!r}: "
-            "replicating the small side breaks right/full outer semantics "
-            "(unmatched small rows would appear once per bucket)"
-        )
     keys = list(on)
-    salted_large = large.withColumn(SALT_COL, _row_salt(large, buckets))
-    replicated_small = small.withColumn(
-        SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
-    )
-    return salted_large.join(replicated_small, keys + [SALT_COL], how).drop(SALT_COL)
+    if how in ("inner", "left"):
+        salted_large = large.withColumn(SALT_COL, _row_salt(large, buckets))
+        replicated_small = small.withColumn(
+            SALT_COL, F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
+        )
+        return salted_large.join(
+            replicated_small, keys + [SALT_COL], how
+        ).drop(SALT_COL)
+    if how not in ("right", "full"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left'|'right'|'full', got {how!r}"
+        )
+    large_payload = [c for c in large.columns if c not in keys]
+    small_payload = [c for c in small.columns if c not in keys]
+    cols = keys + large_payload + small_payload
+    inner_core = salted_join(large, small, keys, buckets=buckets, how="inner")
+    parts = [inner_core.select(*cols)]
+    if how == "full":
+        unmatched_large = large.join(
+            F.broadcast(small.select(*keys).distinct()), keys, "left_anti"
+        ).select(*keys, *large_payload, *_null_payload(small, keys))
+        parts.append(unmatched_large)
+    unmatched_small = small.join(
+        F.broadcast(large.select(*keys).distinct()), keys, "left_anti"
+    ).select(*keys, *_null_payload(large, keys), *small_payload)
+    parts.append(unmatched_small)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def salted_count_distinct(

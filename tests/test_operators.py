@@ -232,17 +232,43 @@ def test_salted_count_distinct_ignores_nulls(spark):
     assert got == exact == {"a": 2, "b": 0}
 
 
-def test_salted_join_rejects_outer_joins(spark):
-    """Replicating the small side is unsound for right/full outer —
-    must raise, not silently emit per-bucket duplicates (ADVICE r1)."""
+def test_salted_join_right_full_decomposition(spark):
+    """right/full outer use the mirrored rewrite (VERDICT r2 optional
+    #8): salted inner core + broadcast-anti unmatched branches. Output
+    must equal the plain join exactly — unmatched rows on EITHER side
+    emitted once (never once per bucket), NULL payloads intact."""
+    from insect_observation_data_pipeline_spark.operators import salted_join
+
+    # hot key 1 on the large side; unmatched keys on both sides; a NULL
+    # payload row to catch null-vs-missing confusion
+    large = spark.createDataFrame(
+        [(1, f"L{i}") for i in range(50)]
+        + [(2, "two"), (3, None), (7, "no-match-left")],
+        "k int, va string",
+    )
+    small = spark.createDataFrame(
+        [(1, "hot"), (2, "b2"), (3, "b3"), (9, "no-match-right"), (8, None)],
+        "k int, vb string",
+    )
+    for how in ("right", "full"):
+        plain = large.join(small, ["k"], how).select("k", "va", "vb")
+        salted = salted_join(large, small, ["k"], buckets=4, how=how)
+        assert salted.columns == ["k", "va", "vb"]
+        assert salted.exceptAll(plain).count() == 0
+        assert plain.exceptAll(salted).count() == 0
+
+
+def test_salted_join_rejects_unsupported(spark):
+    """Non-equi-preserving join types still raise instead of silently
+    producing wrong multiplicities."""
     import pytest
 
     from insect_observation_data_pipeline_spark.operators import salted_join
 
     a = spark.createDataFrame([(1, "x")], "k int, va string")
     b = spark.createDataFrame([(2, "y")], "k int, vb string")
-    for how in ("right", "full", "outer", "left_anti"):
-        with pytest.raises(ValueError, match="inner.*left"):
+    for how in ("outer", "left_anti", "left_semi", "cross"):
+        with pytest.raises(ValueError, match="salted_join supports"):
             salted_join(a, b, ["k"], buckets=4, how=how)
 
 
