@@ -1,0 +1,121 @@
+"""Corpus-curation operators: deterministic sampling, sequence packing,
+PII redaction.
+
+These are the pre-training data-prep steps that sit between dedup and
+tokenization in a 100 TB pipeline. All three are single-projection or
+single-window operators — no Python boundary, no extra shuffle beyond
+the one the semantics require:
+
+- ``stratified_hash_sample``: per-stratum downsampling by a
+  deterministic hash of the row key (md5-based, engine-portable — the
+  same idiom as ``textstats.fingerprint64``). Hash-mod sampling is THE
+  scale-correct sampling primitive: re-runs select identical rows (no
+  rand() seed coordination across executors), joins against a sampled
+  table stay consistent, and rates are exact-in-expectation per
+  stratum. One filter over the scan, no shuffle.
+- ``pack_sequences``: contiguous token packing — order docs
+  deterministically within each stratum, running-total their token
+  counts, and cut packs at budget multiples (a doc belongs to the pack
+  where its start offset lands). This is the distributed form of
+  training sequence packing: one window shuffle per stratum, fully
+  expressible in SQL (the exact first-fit greedy variant is a stateful
+  scan; at scale the cumsum cut is the standard trade and its pack
+  fill is within one doc of budget).
+- ``redact_text``: URL / email / long-digit-run redaction via
+  sequential regexp_replace — pure projection, replace-all semantics
+  on both Spark and the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def hash_bucket(key: Column, buckets: int) -> Column:
+    """Deterministic uniform bucket in [0, buckets) from md5 of the
+    stringified key — portable bit-for-bit to any engine with md5."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % buckets
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, int],
+    default_rate: int = 100,
+    buckets: int = 100,
+) -> DataFrame:
+    """Keep a row iff its key's hash bucket < its stratum's rate (out of
+    ``buckets``) — e.g. ``rates={'en': 25}`` keeps ~25% of English docs
+    and ``default_rate`` percent of everything else. Corpus rebalancing
+    (downsample the dominant language/source) as one scan-time filter."""
+    rate = F.lit(default_rate)
+    for stratum, pct in rates.items():
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(hash_bucket(F.col(key_col), buckets) < rate)
+
+
+def pack_sequences(
+    df: DataFrame,
+    *,
+    token_col: str,
+    budget: int,
+    strata_col: str | None = None,
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc a pack_id: docs are laid out contiguously in
+    ``order_col`` order (within ``strata_col`` if given) and a new pack
+    starts at every ``budget`` token boundary; a doc joins the pack
+    where its start offset lands. Adds ``pack_id`` and ``pack_offset``
+    (the doc's token start within its stratum's layout)."""
+    part = [strata_col] if strata_col else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(F.col(order_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    offset = (cum - F.col(token_col)).alias("pack_offset")
+    return df.select(
+        "*",
+        offset,
+        F.floor((cum - F.col(token_col)) / F.lit(budget))
+        .cast("bigint")
+        .alias("pack_id"),
+    )
+
+
+#: redaction patterns, applied IN ORDER (URLs before emails before digit
+#: runs, so an address inside a URL is already gone). Each pattern is
+#: valid in both Java regex (Spark) and RE2 (DuckDB).
+REDACTIONS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"[0-9]{4,}", "<NUM>"),
+)
+
+
+def redact_text(text: Column) -> Column:
+    """Sequentially replace every redaction pattern (all occurrences)."""
+    out = text
+    for pattern, token in REDACTIONS:
+        out = F.regexp_replace(out, pattern, token)
+    return out
+
+
+def redaction_count(text: Column) -> Column:
+    """How many redactions ``redact_text`` performs on ``text`` —
+    counted on the same sequentially-rewritten intermediates so
+    overlapping patterns are not double-counted."""
+    out = text
+    total = F.lit(0)
+    for pattern, token in REDACTIONS:
+        total = total + F.regexp_count(out, F.lit(pattern))
+        out = F.regexp_replace(out, pattern, token)
+    return total.cast("int")

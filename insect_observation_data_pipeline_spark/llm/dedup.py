@@ -258,6 +258,68 @@ def minhash_lsh_dedup(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component_id) for every node in ``edges``; component_id =
+    min node id reachable over the undirected edge set.
+
+    This is dedup's last mile: near-dup PAIRS (x7/x11) become KEEP/DROP
+    decisions only after transitive closure groups them into clusters
+    (keeper = min id = the component id). Implemented as iterative
+    min-label propagation — each round every node takes the min of its
+    own and its neighbors' labels; convergence needs at most
+    graph-diameter rounds (near-dup clusters are shallow). Per round:
+    one join + one groupBy shuffle, then ``localCheckpoint`` to cut the
+    exponentially-growing lineage — the standard Spark pattern for
+    iterative algorithms. The per-round ``count()`` is the convergence
+    test (an aggregate, not a data collect). At extreme scale the
+    large-star/small-star variant halves round count; propagation keeps
+    the code one screen and the oracle expressible as a recursive CTE.
+    """
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    sym = sym.distinct().localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("neigh_comp"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.node == neigh.u, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce("neigh_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

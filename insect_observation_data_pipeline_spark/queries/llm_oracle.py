@@ -345,3 +345,77 @@ def _lsh_oracle_sql(
 
 LLM_ORACLE["x12_ann_lsh"] = _lsh_oracle_sql()
 LLM_ORACLE["x13_ann_lsh_multiprobe"] = _lsh_oracle_sql(probe_bits=3)
+
+# --- curation operators (x14-x16) + dup clustering (h1) -------------------
+
+LLM_ORACLE["x14_stratified_sample"] = """
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < (CASE WHEN lang = 'en' THEN 25 ELSE 100 END)
+"""
+
+LLM_ORACLE["x15_pack_sequences"] = f"""
+    WITH t AS (
+        SELECT doc_id, lang,
+               CAST(len({_TOKS}) AS INTEGER) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) - n_tokens AS BIGINT) AS pack_offset
+        FROM t
+    )
+    SELECT doc_id, lang, n_tokens, pack_offset,
+           CAST(floor(pack_offset / 2048.0) AS BIGINT) AS pack_id
+    FROM c
+"""
+
+_P_URL = r"https?://[^\s]+"
+_P_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_P_NUM = r"[0-9]{4,}"
+
+LLM_ORACLE["x16_scrub_pii"] = f"""
+    WITH s1 AS (
+        SELECT doc_id, text AS t0,
+               regexp_replace(text, '{_P_URL}', '<URL>', 'g') AS t1
+        FROM documents
+    ), s2 AS (
+        SELECT doc_id, t0, t1,
+               regexp_replace(t1, '{_P_EMAIL}', '<EMAIL>', 'g') AS t2
+        FROM s1
+    )
+    SELECT doc_id,
+           regexp_replace(t2, '{_P_NUM}', '<NUM>', 'g') AS scrubbed,
+           CAST(len(regexp_extract_all(t0, '{_P_URL}'))
+              + len(regexp_extract_all(t1, '{_P_EMAIL}'))
+              + len(regexp_extract_all(t2, '{_P_NUM}')) AS INTEGER)
+               AS n_redactions
+    FROM s2
+"""
+
+# Transitive closure of the x7 near-dup pairs as a recursive CTE:
+# reach(node, r) enumerates every (node, reachable id) pair over the
+# symmetrized edge set (UNION dedups, so it terminates); the component
+# id is the min reachable id — same fixpoint the Spark min-label
+# propagation converges to.
+LLM_ORACLE["h1_dup_clusters"] = f"""
+    WITH RECURSIVE pairs AS (
+        SELECT doc_a, doc_b FROM ({LLM_ORACLE["x7_minhash_lsh"]})
+    ), edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION ALL
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), nodes AS (
+        SELECT DISTINCT u AS node FROM edges
+    ), reach AS (
+        SELECT node, node AS r FROM nodes
+        UNION
+        SELECT e.v AS node, reach.r AS r
+        FROM reach JOIN edges e ON e.u = reach.node
+    )
+    SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component_id
+    FROM reach GROUP BY node
+"""

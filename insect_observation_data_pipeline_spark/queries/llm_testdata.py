@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 from insect_observation_data_pipeline_spark.functions.numeric import stable_round
 
-from insect_observation_data_pipeline_spark.llm import dedup, similarity, textstats
+from insect_observation_data_pipeline_spark.llm import curation, dedup, similarity, textstats
 from insect_observation_data_pipeline_spark.sources.parquet import read_table
 
 
@@ -123,6 +123,50 @@ def x11_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus rebalancing: keep ~25% of English docs (the dominant
+    stratum) and everything else, selected by a deterministic md5
+    bucket of doc_id — identical rows on every rerun and engine."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.stratified_hash_sample(
+        d, strata_col="lang", key_col="doc_id", rates={"en": 25}
+    ).select("doc_id", "lang", "source")
+
+
+def x15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training sequence packing: per-language contiguous layout in
+    doc_id order, packs cut at 2048-token boundaries (a doc joins the
+    pack where its start offset lands). One window shuffle per lang."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "lang", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    return curation.pack_sequences(
+        toks, token_col="n_tokens", budget=2048, strata_col="lang"
+    ).select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
+
+
+def x16_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: URLs, emails, long digit runs replaced by typed
+    placeholder tokens; per-doc redaction count. Pure projection."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        curation.redact_text(t).alias("scrubbed"),
+        curation.redaction_count(t).alias("n_redactions"),
+    )
+
+
+def h1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of the MinHash near-dup pairs (x7): every doc
+    in at least one pair gets its cluster's min doc_id as component_id
+    — the keep/drop decision for cluster-level dedup. Iterative
+    min-label propagation (see dedup.connected_components)."""
+    pairs = dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.2)
+    return dedup.connected_components(pairs)
+
+
 def m1_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata pass over an opaque binary payload (text bytes
     stand in for image/audio blobs): size + digest, JVM-only."""
@@ -182,6 +226,10 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x11_dedup_embedding": x11_dedup_embedding,
     "x12_ann_lsh": x12_ann_lsh,
     "x13_ann_lsh_multiprobe": x13_ann_lsh_multiprobe,
+    "x14_stratified_sample": x14_stratified_sample,
+    "x15_pack_sequences": x15_pack_sequences,
+    "x16_scrub_pii": x16_scrub_pii,
+    "h1_dup_clusters": h1_dup_clusters,
     "m1_binary_meta": m1_binary_meta,
     "e1_hourly_event_stats": e1_hourly_event_stats,
     "e2_sessionization": e2_sessionization,

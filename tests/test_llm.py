@@ -173,6 +173,99 @@ def test_probe_buckets_distinct(spark):
     }
 
 
+def test_connected_components_known_graph(spark):
+    """Min-label propagation reaches the transitive-closure fixpoint:
+    a 4-node chain collapses to one component even though no single
+    edge links its ends; singleton-pair and isolated clusters keep
+    their own min ids."""
+    from insect_observation_data_pipeline_spark.llm.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        # chain 1-2-3-4 (diameter 3: needs >1 propagation round), pair 10-11
+        [(1, 2), (2, 3), (3, 4), (10, 11)],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_pack_sequences_semantics(spark):
+    """Packs cut at budget multiples of the running total: a doc joins
+    the pack where its start offset lands; strata pack independently."""
+    from insect_observation_data_pipeline_spark.llm.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "en", 60), (2, "en", 50), (3, "en", 10), (4, "de", 200)],
+        "doc_id long, lang string, n_tokens int",
+    )
+    got = {
+        r["doc_id"]: (r["pack_offset"], r["pack_id"])
+        for r in pack_sequences(
+            df, token_col="n_tokens", budget=100, strata_col="lang"
+        ).collect()
+    }
+    # en: offsets 0, 60, 110 -> packs 0, 0, 1; de packs from offset 0
+    assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
+
+
+def test_redact_text_and_count(spark):
+    from insect_observation_data_pipeline_spark.llm.curation import (
+        redact_text,
+        redaction_count,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b@example.com or visit https://x.io/a?q=1 ref 123456"),
+            (2, "no pii here, just 123"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in df.select(
+            "doc_id",
+            redact_text(F.col("text")).alias("s"),
+            redaction_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    assert got[1] == ("mail me at <EMAIL> or visit <URL> ref <NUM>", 3)
+    assert got[2] == ("no pii here, just 123", 0)  # short digit run kept
+
+
+def test_stratified_sample_deterministic(spark):
+    """Same rows on every run (hash-based, no rand()); rate applies per
+    stratum."""
+    from insect_observation_data_pipeline_spark.llm.curation import (
+        stratified_hash_sample,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "en").otherwise("de").alias("lang"),
+    )
+    kept1 = {
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            df, strata_col="lang", key_col="doc_id", rates={"en": 20}
+        ).collect()
+    }
+    kept2 = {
+        r["doc_id"]
+        for r in stratified_hash_sample(
+            df, strata_col="lang", key_col="doc_id", rates={"en": 20}
+        ).collect()
+    }
+    assert kept1 == kept2
+    n_en = sum(1 for k in kept1 if k % 2 == 0)
+    n_de = sum(1 for k in kept1 if k % 2 == 1)
+    assert n_de == 500  # default rate keeps everything
+    assert 50 < n_en < 150  # ~20% of 500, hash-uniform
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [("a", "image", bytearray(b"\x89PNG fake")), ("b", "image", bytearray(b""))],
