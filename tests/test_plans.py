@@ -59,10 +59,26 @@ def test_interval_join_keeps_equi_component(spark):
     assert not flags["cartesian_product"]
 
 
-def test_no_python_udf_anywhere(spark):
+def test_all_queries_plan_invariants(spark):
+    """Engine-wide sweep: EVERY registered query must satisfy the three
+    100 TB plan invariants — no Python UDF (stay in codegen), no
+    cartesian product (every join keyed or broadcast), and no
+    unpartitioned window (nothing funnels all rows through one task).
+    A new query that violates any of these fails here before it ever
+    reaches the driver."""
+    from insect_observation_data_pipeline_spark.plans import unpartitioned_windows
+
+    bad = []
     for name, fn in QUERIES.items():
-        flags = plan_flags(fn(spark, SF))
-        assert not flags["python_udf"], f"{name} has a Python UDF in its plan"
+        df = fn(spark, SF)
+        flags = plan_flags(df)
+        if flags["python_udf"]:
+            bad.append(f"{name}: Python UDF")
+        if flags["cartesian_product"]:
+            bad.append(f"{name}: CartesianProduct")
+        if unpartitioned_windows(df) != 0:
+            bad.append(f"{name}: unpartitioned window")
+    assert not bad, "; ".join(bad)
 
 
 def test_embedding_dedup_blocked_not_cartesian(spark):
