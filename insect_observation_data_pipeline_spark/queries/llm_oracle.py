@@ -346,6 +346,15 @@ def _lsh_oracle_sql(
 LLM_ORACLE["x12_ann_lsh"] = _lsh_oracle_sql()
 LLM_ORACLE["x13_ann_lsh_multiprobe"] = _lsh_oracle_sql(probe_bits=3)
 
+def _sr(expr: str, digits: int) -> str:
+    """Sign-stable rounding, the SQL twin of functions.numeric.stable_round."""
+    scale = 10 ** digits
+    return (
+        f"((floor(abs({expr}) * {scale}.0 + 0.5) / {scale}.0) * "
+        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)"
+    )
+
+
 # --- curation operators (x14-x16) + dup clustering (h1) -------------------
 
 LLM_ORACLE["x14_stratified_sample"] = """
@@ -395,6 +404,46 @@ LLM_ORACLE["x16_scrub_pii"] = f"""
                AS n_redactions
     FROM s2
 """
+
+_TFIDF = "tf.tf * n.n_docs / CAST(dft.df AS DOUBLE)"
+
+LLM_ORACLE["x17_tfidf_top_terms"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dft AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+    ), n AS (
+        SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+    ), scored AS (
+        SELECT tf.doc_id, tf.term, {_sr(_TFIDF, 4)} AS tfidf
+        FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN n
+    ), r AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term
+        ) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INTEGER) AS rank
+    FROM r WHERE rn <= 3
+"""
+
+LLM_ORACLE["x18_quality_filter"] = f"""
+    WITH q AS ({{x3}}
+    ), s AS (
+        SELECT q.doc_id, d.lang, q.quality_score,
+               percent_rank() OVER (
+                   PARTITION BY d.lang ORDER BY q.quality_score
+               ) AS pr
+        FROM q JOIN documents d ON q.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, quality_score, {_sr("pr", 4)} AS pct_rank
+    FROM s WHERE pr >= 0.5
+""".format(x3=LLM_ORACLE["x3_text_quality"])
 
 # Transitive closure of the x7 near-dup pairs as a recursive CTE:
 # reach(node, r) enumerates every (node, reachable id) pair over the

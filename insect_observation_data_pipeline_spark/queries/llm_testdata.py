@@ -158,6 +158,65 @@ def x16_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 characteristic terms per doc by tf-idf (ratio-idf variant:
+    score = tf * N / df — plain division instead of ln() because IEEE
+    division is bit-exact across engines while libm log is not; the
+    operator shape — explode, two aggregates, dim join, per-doc top-k —
+    is identical). N rides in as a broadcast 1-row frame, never a
+    driver-side collect."""
+    d = _t(spark, sf_dir, "documents")
+    terms = d.select(
+        "doc_id",
+        F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_t = (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df_t, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            stable_round(
+                F.col("tf") * F.col("n_docs") / F.col("df").cast("double"), 4
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rn").cast("int").alias("rank"))
+    )
+
+
+def x18_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-based quality gate: keep docs at or above their
+    language's median quality score, via percent_rank over the
+    (lang, score) window — exact, rank-arithmetic only (no approximate
+    percentile, whose sketches differ across engines)."""
+    d = _t(spark, sf_dir, "documents")
+    score = textstats.quality_columns(F.col("text"))[4]  # quality_score
+    scored = d.select("doc_id", "lang", score)
+    w = Window.partitionBy("lang").orderBy(F.col("quality_score").asc())
+    return (
+        scored.withColumn("pr", F.percent_rank().over(w))
+        .filter(F.col("pr") >= 0.5)
+        .select(
+            "doc_id",
+            "lang",
+            "quality_score",
+            stable_round(F.col("pr"), 4).alias("pct_rank"),
+        )
+    )
+
+
 def h1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash near-dup pairs (x7): every doc
     in at least one pair gets its cluster's min doc_id as component_id
@@ -229,6 +288,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x14_stratified_sample": x14_stratified_sample,
     "x15_pack_sequences": x15_pack_sequences,
     "x16_scrub_pii": x16_scrub_pii,
+    "x17_tfidf_top_terms": x17_tfidf_top_terms,
+    "x18_quality_filter": x18_quality_filter,
     "h1_dup_clusters": h1_dup_clusters,
     "m1_binary_meta": m1_binary_meta,
     "e1_hourly_event_stats": e1_hourly_event_stats,
