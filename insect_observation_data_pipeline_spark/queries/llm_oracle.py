@@ -445,6 +445,32 @@ LLM_ORACLE["x18_quality_filter"] = f"""
     FROM s WHERE pr >= 0.5
 """.format(x3=LLM_ORACLE["x3_text_quality"])
 
+# e3: an event at t lands in the two 30-min-aligned window starts
+# {bucket30(t), bucket30(t) - 30min} for a 1 h window sliding by 30 min
+# (time_bucket's origin is 30-min aligned, matching Spark's epoch-aligned
+# window()).
+LLM_ORACLE["e3_sliding_window_stats"] = f"""
+    WITH b AS (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS window_start
+        FROM events
+    )
+    SELECT window_start, event_type,
+           count(*) AS n_events,
+           {_sr("sum(value)", 2)} AS sum_value
+    FROM b GROUP BY 1, 2
+"""
+
+LLM_ORACLE["m2_media_features"] = """
+    SELECT doc_id,
+           CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,
+           sha256(text) AS sha_hex,
+           'fake' AS feature_kind
+    FROM documents
+"""
+
 # Transitive closure of the x7 near-dup pairs as a recursive CTE:
 # reach(node, r) enumerates every (node, reachable id) pair over the
 # symmetrized edge set (UNION dedups, so it terminates); the component

@@ -253,6 +253,50 @@ def e1_hourly_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window rollup (1 h window, 30 min slide): each event lands
+    in exactly two overlapping windows. Batch twin of
+    ``F.window(ts, '1 hour', '30 minutes')`` — completing the windowing
+    family (e1 tumbling, e2 session, e3 sliding)."""
+    e = _t(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "1 hour", "30 minutes")
+    return (
+        e.groupBy(w.alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            stable_round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def m2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow mapInPandas decode path itself, oracle-checked: text
+    bytes stand in for media payloads, the deterministic 'fake' decoder
+    runs executor-side per Arrow batch, and DuckDB reproduces the
+    result (octet_length + sha256) — so the Python-boundary plumbing is
+    hash-verified, not just smoke-tested."""
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"),
+    )
+    feats = multimodal.extract_features(media, "fake")
+    return feats.select(
+        F.col("media_id").cast("bigint").alias("doc_id"),
+        "n_bytes",
+        F.col("sha256").alias("sha_hex"),
+        "feature_kind",
+    )
+
+
 def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (>10 min idle starts a new session)."""
     e = _t(spark, sf_dir, "events")
@@ -292,6 +336,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_quality_filter": x18_quality_filter,
     "h1_dup_clusters": h1_dup_clusters,
     "m1_binary_meta": m1_binary_meta,
+    "m2_media_features": m2_media_features,
     "e1_hourly_event_stats": e1_hourly_event_stats,
     "e2_sessionization": e2_sessionization,
+    "e3_sliding_window_stats": e3_sliding_window_stats,
 }

@@ -61,11 +61,12 @@ def test_interval_join_keeps_equi_component(spark):
 
 def test_all_queries_plan_invariants(spark):
     """Engine-wide sweep: EVERY registered query must satisfy the three
-    100 TB plan invariants — no Python UDF (stay in codegen), no
-    cartesian product (every join keyed or broadcast), and no
-    unpartitioned window (nothing funnels all rows through one task).
-    A new query that violates any of these fails here before it ever
-    reaches the driver."""
+    100 TB plan invariants — no row-at-a-time Python UDF (stay in
+    codegen; Arrow-batched MapInPandas, as in m2, is the sanctioned
+    boundary and doesn't trip the flag), no cartesian product (every
+    join keyed or broadcast), and no unpartitioned window (nothing
+    funnels all rows through one task). A new query that violates any
+    of these fails here before it ever reaches the driver."""
     from insect_observation_data_pipeline_spark.plans import unpartitioned_windows
 
     bad = []
