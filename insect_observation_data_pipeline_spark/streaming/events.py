@@ -59,12 +59,21 @@ def windowed_event_counts(
     events: DataFrame,
     *,
     window_duration: str = "1 hour",
+    slide_duration: str | None = None,
     watermark_delay: str = "2 hours",
 ) -> DataFrame:
-    """Tumbling-window counts per event type with late-data watermark."""
+    """Tumbling (default) or sliding window counts per event type with a
+    late-data watermark. ``slide_duration`` < ``window_duration`` puts
+    each event in window/slide overlapping windows (state grows by the
+    same factor — bounded by the watermark horizon either way)."""
+    w = (
+        F.window("ts", window_duration, slide_duration)
+        if slide_duration
+        else F.window("ts", window_duration)
+    )
     return (
         events.withWatermark("ts", watermark_delay)
-        .groupBy(F.window("ts", window_duration).alias("w"), "event_type")
+        .groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("sum_value"),

@@ -211,6 +211,41 @@ def test_pack_sequences_semantics(spark):
     assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
 
 
+def test_pack_sequences_invariants_at_volume(spark):
+    """Packing invariants on 5k hash-random docs: per stratum, offsets
+    are the exact running total in order, every doc's start offset lies
+    inside its pack's [pack_id*budget, (pack_id+1)*budget) span, and
+    pack ids are dense non-decreasing."""
+    from insect_observation_data_pipeline_spark.llm.curation import pack_sequences
+
+    budget = 1000
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("fr")
+        .alias("lang"),
+        (F.pmod(F.xxhash64("id"), F.lit(300)) + 1).cast("int").alias("n_tokens"),
+    )
+    rows = pack_sequences(
+        df, token_col="n_tokens", budget=budget, strata_col="lang"
+    ).collect()
+    by_lang: dict = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(rows) == 5000 and len(by_lang) == 3
+    for docs in by_lang.values():
+        docs.sort(key=lambda r: r["doc_id"])
+        running = 0
+        prev_pack = 0
+        for r in docs:
+            assert r["pack_offset"] == running
+            assert r["pack_id"] == running // budget
+            assert r["pack_id"] >= prev_pack
+            prev_pack = r["pack_id"]
+            running += r["n_tokens"]
+
+
 def test_redact_text_and_count(spark):
     from insect_observation_data_pipeline_spark.llm.curation import (
         redact_text,

@@ -258,6 +258,31 @@ def test_salted_join_right_full_decomposition(spark):
         assert plain.exceptAll(salted).count() == 0
 
 
+def test_salted_join_hot_key_volume_and_plan(spark):
+    """300k-row large side with half the rows on ONE key: the salted
+    inner join must (a) put __salt in the shuffle key (plan-asserted)
+    and (b) return exactly the plain join's row count."""
+    from insect_observation_data_pipeline_spark.operators import salted_join
+    from insect_observation_data_pipeline_spark.plans import join_key_names
+
+    n = 300_000
+    large = spark.range(n).select(
+        F.when(F.col("id") % 2 == 0, 1)
+        .otherwise(F.pmod(F.col("id"), 1000))
+        .cast("int")
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(1000).select(
+        F.col("id").cast("int").alias("k"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+    )
+    salted = salted_join(large, small, ["k"], buckets=16, how="inner")
+    keys = join_key_names(salted)
+    assert any({"k", "__salt"} <= set(side) for side in keys), keys
+    assert salted.count() == large.join(small, ["k"], "inner").count()
+
+
 def test_salted_join_rejects_unsupported(spark):
     """Non-equi-preserving join types still raise instead of silently
     producing wrong multiplicities."""

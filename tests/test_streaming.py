@@ -74,6 +74,49 @@ def test_windowed_rollup_matches_e1_query(spark):
     assert got == expected
 
 
+def test_sliding_window_stream_matches_e3_query(spark, tmp_path):
+    """Sliding-window twin parity: the streamed 1h/30min rollup on
+    replay == the oracle-checked e3 batch query."""
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e3_sliding_window_stats,
+    )
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "events_slide.parquet")
+    read_table(spark, "/root/testdata/sf0.001", "events").write.parquet(src)
+    stream = read_events_stream(spark, src)
+    q = (
+        windowed_event_counts(stream, slide_duration="30 minutes")
+        .writeStream.format("memory")
+        .queryName("ev_slide")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["sv"])
+        for r in spark.sql(
+            "SELECT * FROM ev_slide"
+        )
+        .select(
+            "window_start",
+            "event_type",
+            F.col("n_events").alias("n"),
+            stable_round(F.col("sum_value"), 2).alias("sv"),
+        )
+        .collect()
+    }
+    expected = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["sum_value"])
+        for r in e3_sliding_window_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == len(expected) > 0
+    assert got == expected
+
+
 def _events_us(spark, tmp_path, name="events_us2"):
     from insect_observation_data_pipeline_spark.sources.parquet import read_table
 
