@@ -130,6 +130,13 @@ def minhash_signatures(
     """One row per doc: minhash_0..minhash_{k-1} (md5-hex min-hash).
 
     Single shuffle: explode shingles -> groupBy doc with k min-aggs.
+
+    Measured note (sf0.1, n=5 medians): min over the hex STRING plans
+    as SortAggregate (string buffers aren't hash-aggregable) yet beats
+    a numeric conv(substr(md5,1,15),16,10) bigint min-hash by ~25%
+    end-to-end — the 8 per-shingle conv() parses cost more than the
+    sort-agg they eliminate. Don't "optimize" this to numeric without
+    re-measuring.
     """
     sh = doc_shingles(docs, text_col, id_col, shingle_n)
     aggs = [
