@@ -463,6 +463,16 @@ LLM_ORACLE["e3_sliding_window_stats"] = f"""
     FROM b GROUP BY 1, 2
 """
 
+LLM_ORACLE["e4_json_props_rollup"] = """
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT)
+               AS sum_k,
+           CAST(max(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER)
+               AS max_k
+    FROM events GROUP BY 1
+"""
+
 LLM_ORACLE["m2_media_features"] = """
     SELECT doc_id,
            CAST(octet_length(text::BLOB) AS INTEGER) AS n_bytes,

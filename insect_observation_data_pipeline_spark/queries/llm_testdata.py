@@ -297,6 +297,24 @@ def m2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e4_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parse of the event props payload (from_json with
+    an explicit schema, not a per-path string extract) feeding a grouped
+    rollup — the inbound half of the JSON surface (SURVEY §2h covers the
+    outbound to_json quarantine capture)."""
+    e = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
 def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (>10 min idle starts a new session)."""
     e = _t(spark, sf_dir, "events")
@@ -340,4 +358,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e1_hourly_event_stats": e1_hourly_event_stats,
     "e2_sessionization": e2_sessionization,
     "e3_sliding_window_stats": e3_sliding_window_stats,
+    "e4_json_props_rollup": e4_json_props_rollup,
 }
