@@ -500,3 +500,53 @@ ORACLE: dict[str, str] = {
         FROM r WHERE rn = 1
     """,
 }
+
+
+def _sr(expr: str, digits: int) -> str:
+    """Sign-stable rounding (SQL twin of functions.numeric.stable_round)."""
+    scale = 10 ** digits
+    return (
+        f"((floor(abs({expr}) * {scale}.0 + 0.5) / {scale}.0) * "
+        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)"
+    )
+
+
+ORACLE["g2_set_intersect"] = """
+    SELECT user_id, ts::DATE AS event_day
+    FROM events WHERE event_type = 'view'
+    INTERSECT
+    SELECT user_id, ts::DATE
+    FROM events WHERE event_type = 'purchase'
+"""
+
+_W_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
+
+ORACLE["w4_moving_avg_frame"] = f"""
+    SELECT event_id, user_id,
+           {_sr(f"avg(value) OVER ({_W_ORDER} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)}
+               AS moving_avg3
+    FROM events
+"""
+
+_W_FULL = (
+    f"{_W_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+)
+
+ORACLE["w5_window_nav"] = f"""
+    SELECT event_id, user_id,
+           {_sr(f"first_value(value) OVER ({_W_FULL})", 2)} AS first_val,
+           {_sr(f"last_value(value) OVER ({_W_FULL})", 2)} AS last_val,
+           {_sr(f"nth_value(value, 2) OVER ({_W_FULL})", 2)} AS second_val
+    FROM events
+"""
+
+ORACLE["f_stats_census"] = f"""
+    SELECT l_returnflag,
+           {_sr("stddev_samp(l_extendedprice)", 2)} AS sd_price,
+           {_sr("var_samp(l_quantity)", 2)} AS var_qty,
+           {_sr("corr(l_quantity, l_extendedprice)", 4)} AS corr_qty_price,
+           {_sr("covar_samp(l_quantity, l_extendedprice)", 2)} AS covar_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+"""

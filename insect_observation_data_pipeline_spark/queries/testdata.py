@@ -597,6 +597,17 @@ def g1_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     return viewers.subtract(purchasers)
 
 
+def g2_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set INTERSECT (§2g completion alongside g1's EXCEPT): (user, day)
+    pairs that both viewed AND purchased that day.
+    ``intersect`` = INTERSECT DISTINCT."""
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("event_day")
+    viewers = e.filter(F.col("event_type") == "view").select("user_id", day)
+    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id", day)
+    return viewers.intersect(purchasers)
+
+
 # ---------------------------------------------------------------------------
 # Aggregations / windows / sorts (A*, W*, T*)
 # ---------------------------------------------------------------------------
@@ -780,6 +791,44 @@ def w1_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit ROWS frame (beyond the reference's default frames): a
+    trailing 3-row moving average per user over event time. The frame
+    is fully determined (unique (ts, event_id) order), so the same
+    values sum in the same sequence on every engine."""
+    e = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        stable_round(F.avg("value").over(w), 2).alias("moving_avg3"),
+    )
+
+
+def w5_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation census: first_value / last_value / nth_value
+    over the full partition (explicit unbounded frame — last/nth are
+    wrong under the default current-row-bounded frame)."""
+    e = _t(spark, sf_dir, "events")
+    order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        stable_round(F.first("value").over(wfull), 2).alias("first_val"),
+        stable_round(F.last("value").over(wfull), 2).alias("last_val"),
+        stable_round(F.nth_value("value", 2).over(wfull), 2).alias("second_val"),
+    )
+
+
 def w3_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD2 end-dating via lead() in one pass (W1/M3 replacement,
     03_ETL1_part2.sql:160-188): the signup validity windows themselves."""
@@ -858,6 +907,29 @@ def f_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("value_dec"),
         (F.upper(flag) == "Y").alias("is_click"),
+    )
+
+
+def f_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate census (beyond the reference's COUNT/SUM):
+    stddev/variance/correlation/covariance per return flag. Rounded to
+    absorb summation-order float drift (engines sum partitions in
+    different orders); corr gets 4 digits (bounded [-1,1]), the
+    magnitude-scaled moments get 2."""
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            stable_round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            stable_round(F.var_samp("l_quantity"), 2).alias("var_qty"),
+            stable_round(F.corr("l_quantity", "l_extendedprice"), 4).alias(
+                "corr_qty_price"
+            ),
+            stable_round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias(
+                "covar_qty_price"
+            ),
+        )
+        .orderBy("l_returnflag")
     )
 
 
@@ -943,6 +1015,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j5_multikey_anti": j5_multikey_anti,
     "j10_join_using": j10_join_using,
     "g1_set_except": g1_set_except,
+    "g2_set_intersect": g2_set_intersect,
     "a3_conditional_sum": a3_conditional_sum,
     "a6_distinct_pairs": a6_distinct_pairs,
     "a10_coalesce_zero_agg": a10_coalesce_zero_agg,
@@ -955,10 +1028,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_group_by_expression": a9_group_by_expression,
     "w1_lag_delta": w1_lag_delta,
     "w3_scd2_intervals": w3_scd2_intervals,
+    "w4_moving_avg_frame": w4_moving_avg_frame,
+    "w5_window_nav": w5_window_nav,
     "t1_topk_lineitems": t1_topk_lineitems,
     "f_string_census": f_string_census,
     "f_date_census": f_date_census,
     "f_cast_census": f_cast_census,
     "f_name_parse": f_name_parse,
     "f_yn_cast": f_yn_cast,
+    "f_stats_census": f_stats_census,
 }
