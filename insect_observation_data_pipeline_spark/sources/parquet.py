@@ -129,6 +129,25 @@ def write_partitioned(
     out.write.partitionBy(*partition_by).mode(mode).parquet(path)
 
 
+def compact(df: DataFrame, *, target_partition_bytes: int = 128 << 20,
+            shuffle: bool = False) -> DataFrame:
+    """Right-size output partitioning before a write: the small-files
+    fix for ingest layers that accumulate thousands of KB-scale files
+    (every file costs a task + an open + footer IO downstream — at
+    100 TB the listing alone can dominate).
+
+    The partition count comes from Catalyst's own size estimate for the
+    plan (for file scans: the sum of file sizes — a metadata lookup, NO
+    data pass), divided by the target. ``shuffle=False`` (default) uses
+    ``coalesce`` — merges partitions with zero shuffle, the cheap path
+    for read-compact-rewrite jobs; ``shuffle=True`` uses
+    ``repartition`` for an even rebalance when the inputs are skewed.
+    """
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n = max(1, -(-size // target_partition_bytes))
+    return df.repartition(n) if shuffle else df.coalesce(n)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,
