@@ -9,6 +9,10 @@ from insect_observation_data_pipeline_spark.streaming.stateful import (
     dedup_stream,
     sessionize_stateful,
 )
+from insect_observation_data_pipeline_spark.streaming.sink import (
+    keyed_state_sink,
+    merge_latest,
+)
 
 __all__ = [
     "read_events_stream",
@@ -18,4 +22,6 @@ __all__ = [
     "advance_session_state",
     "dedup_stream",
     "sessionize_stateful",
+    "keyed_state_sink",
+    "merge_latest",
 ]

@@ -227,6 +227,57 @@ def test_dedup_stream_removes_duplicates(spark, tmp_path):
     assert dedup_stream(spark.read.parquet(src)).count() == distinct
 
 
+def test_keyed_state_sink_matches_batch_upsert(spark, tmp_path):
+    """foreachBatch keyed-state sink on a multi-epoch replay == the u1
+    batch upsert recompute — order-aware merge, so file delivery order
+    across micro-batches cannot regress rows."""
+    from insect_observation_data_pipeline_spark.queries.testdata import u1_upsert_last_wins
+    from insect_observation_data_pipeline_spark.streaming import keyed_state_sink
+
+    src = _events_us(spark, tmp_path, "events_sink")
+    state = str(tmp_path / "last_per_user_type.parquet")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)  # force multiple epochs
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            keyed_state_sink(state, ["user_id", "event_type"], ["ts", "event_id"])
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["event_type"]): r["event_id"]
+        for r in spark.read.parquet(state).collect()
+    }
+    expected = {
+        (r["user_id"], r["event_type"]): r["last_event_id"]
+        for r in u1_upsert_last_wins(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) == len(expected) > 0
+    assert got == expected
+
+
+def test_merge_latest_delivery_order_invariant(spark):
+    """The order-aware merge keeps the max-(ts, id) row per key no matter
+    which batch arrives first — replayed/old files cannot regress state."""
+    from insect_observation_data_pipeline_spark.streaming import merge_latest
+    from pyspark.sql import functions as F
+
+    new = spark.createDataFrame([(1, 200, "new")], "k int, ts int, v string")
+    old = spark.createDataFrame([(1, 100, "old"), (2, 50, "only")], "k int, ts int, v string")
+    order = [F.col("ts").desc()]
+    fwd = merge_latest(merge_latest(None, old, ["k"], order), new, ["k"], order)
+    rev = merge_latest(merge_latest(None, new, ["k"], order), old, ["k"], order)
+    want = {(1, 200, "new"), (2, 50, "only")}
+    assert {tuple(r) for r in fwd.collect()} == want
+    assert {tuple(r) for r in rev.collect()} == want
+
+
 def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     """Watermarked stream-stream temporal join on replay == the same
     bounded-horizon predicate in batch."""
