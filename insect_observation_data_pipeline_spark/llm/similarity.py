@@ -42,6 +42,28 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _with_norm(
+    df: DataFrame, id_col: str, vec_col: str, id_out: str, vec_out: str, norm_out: str
+) -> DataFrame:
+    """Project (id, double vector, norm) — norms computed ONCE PER ROW.
+
+    Inside a pair join, ``cosine()`` would recompute both norms per
+    PAIR: three 64-element aggregates where one (the dot) suffices.
+    Precomputing norms on each side before the join keeps the pair loop
+    to a single dot product — the arithmetic ``dot/(n_a*n_b)`` is
+    unchanged, so results are bit-identical to the naive form (no
+    oracle-hash risk), but the HOF work per pair drops ~3x. At 100 TB
+    you'd persist the normalized/norm columns with the embeddings."""
+    v = _as_double(F.col(vec_col))
+    return df.select(F.col(id_col).alias(id_out), v.alias(vec_out)).withColumn(
+        norm_out, norm(F.col(vec_out))
+    )
+
+
+def _pair_cosine(vec_a: str, vec_b: str, norm_a: str, norm_b: str) -> Column:
+    return dot(F.col(vec_a), F.col(vec_b)) / (F.col(norm_a) * F.col(norm_b))
+
+
 def brute_force_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -55,19 +77,15 @@ def brute_force_topk(
     query. Broadcast the (small) query side; rank on rounded similarity
     with id tiebreak so results are total-ordered and engine-stable."""
     q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-        )
+        _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_norm")
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    )
+    c = _with_norm(candidates, id_col, vec_col, "neighbor_id", "c_vec", "c_norm")
     scored = q.crossJoin(c).select(
         "query_id",
         "neighbor_id",
-        stable_round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
-            "cosine_sim"
-        ),
+        stable_round(
+            _pair_cosine("q_vec", "c_vec", "q_norm", "c_norm"), round_digits
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -113,9 +131,7 @@ def ivf_topk(
     """IVF ANN: route each query to its nearest cell centroid (nprobe=1),
     then exact top-k within that cell only."""
     cents = F.broadcast(cell_centroids(candidates, cell_col=cell_col, vec_col=vec_col))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    )
+    q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_norm")
     routed = (
         q.crossJoin(cents)
         .withColumn(
@@ -130,19 +146,19 @@ def ivf_topk(
             ),
         )
         .filter(F.col("rn") == 1)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "q_norm", "cell")
     )
     c = candidates.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(cell_col).alias("cell"),
-        F.col(vec_col).alias("c_vec"),
-    )
+        _as_double(F.col(vec_col)).alias("c_vec"),
+    ).withColumn("c_norm", norm(F.col("c_vec")))
     scored = routed.join(c, "cell").select(
         "query_id",
         "neighbor_id",
-        stable_round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
-            "cosine_sim"
-        ),
+        stable_round(
+            _pair_cosine("q_vec", "c_vec", "q_norm", "c_norm"), round_digits
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")
@@ -192,14 +208,16 @@ def near_dup_pairs(
     a = vectors.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("a_id"),
-        F.col(vec_col).alias("a_vec"),
-    )
+        _as_double(F.col(vec_col)).alias("a_vec"),
+    ).withColumn("a_norm", norm(F.col("a_vec")))
     b = vectors.select(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("b_id"),
-        F.col(vec_col).alias("b_vec"),
+        _as_double(F.col(vec_col)).alias("b_vec"),
+    ).withColumn("b_norm", norm(F.col("b_vec")))
+    sim = stable_round(
+        _pair_cosine("a_vec", "b_vec", "a_norm", "b_norm"), round_digits
     )
-    sim = stable_round(cosine(F.col("a_vec"), F.col("b_vec")), round_digits)
     if max_cell_rows is None:
         joined = a.join(b, "cell")
     else:
@@ -220,12 +238,12 @@ def near_dup_pairs(
         a_tagged = (
             a.join(F.broadcast(grid), "cell")
             .filter(ga == F.col("i"))
-            .select("cell", "i", "j", "a_id", "a_vec")
+            .select("cell", "i", "j", "a_id", "a_vec", "a_norm")
         )
         b_tagged = (
             b.join(F.broadcast(grid), "cell")
             .filter(gb == F.col("j"))
-            .select("cell", "i", "j", "b_id", "b_vec")
+            .select("cell", "i", "j", "b_id", "b_vec", "b_norm")
         )
         joined = a_tagged.join(b_tagged, ["cell", "i", "j"])
     return (
@@ -319,22 +337,24 @@ def lsh_topk(
     equi-join.
     """
     hp = hyperplanes(planes, dims)
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("q_vec"), hp))
+    q = (
+        _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_norm")
+        .withColumn("bucket", lsh_bucket(F.col("q_vec"), hp))
+    )
     if probe_bits:
         q = q.withColumn(
             "bucket", F.explode(probe_buckets(F.col("bucket"), planes, probe_bits))
         )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("bucket", lsh_bucket(F.col("c_vec"), hp))
+    c = (
+        _with_norm(candidates, id_col, vec_col, "neighbor_id", "c_vec", "c_norm")
+        .withColumn("bucket", lsh_bucket(F.col("c_vec"), hp))
+    )
     scored = q.join(c, "bucket").select(
         "query_id",
         "neighbor_id",
-        stable_round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias(
-            "cosine_sim"
-        ),
+        stable_round(
+            _pair_cosine("q_vec", "c_vec", "q_norm", "c_norm"), round_digits
+        ).alias("cosine_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine_sim"), F.asc("neighbor_id")

@@ -463,6 +463,38 @@ LLM_ORACLE["e3_sliding_window_stats"] = f"""
     FROM b GROUP BY 1, 2
 """
 
+_TOKS_LOWER = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
+
+LLM_ORACLE["x19_bigram_topk"] = f"""
+    WITH t AS (
+        SELECT {_TOKS_LOWER} AS tk FROM documents
+    ), b AS (
+        SELECT unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 1, 0)),
+                   i -> tk[i] || ' ' || tk[i+1])) AS bigram
+        FROM t
+    )
+    SELECT bigram, count(*) AS n
+    FROM b GROUP BY 1
+    ORDER BY n DESC, bigram
+    LIMIT 20
+"""
+
+LLM_ORACLE["x20_chunk_documents"] = f"""
+    WITH t AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ), s AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(1, greatest(len(tk), 1), 40)) AS s
+        FROM t
+    )
+    SELECT doc_id,
+           CAST((s - 1) // 40 AS INTEGER) AS chunk_idx,
+           array_to_string(tk[s : s + 49], ' ') AS chunk_text,
+           CAST(len(tk[s : s + 49]) AS INTEGER) AS n_chunk_tokens
+    FROM s
+"""
+
 LLM_ORACLE["e4_json_props_rollup"] = """
     SELECT event_type,
            count(*) AS n_events,

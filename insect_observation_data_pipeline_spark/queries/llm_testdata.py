@@ -217,6 +217,55 @@ def x18_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x19_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 word bigrams (collocation mining): bigram
+    arrays built JVM-side from the bound token array, one explode, one
+    count shuffle, TakeOrdered top-k with total-order tiebreak."""
+    from insect_observation_data_pipeline_spark.operators.topk import top_k
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select(textstats.tokens(F.lower(F.col("text"))).alias("tk"))
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(0))),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("tk", i), F.element_at("tk", i + 1)
+                ),
+            )
+        ).alias("bigram")
+    )
+    counts = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    return top_k(counts, [F.desc("n"), F.asc("bigram")], 20)
+
+
+def x20_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: split each doc into 50-token windows with
+    stride 40 (10-token overlap). One explode over the per-doc start
+    offsets — rows out ~= tokens/stride, no Python, no shuffle at all
+    (pure per-row expansion; downstream embedding would batch these
+    through mapInPandas)."""
+    stride, size = 40, 50
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
+    starts = toked.select(
+        "doc_id",
+        "tk",
+        F.explode(
+            F.sequence(
+                F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(stride)
+            )
+        ).alias("s"),
+    )
+    chunk = F.slice("tk", F.col("s"), size)
+    return starts.select(
+        "doc_id",
+        ((F.col("s") - 1) / stride).cast("int").alias("chunk_idx"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+        F.size(chunk).alias("n_chunk_tokens"),
+    )
+
+
 def h1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash near-dup pairs (x7): every doc
     in at least one pair gets its cluster's min doc_id as component_id
@@ -352,6 +401,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x16_scrub_pii": x16_scrub_pii,
     "x17_tfidf_top_terms": x17_tfidf_top_terms,
     "x18_quality_filter": x18_quality_filter,
+    "x19_bigram_topk": x19_bigram_topk,
+    "x20_chunk_documents": x20_chunk_documents,
     "h1_dup_clusters": h1_dup_clusters,
     "m1_binary_meta": m1_binary_meta,
     "m2_media_features": m2_media_features,
