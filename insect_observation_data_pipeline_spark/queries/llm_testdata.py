@@ -171,11 +171,10 @@ def x17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df_t = (
-        terms.distinct()
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
+    # df derives from tf (its rows ARE the distinct doc-term pairs), so
+    # the corpus is exploded once and Catalyst reuses the tf exchange
+    # for both branches instead of re-shingling the scan.
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.select(F.countDistinct("doc_id").alias("n_docs"))
     scored = (
         tf.join(df_t, "term")
