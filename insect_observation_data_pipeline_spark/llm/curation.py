@@ -68,26 +68,67 @@ def pack_sequences(
     budget: int,
     strata_col: str | None = None,
     order_col: str = "doc_id",
+    range_bucket_width: int | None = None,
 ) -> DataFrame:
     """Assign each doc a pack_id: docs are laid out contiguously in
     ``order_col`` order (within ``strata_col`` if given) and a new pack
     starts at every ``budget`` token boundary; a doc joins the pack
     where its start offset lands. Adds ``pack_id`` and ``pack_offset``
-    (the doc's token start within its stratum's layout)."""
+    (the doc's token start within its stratum's layout).
+
+    A per-stratum running total is a per-stratum TOTAL ORDER: the plain
+    window form funnels each stratum through one task — fine for many
+    small strata, a wall at 100 TB with a handful of languages.
+    ``range_bucket_width`` switches to the distributed prefix-sum
+    shape: (1) bucket rows by ``floor(order_col / width)`` — ordered,
+    deterministic, no data pass; (2) per-(stratum, bucket) local
+    cumsums run in parallel; (3) per-stratum bucket offsets come from a
+    window over the TINY per-bucket totals frame (rows = buckets, not
+    docs); (4) offset = bucket offset + local cumsum. Identical output
+    to the naive form (same additions in the same order within a
+    stratum — integer math, no float drift)."""
     part = [strata_col] if strata_col else []
-    w = (
-        Window.partitionBy(*part)
-        .orderBy(F.col(order_col).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = F.sum(F.col(token_col)).over(w)
-    offset = (cum - F.col(token_col)).alias("pack_offset")
+    tok = F.col(token_col)
+    in_cols = list(df.columns)
+    if range_bucket_width is None:
+        w = (
+            Window.partitionBy(*part)
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offset = (F.sum(tok).over(w) - tok).cast("bigint")
+    else:
+        bucket = F.floor(F.col(order_col) / F.lit(range_bucket_width)).alias(
+            "__bucket"
+        )
+        df = df.withColumn("__bucket", bucket)
+        w_local = (
+            Window.partitionBy(*part, "__bucket")
+            .orderBy(F.col(order_col).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        totals = df.groupBy(*part, "__bucket").agg(
+            F.sum(tok).cast("bigint").alias("__bucket_total")
+        )
+        w_bucket = (
+            Window.partitionBy(*part)
+            .orderBy(F.col("__bucket").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        offsets = totals.select(
+            *part,
+            "__bucket",
+            (F.sum("__bucket_total").over(w_bucket) - F.col("__bucket_total"))
+            .alias("__bucket_offset"),
+        )
+        df = df.join(F.broadcast(offsets), [*part, "__bucket"])
+        offset = (
+            F.col("__bucket_offset") + F.sum(tok).over(w_local) - tok
+        ).cast("bigint")
     return df.select(
-        "*",
-        offset,
-        F.floor((cum - F.col(token_col)) / F.lit(budget))
-        .cast("bigint")
-        .alias("pack_id"),
+        *in_cols,
+        offset.alias("pack_offset"),
+        F.floor(offset / F.lit(budget)).cast("bigint").alias("pack_id"),
     )
 
 

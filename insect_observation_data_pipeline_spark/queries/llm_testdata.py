@@ -136,13 +136,19 @@ def x14_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x15_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training sequence packing: per-language contiguous layout in
     doc_id order, packs cut at 2048-token boundaries (a doc joins the
-    pack where its start offset lands). One window shuffle per lang."""
+    pack where its start offset lands). Uses the distributed prefix-sum
+    form (range buckets + tiny offset window) so no stratum ever
+    funnels through a single task."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "lang", textstats.token_count(F.col("text")).alias("n_tokens")
     )
     return curation.pack_sequences(
-        toks, token_col="n_tokens", budget=2048, strata_col="lang"
+        toks,
+        token_col="n_tokens",
+        budget=2048,
+        strata_col="lang",
+        range_bucket_width=100,
     ).select("doc_id", "lang", "n_tokens", "pack_offset", "pack_id")
 
 

@@ -230,6 +230,16 @@ def test_pack_sequences_invariants_at_volume(spark):
     rows = pack_sequences(
         df, token_col="n_tokens", budget=budget, strata_col="lang"
     ).collect()
+    # distributed prefix-sum path must agree with the naive window
+    # exactly (same integer additions in the same order per stratum)
+    bucketed = pack_sequences(
+        df,
+        token_col="n_tokens",
+        budget=budget,
+        strata_col="lang",
+        range_bucket_width=137,
+    ).collect()
+    assert sorted(map(tuple, bucketed)) == sorted(map(tuple, rows))
     by_lang: dict = {}
     for r in rows:
         by_lang.setdefault(r["lang"], []).append(r)
