@@ -46,6 +46,19 @@ BENCH_QUERIES = [
     "e2_sessionization",
 ]
 
+# round-3+ operators, timed separately so the headline total stays
+# comparable across rounds (same 14-query set since round 1)
+EXTENDED_QUERIES = [
+    "x11_dedup_embedding",
+    "x13_ann_lsh_multiprobe",
+    "x15_pack_sequences",
+    "x17_tfidf_top_terms",
+    "x19_bigram_topk",
+    "h1_dup_clusters",
+    "e3_sliding_window_stats",
+    "m2_media_features",
+]
+
 
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -88,6 +101,19 @@ def main() -> None:
         name: round(statistics.median(ts), 3) for name, ts in samples.items()
     }
 
+    # extended set: warm once, 3 timed round-robin passes, medians
+    ext_samples: dict[str, list[float]] = {n: [] for n in EXTENDED_QUERIES}
+    for name in EXTENDED_QUERIES:
+        run_once(QUERIES[name](spark, sf_dir))
+    for _ in range(min(3, n_runs)):
+        for name in EXTENDED_QUERIES:
+            t0 = time.time()
+            run_once(QUERIES[name](spark, sf_dir))
+            ext_samples[name].append(time.time() - t0)
+    ext_timings = {
+        name: round(statistics.median(ts), 3) for name, ts in ext_samples.items()
+    }
+
     prev = _prev_bench()
     deltas = {
         name: round(timings[name] / prev[name], 3)
@@ -105,6 +131,8 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": n_runs,
                 "deltas_vs_prev": deltas,
+                "extended_queries": ext_timings,
+                "extended_total": round(sum(ext_timings.values()), 3),
             }
         )
     )
