@@ -550,3 +550,26 @@ ORACLE["f_stats_census"] = f"""
     GROUP BY l_returnflag
     ORDER BY l_returnflag
 """
+
+ORACLE["f_levenshtein_fuzzy"] = """
+    WITH t AS (
+        SELECT p_partkey,
+               split_part(p_name, ' ', 1) AS first_word,
+               split_part(p_name, ' ', -1) AS last_word
+        FROM part
+    )
+    SELECT p_partkey, first_word, last_word,
+           CAST(levenshtein(first_word, last_word) AS INTEGER) AS edit_dist,
+           (levenshtein(first_word, last_word) <= 3) AS is_near
+    FROM t
+"""
+
+ORACLE["f_array_census"] = """
+    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
+    SELECT p_partkey,
+           CAST(len(w) AS INTEGER) AS n_words,
+           list_contains(w, 'green') AS has_green,
+           array_to_string(list_sort(list_distinct(w)), ',') AS distinct_sorted,
+           array_to_string(w[1:2], ',') AS first_two
+    FROM t
+"""

@@ -933,6 +933,40 @@ def f_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance census: levenshtein is the fuzzy-match primitive for
+    entity resolution (exact integer — identical on every engine). Flags
+    near-misses between brand and manufacturer labels."""
+    p = _t(spark, sf_dir, "part")
+    first = F.split(F.col("p_name"), " ").getItem(0)
+    last = F.element_at(F.split(F.col("p_name"), " "), -1)
+    lev = F.levenshtein(first, last)
+    return p.select(
+        "p_partkey",
+        first.alias("first_word"),
+        last.alias("last_word"),
+        lev.alias("edit_dist"),
+        (lev <= 3).alias("is_near"),
+    )
+
+
+def f_array_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/list function census (split, size, contains, distinct,
+    sort, slice) — arrays stringified with a joiner so the value hash
+    never depends on engine-specific list rendering."""
+    p = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.concat_ws(",", F.array_sort(F.array_distinct(words))).alias(
+            "distinct_sorted"
+        ),
+        F.concat_ws(",", F.slice(words, 1, 2)).alias("first_two"),
+    )
+
+
 def f_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Person-name parsing census (§2h, 03_ETL1_part2.sql:112-121): the
     LIKE '%.% %' initials detector + first/last split, exercised over a
@@ -1037,4 +1071,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_name_parse": f_name_parse,
     "f_yn_cast": f_yn_cast,
     "f_stats_census": f_stats_census,
+    "f_levenshtein_fuzzy": f_levenshtein_fuzzy,
+    "f_array_census": f_array_census,
 }

@@ -281,6 +281,48 @@ def test_redact_text_and_count(spark):
     assert got[2] == ("no pii here, just 123", 0)  # short digit run kept
 
 
+def test_curation_null_and_empty_edges(spark):
+    """NULL text propagates (never fabricates redactions); empty frames
+    flow through pack/sample without error."""
+    from insect_observation_data_pipeline_spark.llm.curation import (
+        pack_sequences,
+        redact_text,
+        redaction_count,
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame([(1, None)], "doc_id long, text string")
+    row = df.select(
+        redact_text(F.col("text")).alias("s"),
+        redaction_count(F.col("text")).alias("n"),
+    ).collect()[0]
+    assert row["s"] is None and row["n"] is None
+
+    empty = spark.createDataFrame([], "doc_id long, lang string, n_tokens int")
+    assert (
+        pack_sequences(
+            empty, token_col="n_tokens", budget=10, strata_col="lang"
+        ).count()
+        == 0
+    )
+    assert (
+        pack_sequences(
+            empty,
+            token_col="n_tokens",
+            budget=10,
+            strata_col="lang",
+            range_bucket_width=5,
+        ).count()
+        == 0
+    )
+    assert (
+        stratified_hash_sample(
+            empty, strata_col="lang", key_col="doc_id", rates={"en": 10}
+        ).count()
+        == 0
+    )
+
+
 def test_stratified_sample_deterministic(spark):
     """Same rows on every run (hash-based, no rand()); rate applies per
     stratum."""
