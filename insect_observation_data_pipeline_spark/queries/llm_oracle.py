@@ -495,6 +495,18 @@ LLM_ORACLE["x20_chunk_documents"] = f"""
     FROM s
 """
 
+LLM_ORACLE["x21_decontaminate"] = f"""
+    WITH {_SHINGLES_CTE},
+    ev AS (
+        SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    )
+    SELECT sh.doc_id, count(*) AS n_overlap
+    FROM sh JOIN ev USING (shingle)
+    WHERE sh.doc_id % 50 != 0
+    GROUP BY sh.doc_id
+    HAVING count(*) >= 2
+"""
+
 LLM_ORACLE["e4_json_props_rollup"] = """
     SELECT event_type,
            count(*) AS n_events,

@@ -271,6 +271,26 @@ def x20_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x21_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 2
+    distinct 3-gram shingles with the held-out eval slice (doc_id % 50
+    == 0 stands in for the benchmark set). Same sub-quadratic shape as
+    MinHash candidate generation: explode shingles, equi-join on the
+    shingle against the (small, distinct) eval shingle set, count per
+    doc — never a doc-by-doc text comparison."""
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 50 != 0)
+    holdout = d.filter(F.col("doc_id") % 50 == 0)
+    tr_sh = dedup.doc_shingles(train)
+    ev_sh = dedup.doc_shingles(holdout).select("shingle").distinct()
+    hits = (
+        tr_sh.join(ev_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return hits.filter(F.col("n_overlap") >= 2)
+
+
 def h1_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive closure of the MinHash near-dup pairs (x7): every doc
     in at least one pair gets its cluster's min doc_id as component_id
@@ -408,6 +428,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x18_quality_filter": x18_quality_filter,
     "x19_bigram_topk": x19_bigram_topk,
     "x20_chunk_documents": x20_chunk_documents,
+    "x21_decontaminate": x21_decontaminate,
     "h1_dup_clusters": h1_dup_clusters,
     "m1_binary_meta": m1_binary_meta,
     "m2_media_features": m2_media_features,
