@@ -39,6 +39,12 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     the column is rebuilt as a microsecond timestamp with exact integer
     ``div 1000`` truncation — bit-identical to DuckDB/pyarrow's ns->us
     truncation, so oracle comparisons stay exact.
+
+    NOT thread-safe for nanos files: the legacy conf is session-global
+    during the save/set/restore window, so a concurrent reader on
+    another thread could observe it. Single-threaded drivers (this
+    engine's model) are unaffected; guard with a lock if a multi-
+    threaded driver ever shares the session.
     """
     path = f"{base_dir}/{name}.parquet"
     nanos_cols = _nanos_timestamp_columns(path)
