@@ -132,6 +132,94 @@ def pack_sequences(
     )
 
 
+def token_repetition(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Gopher-style per-doc repetition signals: how much of a document is
+    the same token over and over (boilerplate, scraped nav bars, SEO spam
+    — the classic pre-training junk signature).
+
+    Per doc: ``n_tokens``, ``n_distinct``, ``top_token_n`` (occurrences
+    of the most frequent token), ``distinct_frac`` = n_distinct/n_tokens,
+    ``top_frac`` = top_token_n/n_tokens. Low distinct_frac or high
+    top_frac flags the doc for the quality gate.
+
+    Shape: explode tokens -> count per (doc, token) -> re-aggregate per
+    doc. Two shuffles, both with map-side partial aggregation, both keyed
+    on high-cardinality keys — no skew funnel, linear at 100 TB. Docs
+    with zero tokens produce no row (nothing to measure).
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+        ).alias("tok"),
+    )
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count(F.lit(1)).alias("n"))
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+    agg = per_tok.groupBy(id_col).agg(
+        F.sum("n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("n").alias("top_token_n"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        stable_round(F.col("n_distinct") / nd, round_digits).alias("distinct_frac"),
+        stable_round(F.col("top_token_n") / nd, round_digits).alias("top_frac"),
+    )
+
+
+def temperature_mix(
+    df: DataFrame,
+    *,
+    strata_col: str,
+    key_col: str,
+    buckets: int = 100,
+) -> DataFrame:
+    """Temperature-flattened corpus mixing: downsample each stratum
+    (language / source) toward a sqrt-scaled share, the multilingual-
+    training rebalance that keeps tail languages while shrinking the head.
+
+    Per-stratum keep rate (as a percent) is ``max(1, round(buckets *
+    sqrt(n_stratum / n_max)))`` — the largest stratum keeps everything,
+    a stratum 1% its size keeps ~10%. Only the alpha=0.5 temperature is
+    offered because ``sqrt`` is IEEE correctly-rounded and therefore
+    bit-identical across engines; an arbitrary ``pow(x, alpha)`` is
+    libm-dependent and would poison deterministic-replay comparisons.
+
+    Shape: one tiny count aggregate (rows = strata) broadcast back onto
+    the scan, then the same deterministic md5-bucket filter as
+    ``stratified_hash_sample``. Adds ``rate_pct``.
+    """
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__n"))
+    n_max = counts.agg(F.max("__n").alias("__n_max"))
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+    rates = counts.crossJoin(F.broadcast(n_max)).select(
+        strata_col,
+        F.greatest(
+            F.lit(1),
+            stable_round(
+                F.lit(float(buckets))
+                * F.sqrt(F.col("__n").cast("double") / F.col("__n_max")),
+                0,
+            ).cast("int"),
+        ).alias("rate_pct"),
+    )
+    return df.join(F.broadcast(rates), strata_col).filter(
+        hash_bucket(F.col(key_col), buckets) < F.col("rate_pct")
+    )
+
+
 #: redaction patterns, applied IN ORDER (URLs before emails before digit
 #: runs, so an address inside a URL is already gone). Each pattern is
 #: valid in both Java regex (Spark) and RE2 (DuckDB).

@@ -20,7 +20,7 @@ oracle can reproduce signatures bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from insect_observation_data_pipeline_spark.functions.numeric import stable_round
@@ -329,6 +329,50 @@ def connected_components(
             break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
+    )
+
+
+def cluster_representatives(
+    components: DataFrame,
+    scored: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    score_col: str = "quality_score",
+) -> DataFrame:
+    """Pick the document to KEEP from each near-dup cluster: the member
+    with the highest quality score (ties broken by min id, so the choice
+    is total-ordered and replay-stable). This is the step that turns a
+    dedup clustering into an actual curation decision — naive min-id
+    keeps whatever crawled first; score-ranked keep retains the best
+    version of the duplicated content.
+
+    Input: ``components`` = (id, component_id) from
+    :func:`connected_components`; ``scored`` = (id, score) per doc.
+    Output: one row per cluster — component_id, keep_<id_col>,
+    n_members, best_score.
+
+    Shape: one equi-join on the doc id, then a window partitioned by
+    component_id. Cluster sizes are bounded by near-dup cluster width
+    (shallow, small), so the window partitions are tiny; everything
+    shuffles on high-cardinality keys. No collect, no skew funnel.
+    """
+    joined = components.join(scored.select(id_col, score_col), id_col)
+    w = Window.partitionBy("component_id").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("component_id")),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "component_id",
+            F.col(id_col).alias(f"keep_{id_col}"),
+            F.col("n_members").cast("bigint").alias("n_members"),
+            F.col(score_col).alias("best_score"),
+        )
     )
 
 

@@ -118,6 +118,51 @@ def cell_centroids(
     )
 
 
+def centroid_distances(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    round_digits: int = 4,
+    centroid_digits: int = 6,
+) -> DataFrame:
+    """Cosine of every vector to its own cell's centroid — the embedding
+    outlier score: low similarity = the vector sits far from its cluster
+    (mislabeled data, noise, or genuinely novel content worth a look).
+
+    The centroid element-wise mean is a cross-ROW aggregate, so its
+    floating sum order is partition-dependent; rounding each component
+    to ``centroid_digits`` (default 1e-6, ~1e7x the accumulation error
+    of averaging a few thousand floats) before the distance makes the
+    score replay- and engine-stable. The per-row cosine itself sums in
+    array order (deterministic) and is rounded to ``round_digits``.
+
+    Shape: centroids are cells x dims rows (tiny) -> broadcast back onto
+    the scan; one projection per row. No shuffle touches the big side
+    beyond the posexplode aggregate that builds the centroids.
+    """
+    cents = cell_centroids(vectors, cell_col=cell_col, vec_col=vec_col)
+    cents = cents.select(
+        "cell",
+        F.transform(
+            F.col("centroid"), lambda x: stable_round(x, centroid_digits)
+        ).alias("centroid"),
+    )
+    v = vectors.select(
+        F.col(id_col),
+        F.col(cell_col).alias("cell"),
+        _as_double(F.col(vec_col)).alias("vec"),
+    )
+    return v.join(F.broadcast(cents), "cell").select(
+        id_col,
+        F.col("cell").alias(cell_col),
+        stable_round(cosine(F.col("vec"), F.col("centroid")), round_digits).alias(
+            "centroid_sim"
+        ),
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     candidates: DataFrame,

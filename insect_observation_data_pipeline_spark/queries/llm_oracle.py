@@ -548,3 +548,87 @@ LLM_ORACLE["h1_dup_clusters"] = f"""
     SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component_id
     FROM reach GROUP BY node
 """
+
+# --- round-3 curation additions (x22-x24, h2) -----------------------------
+
+LLM_ORACLE["x22_repetition_signals"] = f"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT doc_id, tok, count(*) AS n FROM tok GROUP BY 1, 2
+    ), agg AS (
+        SELECT doc_id,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(max(n) AS BIGINT) AS top_token_n
+        FROM tc GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct, top_token_n,
+           {_sr("n_distinct / CAST(n_tokens AS DOUBLE)", 4)} AS distinct_frac,
+           {_sr("top_token_n / CAST(n_tokens AS DOUBLE)", 4)} AS top_frac
+    FROM agg
+"""
+
+LLM_ORACLE["x23_temperature_mix"] = f"""
+    WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+    m AS (SELECT max(n) AS n_max FROM c),
+    r AS (
+        SELECT lang,
+               greatest(1, CAST(
+                   {_sr("100.0 * sqrt(n / CAST(n_max AS DOUBLE))", 0)}
+               AS INTEGER)) AS rate_pct
+        FROM c, m
+    )
+    SELECT d.doc_id, d.lang, r.rate_pct
+    FROM documents d JOIN r USING (lang)
+    WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100
+          < r.rate_pct
+"""
+
+# Centroid = element-wise mean rounded to 1e-6 (matches the Spark side's
+# engine-stability rounding); per-row cosine then rounded to 1e-4.
+LLM_ORACLE["x24_centroid_outliers"] = f"""
+    WITH ex0 AS (
+        SELECT vec_id, label,
+               unnest(list_zip(embedding,
+                               generate_series(1, len(embedding)))) AS z
+        FROM embeddings
+    ), ex AS (
+        SELECT vec_id, label, z[2] AS i, z[1]::DOUBLE AS v FROM ex0
+    ), cent AS (
+        SELECT label, i, {_sr("avg(v)", 6)} AS c
+        FROM ex GROUP BY label, i
+    ), cv AS (
+        SELECT label, list(c ORDER BY i) AS cvec FROM cent GROUP BY label
+    )
+    SELECT e.vec_id, e.label,
+           {_sr("list_cosine_similarity(e.embedding::DOUBLE[], cv.cvec)", 4)}
+               AS centroid_sim
+    FROM embeddings e JOIN cv USING (label)
+"""
+
+LLM_ORACLE["h2_cluster_keep"] = f"""
+    WITH comp AS ({{h1}}),
+    q AS (SELECT doc_id, quality_score FROM ({{x3}})),
+    j AS (
+        SELECT comp.component_id, comp.doc_id, q.quality_score
+        FROM comp JOIN q USING (doc_id)
+    ), r AS (
+        SELECT *,
+               row_number() OVER (
+                   PARTITION BY component_id
+                   ORDER BY quality_score DESC, doc_id ASC
+               ) AS rn,
+               count(*) OVER (PARTITION BY component_id) AS n_members
+        FROM j
+    )
+    SELECT component_id, doc_id AS keep_doc_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           quality_score AS best_score
+    FROM r WHERE rn = 1
+""".format(
+    h1=LLM_ORACLE["h1_dup_clusters"], x3=LLM_ORACLE["x3_text_quality"]
+)

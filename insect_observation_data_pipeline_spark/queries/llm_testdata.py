@@ -407,6 +407,45 @@ def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate inputs: per-doc token repetition
+    (distinct fraction, most-frequent-token fraction) — the boilerplate
+    / SEO-spam signature. Explode -> two map-side-combined aggs."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.token_repetition(d)
+
+
+def x23_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (alpha=0.5) language rebalance: head
+    language downsampled toward sqrt share, tail kept, selection by
+    deterministic md5 bucket. One tiny broadcast agg + scan filter."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.temperature_mix(d, strata_col="lang", key_col="doc_id").select(
+        "doc_id", "lang", "rate_pct"
+    )
+
+
+def x24_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier score: cosine of each vector to its own label's
+    centroid (rounded element-wise mean, broadcast back). Low score =
+    far from cluster = mislabel/noise candidate."""
+    e = _t(spark, sf_dir, "embeddings")
+    return similarity.centroid_distances(e)
+
+
+def h2_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation keep-list: for every near-dup cluster (h1's transitive
+    closure of the MinHash pairs), keep the member with the best quality
+    score (x3's formula), min doc_id on ties. pairs -> components ->
+    score join -> per-cluster rank-1."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d, threshold=0.2)
+    comps = dedup.connected_components(pairs)
+    score = textstats.quality_columns(F.col("text"))[4]  # quality_score
+    scored = d.select("doc_id", score)
+    return dedup.cluster_representatives(comps, scored)
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_dedup_exact": x1_dedup_exact,
     "x2_token_stats": x2_token_stats,
@@ -429,7 +468,11 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x19_bigram_topk": x19_bigram_topk,
     "x20_chunk_documents": x20_chunk_documents,
     "x21_decontaminate": x21_decontaminate,
+    "x22_repetition_signals": x22_repetition_signals,
+    "x23_temperature_mix": x23_temperature_mix,
+    "x24_centroid_outliers": x24_centroid_outliers,
     "h1_dup_clusters": h1_dup_clusters,
+    "h2_cluster_keep": h2_cluster_keep,
     "m1_binary_meta": m1_binary_meta,
     "m2_media_features": m2_media_features,
     "e1_hourly_event_stats": e1_hourly_event_stats,

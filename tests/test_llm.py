@@ -448,3 +448,73 @@ def test_frame_sample_plumbing(spark):
         by_media.setdefault(r["media_id"], []).append(r["frame_idx"])
     assert sorted(by_media["v1"]) == [0, 10, 20, 30, 40, 50, 60, 70]  # capped at 8
     assert sorted(by_media["v2"]) == [0]  # stride 10 over 3 frames
+
+
+def test_token_repetition(spark):
+    from insect_observation_data_pipeline_spark.llm import curation
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in curation.token_repetition(df).collect()}
+    assert out[1]["n_tokens"] == 4
+    assert out[1]["n_distinct"] == 2
+    assert out[1]["top_token_n"] == 3
+    assert out[1]["distinct_frac"] == 0.5
+    assert out[1]["top_frac"] == 0.75
+    assert out[2]["distinct_frac"] == 1.0 and out[2]["top_frac"] == 0.3333
+    assert 3 not in out  # zero tokens -> no row
+
+
+def test_temperature_mix_rates(spark):
+    from insect_observation_data_pipeline_spark.llm import curation
+
+    rows = [(i, "en") for i in range(100)] + [(1000, "kl"), (1001, "kl"),
+                                              (1002, "kl"), (1003, "kl")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.temperature_mix(df, strata_col="lang", key_col="doc_id")
+    rates = {r["lang"]: r["rate_pct"] for r in out.select("lang", "rate_pct").distinct().collect()}
+    assert rates["en"] == 100           # head stratum keeps everything
+    assert rates["kl"] == 20            # round(100*sqrt(4/100)) = 20
+    kept = out.groupBy("lang").count().collect()
+    assert {r["lang"]: r["count"] for r in kept}["en"] == 100
+    # rerun selects the identical rows (deterministic md5 bucket)
+    ids1 = {r["doc_id"] for r in out.collect()}
+    ids2 = {r["doc_id"] for r in curation.temperature_mix(
+        df, strata_col="lang", key_col="doc_id").collect()}
+    assert ids1 == ids2
+
+
+def test_cluster_representatives(spark):
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "doc_id long, component_id long"
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.1)], "doc_id long, quality_score double"
+    )
+    out = {r["component_id"]: r for r in dedup.cluster_representatives(comps, scored).collect()}
+    assert out[1]["keep_doc_id"] == 2 and out[1]["n_members"] == 2
+    assert out[1]["best_score"] == 0.9
+    assert out[3]["keep_doc_id"] == 3 and out[3]["n_members"] == 1
+
+
+def test_cluster_representatives_tie_breaks_min_id(spark):
+    comps = spark.createDataFrame([(5, 5), (9, 5)], "doc_id long, component_id long")
+    scored = spark.createDataFrame([(5, 0.7), (9, 0.7)], "doc_id long, quality_score double")
+    out = dedup.cluster_representatives(comps, scored).collect()
+    assert len(out) == 1 and out[0]["keep_doc_id"] == 5
+
+
+def test_centroid_distances(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 0, [1.0, 0.0]),
+            (2, 0, [1.0, 0.0]),
+            (3, 1, [0.0, 2.0]),
+        ],
+        "vec_id long, label int, embedding array<float>",
+    )
+    out = {r["vec_id"]: r["centroid_sim"] for r in similarity.centroid_distances(df).collect()}
+    # members identical to their centroid direction -> cosine 1.0
+    assert out[1] == 1.0 and out[2] == 1.0 and out[3] == 1.0
