@@ -64,6 +64,23 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def calibration_sec(spark, n_runs: int = 3) -> float:
+    """Median wall-clock of a FIXED pure-codegen workload (sum over a
+    2e8 range — no I/O, no shuffle variance). Query timings on a shared
+    host move with CPU steal / frequency drift; this number moves with
+    them, so cross-round comparisons can separate machine-speed drift
+    from genuine plan regressions: if every query's delta matches the
+    calibration delta, the machine changed, not the code."""
+    samples = []
+    df = spark.range(200_000_000).selectExpr("sum(id) AS s")
+    run_once(df)  # warm
+    for _ in range(n_runs):
+        t0 = time.time()
+        run_once(df)
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
+
+
 def _prev_bench() -> dict[str, float]:
     """Per-query timings from the latest committed BENCH_r*.json."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -120,6 +137,7 @@ def main() -> None:
         for name in timings
         if prev.get(name)
     }
+    calib = calibration_sec(spark)
 
     print(
         json.dumps(
@@ -131,6 +149,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": n_runs,
                 "deltas_vs_prev": deltas,
+                "calib_sec": calib,
                 "extended_queries": ext_timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
             }

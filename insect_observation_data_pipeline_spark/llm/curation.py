@@ -178,6 +178,64 @@ def token_repetition(
     )
 
 
+def token_prob_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Corpus-LM fluency score: each doc's mean unigram probability
+    under the corpus's own token distribution, in ppm. Gibberish / rare-
+    token junk scores low, natural running text high — the dependency-
+    free stand-in for a KenLM perplexity gate.
+
+    mean p = (sum over the doc's tokens of corpus_count(tok)) /
+    (n_doc_tokens * corpus_total). Numerator and both denominator
+    factors are exact BIGINT sums — the whole score is ONE float
+    division, so it is bit-identical across engines and replays (the
+    same no-libm trade as x17's ratio-idf: ln() would be prettier and
+    platform-dependent).
+
+    Shape: explode once; corpus term counts DERIVE from the per-doc tf
+    aggregate (rows = distinct (doc, term)), so Catalyst reuses one
+    exchange for both the corpus side and the doc side; the corpus
+    total rides in as a broadcast 1-row frame. Token-keyed join with
+    map-side combine — linear at 100 TB.
+    """
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+    terms = df.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit(""))
+        ).alias("term"),
+    )
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("n"))
+    ctf = tf.groupBy("term").agg(F.sum("n").alias("ctf"))
+    total = ctf.agg(F.sum("ctf").alias("corpus_total"))
+    return (
+        tf.join(ctf, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.sum("n").alias("n_tokens"),
+            F.sum(F.col("n") * F.col("ctf")).alias("mass"),
+            F.first("corpus_total").alias("corpus_total"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            stable_round(
+                F.lit(1_000_000.0)
+                * F.col("mass")
+                / (F.col("n_tokens") * F.col("corpus_total")).cast("double"),
+                round_digits,
+            ).alias("mean_tok_ppm"),
+        )
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     *,

@@ -172,9 +172,15 @@ def ivf_topk(
     cell_col: str = "label",
     k: int = 3,
     round_digits: int = 4,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF ANN: route each query to its nearest cell centroid (nprobe=1),
-    then exact top-k within that cell only."""
+    """IVF ANN: route each query to its ``nprobe`` nearest cell
+    centroids, then exact top-k within those cells only. nprobe is THE
+    recall/cost knob of inverted-file ANN: scanned fraction ~= nprobe /
+    n_cells, recall rises monotonically with it (each added cell can
+    only add candidates). nprobe=1 is the cheapest/lowest-recall point;
+    production pipelines tune it against a brute-force recall probe
+    (see tests/test_llm.py::test_ivf_nprobe_recall_monotone)."""
     cents = F.broadcast(cell_centroids(candidates, cell_col=cell_col, vec_col=vec_col))
     q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_norm")
     routed = (
@@ -190,7 +196,7 @@ def ivf_topk(
                 )
             ),
         )
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "cell")
     )
     c = candidates.select(

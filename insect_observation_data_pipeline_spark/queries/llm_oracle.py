@@ -632,3 +632,36 @@ LLM_ORACLE["h2_cluster_keep"] = f"""
 """.format(
     h1=LLM_ORACLE["h1_dup_clusters"], x3=LLM_ORACLE["x3_text_quality"]
 )
+
+LLM_ORACLE["x25_token_prob_score"] = f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS n FROM toks GROUP BY 1, 2
+    ), ctf AS (
+        SELECT term, CAST(sum(n) AS BIGINT) AS ctf FROM tf GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(ctf) AS BIGINT) AS corpus_total FROM ctf
+    ), agg AS (
+        SELECT tf.doc_id,
+               CAST(sum(tf.n) AS BIGINT) AS n_tokens,
+               CAST(sum(tf.n * ctf.ctf) AS BIGINT) AS mass,
+               any_value(tot.corpus_total) AS corpus_total
+        FROM tf JOIN ctf USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, n_tokens,
+           {_sr("1000000.0 * mass / CAST(n_tokens * corpus_total AS DOUBLE)", 4)}
+               AS mean_tok_ppm
+    FROM agg
+"""
+
+# x26 = the x10 IVF oracle with the cell-probe widened from the single
+# nearest centroid to the 4 nearest (the only semantic difference).
+assert LLM_ORACLE["x10_ann_ivf"].count("WHERE rn = 1") == 1
+LLM_ORACLE["x26_ann_ivf_probe4"] = LLM_ORACLE["x10_ann_ivf"].replace(
+    "WHERE rn = 1", "WHERE rn <= 4"
+)

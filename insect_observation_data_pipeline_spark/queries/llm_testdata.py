@@ -433,6 +433,22 @@ def x24_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.centroid_distances(e)
 
 
+def x25_token_prob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM fluency gate input: mean unigram probability (ppm) of
+    each doc under the corpus's own token distribution — exact integer
+    arithmetic until one final division (no libm)."""
+    d = _t(spark, sf_dir, "documents")
+    return curation.token_prob_score(d)
+
+
+def x26_ann_ivf_probe4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN at nprobe=4: probes the 4 nearest cells (~40% of the
+    corpus at 10 cells) — the recall/cost point between x10's nprobe=1
+    and x9's exact scan. Recall monotonicity is asserted in tests."""
+    q, c = _emb_split(spark, sf_dir)
+    return similarity.ivf_topk(q, c, k=3, nprobe=4)
+
+
 def h2_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curation keep-list: for every near-dup cluster (h1's transitive
     closure of the MinHash pairs), keep the member with the best quality
@@ -471,6 +487,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x22_repetition_signals": x22_repetition_signals,
     "x23_temperature_mix": x23_temperature_mix,
     "x24_centroid_outliers": x24_centroid_outliers,
+    "x25_token_prob_score": x25_token_prob_score,
+    "x26_ann_ivf_probe4": x26_ann_ivf_probe4,
     "h1_dup_clusters": h1_dup_clusters,
     "h2_cluster_keep": h2_cluster_keep,
     "m1_binary_meta": m1_binary_meta,

@@ -518,3 +518,45 @@ def test_centroid_distances(spark):
     out = {r["vec_id"]: r["centroid_sim"] for r in similarity.centroid_distances(df).collect()}
     # members identical to their centroid direction -> cosine 1.0
     assert out[1] == 1.0 and out[2] == 1.0 and out[3] == 1.0
+
+
+def test_ivf_nprobe_recall_monotone(spark):
+    """IVF recall@3 vs brute force rises monotonically with nprobe, and
+    probing every cell (nprobe = n_cells) IS the exact scan. (On this
+    synthetic testdata the label cells carry no real cluster structure
+    — intra-label mean cosine ~= inter-label — so absolute recall at
+    low nprobe is a property of the fixture, not the operator; the
+    monotone climb to exact is the operator property under test.)"""
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q, c = e.filter(F.col("vec_id") < 5), e.filter(F.col("vec_id") >= 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in similarity.brute_force_topk(q, c, k=3).collect()
+    }
+    n_cells = c.select("label").distinct().count()
+    recalls = []
+    for np_ in (1, 4, n_cells):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in similarity.ivf_topk(q, c, k=3, nprobe=np_).collect()
+        }
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls == sorted(recalls), f"recall not monotone: {recalls}"
+    assert recalls[-1] == 1.0, f"nprobe=n_cells must equal exact: {recalls}"
+    assert recalls[1] >= 0.5, f"nprobe=4 recall too low: {recalls}"
+
+
+def test_token_prob_score_known(spark):
+    """Tiny corpus with hand-computable unigram mass: doc 1 = 'a a b'
+    (corpus: a:3, b:2, z:1, total 6) -> mean p = (3+3+2)/(3*6)."""
+    from insect_observation_data_pipeline_spark.llm import curation
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b z")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in curation.token_prob_score(df).collect()}
+    assert out[1]["n_tokens"] == 3
+    assert out[1]["mean_tok_ppm"] == round(1e6 * 8 / 18, 4)
+    assert out[2]["mean_tok_ppm"] == round(1e6 * 6 / 18, 4)
