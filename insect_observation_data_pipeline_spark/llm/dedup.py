@@ -83,16 +83,36 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for all doc pairs sharing >=1 shingle.
 
     Self-join on shingle; |A ∩ B| = shared-shingle count, |A ∪ B| from
     per-doc sizes. Pairs with no shared shingle never materialize.
+
+    The self-join is quadratic in the docs sharing a shingle, so a
+    boilerplate shingle appearing in m docs costs m^2 join rows in one
+    task — the scale wall of exact Jaccard. ``max_df`` is the standard
+    mitigation: drop shingles occurring in more than ``max_df`` docs
+    from the JOIN side only (sizes keep counting them, so |A ∪ B| is
+    still exact). Result: intersections counted over rare shingles
+    only — a documented LOWER BOUND on true Jaccard (a pair whose
+    overlap is entirely stop-shingles can be missed), which is the
+    right direction for a dedup gate: no false merges, bounded skew.
+    Default None = exact (the oracle-checked x6 path); the MinHash
+    pipeline (x7) remains the first-choice scale path.
     """
     sh = doc_shingles(docs, text_col, id_col, n)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    join_sh = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        join_sh = (
+            sh.join(dfreq.filter(F.col("__df") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+        )
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -226,16 +246,20 @@ def minhash_lsh_dedup(
     sh = doc_shingles(docs, text_col, id_col, shingle_n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = sh.groupBy("doc_id").agg(
+    # signatures AND shingle-set sizes in ONE aggregation pass over sh
+    # (they share the doc_id grouping; a separate sizes groupBy would
+    # re-scan and re-shuffle the whole shingle frame for one count)
+    sig_sizes = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
                 f"minhash_{j}"
             )
             for j in range(num_hashes)
-        ]
-    )
-    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # tiny: one row per doc
+    cands = lsh_candidate_pairs(sig_sizes, num_hashes=num_hashes, bands=bands)
+    sizes = sig_sizes.select("doc_id", "n_sh")
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -292,23 +316,43 @@ def connected_components(
     label-of-label join per round) was ~6% SLOWER end-to-end here —
     near-dup clusters are shallow, so the saved round doesn't pay for
     the extra join. Re-measure before adding it for deeper graphs.
+
+    Two round-count optimizations (identical fixpoint):
+    - round 1 is FUSED into initialization: labels start at
+      min(node, min(neighbors)) straight from the edge aggregate — the
+      same frame the self-label round would produce, for one groupBy
+      instead of a join + groupBy + checkpoint.
+    - convergence probes an AGGREGATE, not a join: labels are monotone
+      non-increasing, so sum(comp) strictly decreases iff any node
+      changed; comparing two exact DECIMAL(38) sums replaces the
+      old-vs-new equi-join + filter + count each round.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
     sym = sym.distinct().localCheckpoint(eager=True)
     labels = (
-        sym.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
+        sym.groupBy("u")
+        .agg(F.min("v").alias("min_v"))
+        .select(
+            F.col("u").alias("node"),
+            F.least(F.col("u"), F.col("min_v")).alias("comp"),
+        )
         .localCheckpoint(eager=True)
     )
+
+    def _label_sum(frame) -> object:
+        return frame.agg(
+            F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("neigh_comp"))
         )
-        new_labels = (
+        labels = (
             labels.join(neigh, labels.node == neigh.u, "left")
             .select(
                 "node",
@@ -318,15 +362,10 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = _label_sum(labels)
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )

@@ -560,3 +560,24 @@ def test_token_prob_score_known(spark):
     assert out[1]["n_tokens"] == 3
     assert out[1]["mean_tok_ppm"] == round(1e6 * 8 / 18, 4)
     assert out[2]["mean_tok_ppm"] == round(1e6 * 6 / 18, 4)
+
+
+def test_jaccard_max_df_stop_shingle_cut(docs):
+    """max_df above every shingle's document frequency changes nothing;
+    max_df=1 removes the shared-shingle overlap so no pair survives —
+    and scores can only go DOWN (lower bound), never up."""
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.2).collect()
+    }
+    loose = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(docs, threshold=0.2, max_df=100).collect()
+    }
+    assert loose == exact
+    cut = dedup.jaccard_pairs(docs, threshold=0.01, max_df=1).collect()
+    scores = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in cut}
+    assert all(
+        scores[p] <= exact.get(p, 1.0) for p in scores
+    )  # lower bound only
+    assert (1, 2) not in scores  # identical docs share every shingle (df=2)
