@@ -104,12 +104,14 @@ def skewed_vectors(spark):
     )
 
 
-def test_near_dup_salted_guard_exact(skewed_vectors):
-    """The (cell, i, j) grid join must return exactly the unguarded pairs
-    — every unordered pair kept once, none lost, none duplicated."""
-    plain = similarity.near_dup_pairs(skewed_vectors, threshold=0.35)
+@pytest.mark.parametrize("kernel", ["hof", "gram"])
+def test_near_dup_salted_guard_exact(skewed_vectors, kernel):
+    """The (cell, i, j) grid — join for hof, side-tagged replication for
+    gram — must return exactly the unguarded pairs: every unordered pair
+    kept once, none lost, none duplicated."""
+    plain = similarity.near_dup_pairs(skewed_vectors, threshold=0.35, kernel="hof")
     salted = similarity.near_dup_pairs(
-        skewed_vectors, threshold=0.35, max_cell_rows=10
+        skewed_vectors, threshold=0.35, max_cell_rows=10, kernel=kernel
     )
     p = sorted((r["a_id"], r["b_id"], r["cosine_sim"]) for r in plain.collect())
     s_rows = [(r["a_id"], r["b_id"], r["cosine_sim"]) for r in salted.collect()]
@@ -118,18 +120,47 @@ def test_near_dup_salted_guard_exact(skewed_vectors):
     assert len(p) > 100  # the mega-cell genuinely produced a big pair space
 
 
+def test_near_dup_gram_matches_hof(skewed_vectors):
+    """Kernel equivalence on the uncapped path: the BLAS gram kernel and
+    the JVM hof kernel must produce the identical pair set and identical
+    rounded similarities (same stable_round formula on both sides)."""
+    hof = similarity.near_dup_pairs(skewed_vectors, threshold=0.35, kernel="hof")
+    gram = similarity.near_dup_pairs(skewed_vectors, threshold=0.35, kernel="gram")
+    h = sorted((r["a_id"], r["b_id"], r["cosine_sim"]) for r in hof.collect())
+    g = sorted((r["a_id"], r["b_id"], r["cosine_sim"]) for r in gram.collect())
+    assert g == h
+
+
 def test_near_dup_salt_groups_in_join_key(skewed_vectors):
-    """The salt columns must be IN the shuffle key of the self-join, not
-    post-join filters — otherwise the mega-cell still lands in one task."""
+    """hof kernel: the salt columns must be IN the shuffle key of the
+    self-join, not post-join filters — otherwise the mega-cell still
+    lands in one task."""
     from insect_observation_data_pipeline_spark.plans.inspect import join_key_names
 
     salted = similarity.near_dup_pairs(
-        skewed_vectors, threshold=0.35, max_cell_rows=10
+        skewed_vectors, threshold=0.35, max_cell_rows=10, kernel="hof"
     )
     keys = join_key_names(salted)
     assert any(
         {"cell", "i", "j"} <= set(side) for side in keys
     ), f"salt groups missing from join keys: {keys}"
+
+
+def test_near_dup_gram_salt_in_grouping_key(skewed_vectors):
+    """gram kernel: the salted path must group (shuffle) on (cell, i, j),
+    so the salt bounds the per-task Arrow batch, not a post-shuffle
+    filter."""
+    salted = similarity.near_dup_pairs(
+        skewed_vectors, threshold=0.35, max_cell_rows=10, kernel="gram"
+    )
+    plan = salted._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+    import re
+
+    m = re.search(r"FlatMapGroupsInPandas \[([^\]]*)\]", plan)
+    assert m and {"cell", "i", "j"} <= {
+        c.split("#")[0].strip() for c in m.group(1).split(",")
+    }, plan
 
 
 def test_lsh_multiprobe_recall(spark):

@@ -83,15 +83,15 @@ def test_all_queries_plan_invariants(spark):
 
 
 def test_embedding_dedup_blocked_not_cartesian(spark):
-    """x11's per-cell self-join must be an equi join on the blocking
-    cell, never a global cross product."""
-    flags = plan_flags(QUERIES["x11_dedup_embedding"](spark, SF))
-    assert (
-        flags["broadcast_hash_join"]
-        or flags["sort_merge_join"]
-        or flags["shuffled_hash_join"]
-    )
+    """x11 must stay blocked by cell, never a global cross product: the
+    gram kernel plans as ONE FlatMapGroupsInPandas keyed on the cell (the
+    pair space exists only inside each Arrow batch, shuffled by cell), so
+    no join node and no cartesian appears."""
+    df = QUERIES["x11_dedup_embedding"](spark, SF)
+    flags = plan_flags(df)
     assert not flags["cartesian_product"]
+    plan = formatted_plan(df)
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_multikey_anti_join_shape(spark):
