@@ -146,6 +146,27 @@ LLM_ORACLE: dict[str, str] = {
         WITH {_JACCARD_CTE}
         SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= 0.2
     """,
+    "x27_jaccard_maxdf": f"""
+        WITH {_SHINGLES_CTE},
+        dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+        jsh AS (
+            SELECT s.doc_id, s.shingle
+            FROM sh s JOIN dfreq d ON s.shingle = d.shingle AND d.df <= 2
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM jsh a JOIN jsh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.2
+    """,
     "x7_minhash_lsh": f"""
         WITH {_JACCARD_CTE},
         sigs AS (

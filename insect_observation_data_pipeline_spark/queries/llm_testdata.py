@@ -69,6 +69,18 @@ def x6_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.2)
 
 
+def x27_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-guarded exact Jaccard: shingles seen in more than 2 docs are
+    dropped from the JOIN side only (set sizes stay exact), so a
+    boilerplate shingle shared by m docs can never cost m^2 join rows in
+    one task. Scores are a documented lower bound of x6's — no false
+    merges, bounded skew — the production stance for exact-Jaccard
+    gating at 100 TB."""
+    return dedup.jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.2, max_df=2
+    )
+
+
 def x7_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands) candidates verified with exact Jaccard."""
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.2)
@@ -469,6 +481,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x4_lang_id": x4_lang_id,
     "x5_fingerprint": x5_fingerprint,
     "x6_ngram_jaccard": x6_ngram_jaccard,
+    "x27_jaccard_maxdf": x27_jaccard_maxdf,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,
