@@ -42,6 +42,47 @@ def hash_bucket(key: Column, buckets: int) -> Column:
     )
 
 
+def shard_assign(df: DataFrame, *, key_col: str, n_shards: int) -> DataFrame:
+    """Attach a deterministic shard id: ``pmod(xxhash64(key), n)``.
+
+    Content-addressed, not placement-addressed: a row's shard depends
+    only on its key, never on cluster size, input partitioning, or task
+    scheduling — so re-running the job, growing the cluster 10x, or
+    resharding an incremental delta all assign identical shards. That is
+    the property training dataloaders need (shard k is the same bytes on
+    every rebuild) and what ``repartition(n)`` round-robin cannot give.
+    """
+    return df.withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(key_col)), F.lit(n_shards)).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    *,
+    key_col: str,
+    n_shards: int,
+    sort_by: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write the corpus as ``n_shards`` balanced, deterministic shards.
+
+    ``repartition(n, shard)`` then ``partitionBy(shard)``: every shard's
+    rows land in one task, so each ``shard=k/`` directory holds exactly
+    one file, sized ~|df|/n by xxhash64 uniformity (skew here is hash
+    skew, i.e. none — unlike key-range sharding). ``sort_by`` orders
+    rows inside each shard file (deterministic iteration order for the
+    dataloader; better parquet stat locality). One shuffle total; at
+    100 TB pick n so each shard is a few hundred MB — the dataloader's
+    unit of parallel read."""
+    out = shard_assign(df, key_col=key_col, n_shards=n_shards).repartition(
+        n_shards, "shard"
+    )
+    out = out.sortWithinPartitions("shard", *sort_by) if sort_by else out
+    out.write.partitionBy("shard").mode(mode).parquet(path)
+
+
 def stratified_hash_sample(
     df: DataFrame,
     *,

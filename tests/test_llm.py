@@ -242,6 +242,40 @@ def test_pack_sequences_semantics(spark):
     assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
 
 
+def test_write_training_shards(spark, tmp_path):
+    """Shard assignment is content-addressed (identical across reruns and
+    partitionings), balanced by hash uniformity, laid out one file per
+    shard directory, and lossless on read-back."""
+    from insect_observation_data_pipeline_spark.llm.curation import (
+        shard_assign,
+        write_training_shards,
+    )
+
+    df = spark.range(5000).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    a = {r["doc_id"]: r["shard"] for r in shard_assign(df, key_col="doc_id", n_shards=8).collect()}
+    b = {
+        r["doc_id"]: r["shard"]
+        for r in shard_assign(df.repartition(13), key_col="doc_id", n_shards=8).collect()
+    }
+    assert a == b  # partitioning-independent assignment
+    sizes = sorted(list(a.values()).count(s) for s in range(8))
+    assert sizes[0] > 0 and sizes[-1] / sizes[0] < 1.3  # hash-balanced
+
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, key_col="doc_id", n_shards=8, sort_by=("doc_id",))
+    import glob
+
+    dirs = sorted(glob.glob(out + "/shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        assert len(glob.glob(d + "/*.parquet")) == 1  # whole shard, one file
+    back = spark.read.parquet(out)
+    assert back.count() == 5000
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(a)
+
+
 def test_pack_sequences_invariants_at_volume(spark):
     """Packing invariants on 5k hash-random docs: per stratum, offsets
     are the exact running total in order, every doc's start offset lies
