@@ -447,6 +447,57 @@ def _near_dup_pairs_gram(
     )
 
 
+def quantize_int8(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale_digits: int = 6,
+) -> DataFrame:
+    """Per-vector symmetric int8 quantization summary — the storage /
+    serving compression step for embedding columns (4x smaller than
+    float32, 8x than float64; dot products stay rank-faithful).
+
+    scale = max|x_i| (1.0 for an all-zero vector), q_i = the HALF_UP
+    integer of x_i / scale * 127 — every step an IEEE-754 double op via
+    the :func:`stable_round` formula, so any engine derives identical
+    integers. Output is one row per vector with exact-integer proofs of
+    the quantized array (codes are in [-127, 127], so no array column
+    needs to cross the oracle hash): l1 norm and a position-weighted
+    checksum (sum q_i * i, 1-based), plus the rounded scale.
+
+    The scale expression is referenced inside the per-element lambda and
+    Catalyst's project-collapse may inline it, making the projection
+    O(d^2) per row — at d=64 that is 4k flops/row (irrelevant, no
+    shuffle, scan-parallel); for 1k+-dim vectors persist the scale
+    column behind an exchange/checkpoint first and re-measure."""
+    v = _as_double(F.col(vec_col))
+    base = vectors.select(F.col(id_col), v.alias("e"))
+    sc_raw = F.aggregate(
+        F.col("e"), F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))
+    )
+    base = base.withColumn(
+        "sc", F.when(sc_raw == F.lit(0.0), F.lit(1.0)).otherwise(sc_raw)
+    )
+    q = F.transform(
+        F.col("e"),
+        lambda x: stable_round(x / F.col("sc") * F.lit(127.0), 0).cast("long"),
+    )
+    base = base.withColumn("q", q)
+    weighted = F.transform(F.col("q"), lambda x, i: x * (i.cast("long") + 1))
+    return base.select(
+        id_col,
+        stable_round(F.col("sc"), scale_digits).alias("scale_q"),
+        F.size("e").cast("int").alias("n_dims"),
+        F.aggregate(
+            F.transform(F.col("q"), F.abs), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_l1"),
+        F.aggregate(
+            weighted, F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("q_checksum"),
+    )
+
+
 def hyperplanes(planes: int = 4, dims: int = 64) -> list[list[float]]:
     """Deterministic ±1 random-projection hyperplanes.
 

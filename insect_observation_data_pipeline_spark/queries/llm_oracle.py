@@ -167,6 +167,35 @@ LLM_ORACLE: dict[str, str] = {
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.2
     """,
+    "x28_quantize_int8": """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings
+        ),
+        s AS (
+            SELECT vec_id, e,
+                   CASE WHEN list_aggregate(list_transform(e, x -> abs(x)), 'max') = 0
+                        THEN 1.0
+                        ELSE list_aggregate(list_transform(e, x -> abs(x)), 'max')
+                   END AS sc
+            FROM v
+        ),
+        q AS (
+            SELECT vec_id, sc, len(e) AS nd,
+                   list_transform(
+                       generate_series(1, len(e)),
+                       i -> CAST(((floor(abs(e[i] / sc * 127.0) * 1.0 + 0.5) / 1.0) * (CASE WHEN (e[i] / sc * 127.0) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS BIGINT)
+                   ) AS qq
+            FROM s
+        )
+        SELECT vec_id,
+               ((floor(abs(sc) * 1000000.0 + 0.5) / 1000000.0) * (CASE WHEN sc < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS scale_q,
+               CAST(nd AS INTEGER) AS n_dims,
+               CAST(list_sum(list_transform(qq, x -> abs(x))) AS BIGINT) AS q_l1,
+               CAST(list_sum(list_transform(generate_series(1, nd), i -> qq[i] * i)) AS BIGINT) AS q_checksum
+        FROM q
+    """,
     "x7_minhash_lsh": f"""
         WITH {_JACCARD_CTE},
         sigs AS (

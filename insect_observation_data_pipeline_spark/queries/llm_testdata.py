@@ -81,6 +81,12 @@ def x27_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x28_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column
+    (exact-integer l1/checksum proofs + rounded scale per vector)."""
+    return similarity.quantize_int8(_t(spark, sf_dir, "embeddings"))
+
+
 def x7_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands) candidates verified with exact Jaccard."""
     return dedup.minhash_lsh_dedup(_t(spark, sf_dir, "documents"), threshold=0.2)
@@ -482,6 +488,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x5_fingerprint": x5_fingerprint,
     "x6_ngram_jaccard": x6_ngram_jaccard,
     "x27_jaccard_maxdf": x27_jaccard_maxdf,
+    "x28_quantize_int8": x28_quantize_int8,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,

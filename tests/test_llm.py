@@ -242,6 +242,22 @@ def test_pack_sequences_semantics(spark):
     assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
 
 
+def test_quantize_int8_known_values(spark):
+    """Hand-computed quantization: scale = max|x|, codes HALF_UP, zero
+    vector guarded to scale 1.0 with all-zero codes."""
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = {r["vec_id"]: r for r in similarity.quantize_int8(df).collect()}
+    r1 = out[1]
+    # q = [64, -127, 32]: 63.5 and 31.75 round half-up, -1.0 -> -127
+    assert (r1["scale_q"], r1["n_dims"], r1["q_l1"]) == (1.0, 3, 223)
+    assert r1["q_checksum"] == 64 * 1 - 127 * 2 + 32 * 3
+    r2 = out[2]
+    assert (r2["scale_q"], r2["q_l1"], r2["q_checksum"]) == (1.0, 0, 0)
+
+
 def test_write_training_shards(spark, tmp_path):
     """Shard assignment is content-addressed (identical across reruns and
     partitionings), balanced by hash uniformity, laid out one file per
