@@ -4,9 +4,11 @@ Images/audio/video are opaque ``binary`` columns with a typed metadata
 struct. The Spark-side plumbing (schemas, batch iteration via
 ``mapInPandas``, partition sizing) is real and tested. ``DECODERS`` is
 the codec registry: ``image`` is a real stdlib-only PNG structural
-decoder (signature + IHDR dimensions + CRC); pixel-level work (IDAT
-unfiltering, resampling) is where an imaging library would slot in —
-swap the registry entry without touching the pipeline.
+decoder (signature + IHDR dimensions + CRC) and ``audio`` a real WAV
+RIFF-chunk decoder (fmt + data: rate/channels/frames); sample-level
+work (IDAT unfiltering, resampling, PCM decode) is where an
+imaging/audio library would slot in — swap the registry entry without
+touching the pipeline.
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -50,6 +52,9 @@ FEATURE_SCHEMA = StructType(
         StructField("feature_kind", StringType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
     ]
 )
 
@@ -85,6 +90,40 @@ def _decode_image_png(payload: bytes) -> dict:
     }
 
 
+def _decode_audio_wav(payload: bytes) -> dict:
+    """Real (stdlib-only) WAV structural decode: RIFF/WAVE container walk
+    for the fmt chunk (PCM layout: channels, sample rate, block align)
+    and the data chunk (frame count = data bytes / block align). Sample
+    decode/resample is where an audio library would slot in; the header
+    layer below is what every WAV tool agrees on."""
+    import struct
+
+    b = bytes(payload or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV: bad RIFF/WAVE header")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(b):
+        cid, csize = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        body = b[pos + 8 : pos + 8 + csize]
+        if cid == b"fmt " and csize >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("not a WAV: missing fmt/data chunk")
+    _, n_channels, sample_rate, _, block_align, _ = fmt
+    if n_channels == 0 or sample_rate == 0 or block_align == 0:
+        raise ValueError("WAV: zero channels/rate/block align")
+    return {
+        "n_bytes": len(b),
+        "feature_kind": "wav",
+        "sample_rate": sample_rate,
+        "n_channels": n_channels,
+        "n_frames": data_size // block_align,
+    }
+
+
 def _fake_deterministic_decode(payload: bytes) -> dict:
     """Deterministic fake decoder for tests: derives 'features' from bytes."""
     return {"n_bytes": len(payload or b""), "feature_kind": "fake"}
@@ -92,6 +131,7 @@ def _fake_deterministic_decode(payload: bytes) -> dict:
 
 DECODERS: dict[str, Callable[[bytes], Any]] = {
     "image": _decode_image_png,
+    "audio": _decode_audio_wav,
     "fake": _fake_deterministic_decode,
 }
 
@@ -125,6 +165,9 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                         "feature_kind": feats.get("feature_kind"),
                         "width": feats.get("width"),
                         "height": feats.get("height"),
+                        "sample_rate": feats.get("sample_rate"),
+                        "n_channels": feats.get("n_channels"),
+                        "n_frames": feats.get("n_frames"),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])

@@ -501,6 +501,47 @@ def test_png_decoder_end_to_end(spark):
         ).collect()
 
 
+def test_wav_decoder_end_to_end(spark):
+    """The non-fake DECODERS['audio'] path executes end-to-end through
+    mapInPandas on real WAV bytes built with the stdlib wave module:
+    rate/channels/frames come out of the fmt and data chunks."""
+    import io
+    import wave
+
+    def wav_bytes(rate, channels, frames):
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x00\x00" * channels * frames)
+        return buf.getvalue()
+
+    wa, wb = wav_bytes(16000, 1, 100), wav_bytes(44100, 2, 7)
+    df = spark.createDataFrame(
+        [("a", "audio", bytearray(wa)), ("b", "audio", bytearray(wb))],
+        "media_id string, media_type string, payload binary",
+    )
+    feats = {
+        r["media_id"]: r for r in multimodal.extract_features(df, "audio").collect()
+    }
+    assert feats["a"]["feature_kind"] == "wav"
+    assert (feats["a"]["sample_rate"], feats["a"]["n_channels"]) == (16000, 1)
+    assert feats["a"]["n_frames"] == 100
+    assert (feats["b"]["sample_rate"], feats["b"]["n_channels"]) == (44100, 2)
+    assert feats["b"]["n_frames"] == 7
+    assert feats["a"]["width"] is None  # image fields stay null for audio
+
+    with pytest.raises(Exception):
+        multimodal.extract_features(
+            spark.createDataFrame(
+                [("c", "audio", bytearray(b"RIFFxxxxNOPE"))],
+                "media_id string, media_type string, payload binary",
+            ),
+            "audio",
+        ).collect()
+
+
 def test_resize_plumbing(spark):
     """1-in-1-out Arrow-batched resize: output payload is exactly
     width*height bytes, deterministic across runs."""
