@@ -166,15 +166,15 @@ def minhash_signatures(
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_frame(
     signatures: DataFrame, *, num_hashes: int = 8, bands: int = 4
 ) -> DataFrame:
-    """Banded LSH: docs sharing any band bucket become candidate pairs.
+    """(doc_id, band_idx, band_hash) — one row per doc per LSH band.
 
-    Band hash = md5 of the concatenated signature slice. The bucket join
-    shuffles on (band_idx, band_hash) — only same-bucket docs ever meet,
-    which is what makes near-dup detection sub-quadratic at scale.
-    """
+    Band hash = md5 of the concatenated signature slice. This is the
+    shared bucket-key frame for BOTH dedup shapes: self-join (corpus
+    against itself, :func:`lsh_candidate_pairs`) and cross-join (new
+    batch against an existing corpus, :func:`incremental_dedup`)."""
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -189,7 +189,7 @@ def lsh_candidate_pairs(
         for b in range(bands)
     ]
     banded = signatures.select("doc_id", *band_cols)
-    stacked = banded.select(
+    return banded.select(
         "doc_id",
         F.explode(
             F.array(
@@ -202,6 +202,18 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, *, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Banded LSH: docs sharing any band bucket become candidate pairs.
+
+    The bucket join shuffles on (band_idx, band_hash) — only same-bucket
+    docs ever meet, which is what makes near-dup detection sub-quadratic
+    at scale.
+    """
+    stacked = band_frame(signatures, num_hashes=num_hashes, bands=bands)
     a = stacked.alias("a")
     b = stacked.alias("b")
     return (
@@ -286,6 +298,98 @@ def minhash_lsh_dedup(
         .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup an incoming batch AGAINST an existing corpus — the
+    ingestion-time shape (A vs index), distinct from the self-join
+    corpus dedup: a batch doc is judged, never a corpus doc, and the
+    corpus side would be pre-computed fingerprint/signature INDEX tables
+    in a production pipeline (here derived inline; at 100 TB persist
+    them once and append per batch — every join below is against those
+    two narrow indexes, so daily ingest never rescans corpus text).
+
+    One row per batch doc: (doc_id, keep, reason) with reason
+    'exact' (content fingerprint already in corpus, checked first),
+    'near_dup' (shares an LSH band bucket with a corpus doc AND exact
+    cross-side Jaccard >= threshold), else 'kept'.
+    """
+    fp = fingerprint128(F.col(text_col))
+    b_ids = batch.select(F.col(id_col).alias("doc_id"))
+    b_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
+    c_fp = corpus.select(fp.alias("fp")).distinct()
+    exact = (
+        b_fp.join(c_fp, "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(True))
+    )
+
+    kw = dict(text_col=text_col, id_col=id_col)
+    sig_b = minhash_signatures(batch, num_hashes=num_hashes, shingle_n=shingle_n, **kw)
+    sig_c = minhash_signatures(corpus, num_hashes=num_hashes, shingle_n=shingle_n, **kw)
+    bands_b = band_frame(sig_b, num_hashes=num_hashes, bands=bands).select(
+        F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+    )
+    bands_c = band_frame(sig_c, num_hashes=num_hashes, bands=bands).select(
+        F.col("doc_id").alias("c_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        bands_b.join(bands_c, ["band_idx", "band_hash"])
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    sh_b = doc_shingles(batch, text_col, id_col, shingle_n)
+    sh_c = doc_shingles(corpus, text_col, id_col, shingle_n)
+    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
+    sizes_c = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+    inter = (
+        cands.join(
+            sh_b.select(F.col("doc_id").alias("b_id"), "shingle"), "b_id"
+        )
+        .join(
+            sh_c.select(F.col("doc_id").alias("c_id"), "shingle"),
+            ["c_id", "shingle"],
+        )
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near = (
+        inter.join(sizes_b.select(F.col("doc_id").alias("b_id"), "n_b"), "b_id")
+        .join(sizes_c.select(F.col("doc_id").alias("c_id"), "n_c"), "c_id")
+        .filter(
+            stable_round(
+                F.col("n_inter")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_inter")).cast("double"),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        b_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("__exact").isNull() & F.col("__near").isNull()).alias("keep"),
+            F.when(F.col("__exact"), F.lit("exact"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
     )
 
 

@@ -167,6 +167,57 @@ LLM_ORACLE: dict[str, str] = {
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.2
     """,
+    "x29_incremental_dedup": f"""
+        WITH {_SHINGLES_CTE},
+        sigs AS (
+            SELECT doc_id,
+               {_MINHASH_SIGS}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+{_BANDS_UNION}
+        ),
+        exact AS (
+            SELECT DISTINCT b.doc_id
+            FROM documents b
+            WHERE b.doc_id % 10 = 0 AND EXISTS (
+                SELECT 1 FROM documents c
+                WHERE c.doc_id % 10 <> 0
+                  AND md5({_NORM_TEXT.replace('text', 'c.text')}) =
+                      md5({_NORM_TEXT.replace('text', 'b.text')})
+            )
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS b_id, b.doc_id AS c_id
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+            WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.b_id, c.c_id, count(*) AS n_inter
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.b_id
+            JOIN sh sb ON sb.doc_id = c.c_id AND sb.shingle = sa.shingle
+            GROUP BY 1, 2
+        ),
+        near AS (
+            SELECT DISTINCT i.b_id AS doc_id
+            FROM inter i
+            JOIN sizes sa ON i.b_id = sa.doc_id
+            JOIN sizes sb ON i.c_id = sb.doc_id
+            WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.2
+        )
+        SELECT d.doc_id,
+               (e.doc_id IS NULL AND n.doc_id IS NULL) AS keep,
+               CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                    WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS reason
+        FROM documents d
+        LEFT JOIN exact e ON d.doc_id = e.doc_id
+        LEFT JOIN near n ON d.doc_id = n.doc_id
+        WHERE d.doc_id % 10 = 0
+    """,
     "x28_quantize_int8": """
         WITH v AS (
             SELECT vec_id,

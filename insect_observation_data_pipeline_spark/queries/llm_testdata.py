@@ -81,6 +81,18 @@ def x27_jaccard_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time dedup: the batch (doc_id % 10 == 0) judged against
+    the standing corpus (the other 90%) — exact fingerprint hit, then
+    LSH-candidate + exact-Jaccard verify, per batch doc."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.incremental_dedup(
+        d.filter(F.col("doc_id") % 10 != 0),
+        d.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.2,
+    )
+
+
 def x28_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column
     (exact-integer l1/checksum proofs + rounded scale per vector)."""
@@ -489,6 +501,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x6_ngram_jaccard": x6_ngram_jaccard,
     "x27_jaccard_maxdf": x27_jaccard_maxdf,
     "x28_quantize_int8": x28_quantize_int8,
+    "x29_incremental_dedup": x29_incremental_dedup,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,

@@ -242,6 +242,31 @@ def test_pack_sequences_semantics(spark):
     assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
 
 
+def test_incremental_dedup_reasons(spark):
+    """Batch-vs-corpus dedup: exact fingerprint hit wins over near-dup,
+    shingle-overlap near-dups are caught cross-side, novel docs kept."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different corpus text about spark engines")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "The  quick brown fox jumps over the lazy dog again and again"),
+            (11, base + " with a tiny tail"),
+            (12, "nothing like anything in the corpus at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in dedup.incremental_dedup(corpus, batch, threshold=0.2).collect()
+    }
+    assert out[10] == (False, "exact")  # case/whitespace-normalized fingerprint
+    assert out[11] == (False, "near_dup")
+    assert out[12] == (True, "kept")
+
+
 def test_quantize_int8_known_values(spark):
     """Hand-computed quantization: scale = max|x|, codes HALF_UP, zero
     vector guarded to scale 1.0 with all-zero codes."""
