@@ -57,6 +57,9 @@ EXTENDED_QUERIES = [
     "h1_dup_clusters",
     "e3_sliding_window_stats",
     "m2_media_features",
+    "x27_jaccard_maxdf",
+    "x28_quantize_int8",
+    "x29_incremental_dedup",
 ]
 
 

@@ -325,6 +325,8 @@ def incremental_dedup(
     'near_dup' (shares an LSH band bucket with a corpus doc AND exact
     cross-side Jaccard >= threshold), else 'kept'.
     """
+    from pyspark import StorageLevel
+
     fp = fingerprint128(F.col(text_col))
     b_ids = batch.select(F.col(id_col).alias("doc_id"))
     b_fp = batch.select(F.col(id_col).alias("doc_id"), fp.alias("fp"))
@@ -335,13 +337,34 @@ def incremental_dedup(
         .withColumn("__exact", F.lit(True))
     )
 
-    kw = dict(text_col=text_col, id_col=id_col)
-    sig_b = minhash_signatures(batch, num_hashes=num_hashes, shingle_n=shingle_n, **kw)
-    sig_c = minhash_signatures(corpus, num_hashes=num_hashes, shingle_n=shingle_n, **kw)
-    bands_b = band_frame(sig_b, num_hashes=num_hashes, bands=bands).select(
+    # each side is shingled ONCE and persisted; signatures + set sizes
+    # come out of one aggregation over that frame (the minhash_lsh_dedup
+    # idiom) — these two narrow frames per side ARE the dedup index a
+    # production pipeline would persist and append to
+    sh_b = doc_shingles(batch, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_c = doc_shingles(corpus, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+
+    def sig_sizes(sh: DataFrame) -> DataFrame:
+        return sh.groupBy("doc_id").agg(
+            *[
+                F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
+                    f"minhash_{j}"
+                )
+                for j in range(num_hashes)
+            ],
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+
+    ss_b = sig_sizes(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
+    ss_c = sig_sizes(sh_c).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_b = band_frame(ss_b, num_hashes=num_hashes, bands=bands).select(
         F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
     )
-    bands_c = band_frame(sig_c, num_hashes=num_hashes, bands=bands).select(
+    bands_c = band_frame(ss_c, num_hashes=num_hashes, bands=bands).select(
         F.col("doc_id").alias("c_id"), "band_idx", "band_hash"
     )
     cands = (
@@ -349,10 +372,8 @@ def incremental_dedup(
         .select("b_id", "c_id")
         .distinct()
     )
-    sh_b = doc_shingles(batch, text_col, id_col, shingle_n)
-    sh_c = doc_shingles(corpus, text_col, id_col, shingle_n)
-    sizes_b = sh_b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_b"))
-    sizes_c = sh_c.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_c"))
+    sizes_b = ss_b.select("doc_id", F.col("n_sh").alias("n_b"))
+    sizes_c = ss_c.select("doc_id", F.col("n_sh").alias("n_c"))
     inter = (
         cands.join(
             sh_b.select(F.col("doc_id").alias("b_id"), "shingle"), "b_id"
