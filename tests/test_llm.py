@@ -131,6 +131,36 @@ def test_near_dup_gram_matches_hof(skewed_vectors):
     assert g == h
 
 
+def test_near_dup_kernels_randomized(spark):
+    """Seeded randomized equivalence sweep: 300 vectors across 6 cells
+    with negative components, zero components, exact duplicates, and a
+    low threshold so negative and near-boundary similarities flow
+    through both kernels — outputs must match exactly, capped and
+    uncapped."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(300):
+        vec = [round(rng.uniform(-1, 1), 3) for _ in range(8)]
+        if i % 17 == 0:
+            vec[rng.randrange(8)] = 0.0
+        rows.append((i, vec, i % 6))
+        if i % 29 == 0:  # exact duplicate under a new id
+            rows.append((1000 + i, list(vec), i % 6))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    for cap in (None, 20):
+        hof = similarity.near_dup_pairs(
+            df, threshold=0.05, kernel="hof", max_cell_rows=cap
+        )
+        gram = similarity.near_dup_pairs(
+            df, threshold=0.05, kernel="gram", max_cell_rows=cap
+        )
+        h = sorted((r["a_id"], r["b_id"], r["cosine_sim"]) for r in hof.collect())
+        g = sorted((r["a_id"], r["b_id"], r["cosine_sim"]) for r in gram.collect())
+        assert g == h and len(h) > 50, (cap, len(h))
+
+
 def test_near_dup_salt_groups_in_join_key(skewed_vectors):
     """hof kernel: the salt columns must be IN the shuffle key of the
     self-join, not post-join filters — otherwise the mega-cell still
