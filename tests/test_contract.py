@@ -5,12 +5,21 @@ from __future__ import annotations
 import __spark_entry__ as entrymod
 
 
+# Queries DELIBERATELY without a DuckDB oracle (driver falls back to a
+# rows-only check) — only iterative float algorithms whose fixpoint no
+# SQL replay can reproduce belong here; everything else must have one.
+ROWS_ONLY = {"x30_ann_ivf_kmeans"}
+
+
 def test_keys_match():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     assert set(oracles) <= set(qs), "oracle without query"
     missing = set(qs) - set(oracles)
-    assert not missing, f"queries without oracle (rows-only fallback): {missing}"
+    assert missing == ROWS_ONLY, (
+        f"queries without oracle beyond the sanctioned rows-only set: "
+        f"{missing ^ ROWS_ONLY}"
+    )
 
 
 def test_entry_runs(spark):

@@ -131,6 +131,41 @@ def test_near_dup_gram_matches_hof(skewed_vectors):
     assert g == h
 
 
+def test_kmeans_recovers_separated_clusters(spark):
+    """Lloyd's over three well-separated blobs: every blob lands in one
+    cell, assignments are partitioning-invariant, and k > #blobs leaves
+    the surplus centroid empty without crashing (kept via the guard)."""
+    import random
+
+    rng = random.Random(3)
+    corners = [(10.0, 0.0, 0.0), (0.0, 10.0, 0.0), (0.0, 0.0, 10.0)]
+    rows = [
+        (100 * c + i, [x + rng.uniform(-0.5, 0.5) for x in corner])
+        for c, corner in enumerate(corners)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    cents = similarity.kmeans_fit(df, k=3, iters=3)
+    assign = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.kmeans_assign(df, cents).collect()
+    }
+    blobs = [{assign[100 * c + i] for i in range(40)} for c in range(3)]
+    assert all(len(b) == 1 for b in blobs)  # each blob pure
+    assert len(set().union(*blobs)) == 3  # and in distinct cells
+
+    cents2 = similarity.kmeans_fit(df.repartition(7), k=3, iters=3)
+    assign2 = {
+        r["vec_id"]: r["cell"]
+        for r in similarity.kmeans_assign(df.repartition(5), cents2).collect()
+    }
+    assert assign2 == assign  # deterministic init -> same cells
+
+    cents4 = similarity.kmeans_fit(df, k=4, iters=2)
+    assert cents4.count() == 4  # empty cluster kept, not dropped
+
+
 def test_near_dup_kernels_randomized(spark):
     """Seeded randomized equivalence sweep: 300 vectors across 6 cells
     with negative components, zero components, exact duplicates, and a
