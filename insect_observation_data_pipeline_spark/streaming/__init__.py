@@ -10,6 +10,7 @@ from insect_observation_data_pipeline_spark.streaming.stateful import (
     sessionize_stateful,
 )
 from insect_observation_data_pipeline_spark.streaming.sink import (
+    dedup_ingest_sink,
     keyed_state_sink,
     merge_latest,
 )
@@ -22,6 +23,7 @@ __all__ = [
     "advance_session_state",
     "dedup_stream",
     "sessionize_stateful",
+    "dedup_ingest_sink",
     "keyed_state_sink",
     "merge_latest",
 ]

@@ -44,6 +44,68 @@ def merge_latest(
     return distinct_on(merged, list(keys), order_by)
 
 
+def dedup_ingest_sink(
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+):
+    """``foreachBatch`` handler growing a DEDUPLICATED corpus at ``path``
+    — the streaming form of the training-data ingest loop. Per epoch:
+
+    1. within-batch exact dedup (keeper = min id per content
+       fingerprint) and within-batch near-dedup (MinHash-LSH pairs;
+       the larger id of each verified pair is dropped — pairwise, not
+       transitive closure: cheap, and any surviving chain member still
+       blocks future arrivals via step 2);
+    2. :func:`~insect_observation_data_pipeline_spark.llm.dedup.incremental_dedup`
+       against the standing corpus (exact fingerprint hit, then
+       cross-side LSH candidates verified with exact Jaccard);
+    3. append the survivors.
+
+    Append is not idempotent, but the pipeline is EFFECTIVELY
+    exactly-once under epoch replay: a replayed doc is an exact
+    fingerprint duplicate of the copy the first delivery appended, so
+    step 2 drops it. At 100 TB the corpus read in step 2 is the
+    fingerprint/signature index scan described in incremental_dedup —
+    persist those two narrow frames next to the corpus and append to
+    them in step 3 instead of re-deriving from text."""
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        exact_groups,
+        incremental_dedup,
+        minhash_lsh_dedup,
+    )
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keepers = exact_groups(batch_df, text_col, id_col).select(
+            F.col("keeper_id").alias(id_col)
+        )
+        batch = batch_df.join(keepers, id_col, "left_semi")
+        near_losers = (
+            minhash_lsh_dedup(batch, text_col=text_col, id_col=id_col,
+                              threshold=threshold)
+            .select(F.col("doc_b").alias(id_col))
+            .distinct()
+        )
+        batch = batch.join(near_losers, id_col, "left_anti")
+        if os.path.exists(path):
+            corpus = spark.read.parquet(path)
+            kept = (
+                incremental_dedup(
+                    corpus, batch,
+                    text_col=text_col, id_col=id_col, threshold=threshold,
+                )
+                .filter(F.col("keep"))
+                .select(F.col("doc_id").alias(id_col))
+            )
+            batch = batch.join(kept, id_col, "left_semi")
+        batch.write.mode("append").parquet(path)
+
+    return handle
+
+
 def keyed_state_sink(
     path: str,
     keys: list[str],

@@ -227,6 +227,56 @@ def test_dedup_stream_removes_duplicates(spark, tmp_path):
     assert dedup_stream(spark.read.parquet(src)).count() == distinct
 
 
+def test_dedup_ingest_sink_grows_clean_corpus(spark, tmp_path):
+    """Streaming ingest dedup: within-batch exact + near dups collapse,
+    later epochs are judged against the corpus the earlier ones built,
+    and the survivors are the same whether the files arrive as one epoch
+    or several (min-id keeper == first-arrival keeper by construction)."""
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    base1 = "the quick brown fox jumps over the lazy dog again and again"
+    base3 = "completely different corpus text about spark engines at scale"
+    uniq6 = "nothing like anything else in this tiny stream at all honestly"
+    src = str(tmp_path / "incoming")
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [
+            (1, base1),
+            (2, base1 + " with a tiny tail"),  # within-batch near-dup of 1
+            (3, base3),
+        ],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    spark.createDataFrame(
+        [
+            (4, "The  quick brown fox jumps over the lazy dog again and again"),
+            (5, base3 + " plus one more word"),  # near-dup of corpus doc 3
+            (6, uniq6),
+        ],
+        "doc_id long, text string",
+    ).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)  # several epochs
+        .load(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(dedup_ingest_sink(corpus, threshold=0.2))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    # exactly one survivor per duplicate group, whichever arrived first
+    # (file mtime ties make epoch order environment-dependent)
+    assert len(ids) == 3 and 6 in ids
+    assert len(ids & {1, 2, 4}) == 1  # base1 family: near + exact dups
+    assert len(ids & {3, 5}) == 1  # base3 family: near dup
+
+
 def test_keyed_state_sink_matches_batch_upsert(spark, tmp_path):
     """foreachBatch keyed-state sink on a multi-epoch replay == the u1
     batch upsert recompute — order-aware merge, so file delivery order
