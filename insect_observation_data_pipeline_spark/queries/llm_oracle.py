@@ -167,6 +167,16 @@ LLM_ORACLE: dict[str, str] = {
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.2
     """,
+    "x31_corpus_summary": f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(count(DISTINCT md5({_NORM_TEXT})) AS BIGINT) AS n_unique_docs,
+               CAST(count(*) - count(DISTINCT md5({_NORM_TEXT})) AS BIGINT) AS n_exact_dup_docs,
+               CAST(min(len({_TOKS})) AS INTEGER) AS min_tokens,
+               CAST(max(len({_TOKS})) AS INTEGER) AS max_tokens
+        FROM documents
+    """,
     "x29_incremental_dedup": f"""
         WITH {_SHINGLES_CTE},
         sigs AS (

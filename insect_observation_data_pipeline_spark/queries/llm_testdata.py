@@ -93,6 +93,27 @@ def x29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x31_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus card: one global-aggregate row of the dataset-report
+    numbers (doc/token volume, language spread, exact-dup rate). A
+    single partial-aggregated pass — the shuffle carries one row per
+    partition, so the same query is the 100 TB corpus report."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        textstats.token_count(F.col("text")).alias("n_toks"),
+        F.col("lang"),
+        textstats.fingerprint128(F.col("text")).alias("fp"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("n_toks").cast("bigint")).alias("total_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        F.countDistinct("fp").cast("bigint").alias("n_unique_docs"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).alias("n_exact_dup_docs"),
+        F.min("n_toks").cast("int").alias("min_tokens"),
+        F.max("n_toks").cast("int").alias("max_tokens"),
+    )
+
+
 def x30_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over REAL trained cells: deterministic-init Lloyd's k-means
     fits 8 centroids on the candidate vectors, assignment replaces the
@@ -520,6 +541,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x28_quantize_int8": x28_quantize_int8,
     "x29_incremental_dedup": x29_incremental_dedup,
     "x30_ann_ivf_kmeans": x30_ann_ivf_kmeans,
+    "x31_corpus_summary": x31_corpus_summary,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,
