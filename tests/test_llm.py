@@ -382,6 +382,42 @@ def test_write_training_shards(spark, tmp_path):
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(a)
 
 
+def test_pack_then_shard_composition(spark, tmp_path):
+    """The training-prep tail composes: pack docs to 2048-token budgets,
+    shard on the (stratum, pack) key — every pack lands whole in exactly
+    one shard file, and the round trip loses nothing."""
+    import glob
+
+    from insect_observation_data_pipeline_spark.llm.curation import (
+        pack_sequences,
+        write_training_shards,
+    )
+
+    docs = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("l"), (F.col("id") % 3).cast("string")).alias("lang"),
+        (F.pmod(F.col("id") * 37, F.lit(400)) + 1).cast("int").alias("n_tokens"),
+    )
+    packed = pack_sequences(docs, token_col="n_tokens", budget=2048, strata_col="lang")
+    keyed = packed.withColumn(
+        "pack_key", F.concat_ws("|", "lang", F.col("pack_id").cast("string"))
+    )
+    out = str(tmp_path / "packshards")
+    write_training_shards(keyed, out, key_col="pack_key", n_shards=4, sort_by=("doc_id",))
+
+    back = spark.read.parquet(out)
+    assert back.count() == 2000
+    # every pack wholly inside one shard
+    split_packs = (
+        back.groupBy("pack_key")
+        .agg(F.countDistinct("shard").alias("n_shards"))
+        .filter(F.col("n_shards") > 1)
+        .count()
+    )
+    assert split_packs == 0
+    assert len(glob.glob(out + "/shard=*")) == 4
+
+
 def test_pack_sequences_invariants_at_volume(spark):
     """Packing invariants on 5k hash-random docs: per stratum, offsets
     are the exact running total in order, every doc's start offset lies

@@ -26,6 +26,33 @@ def test_session_fold_is_split_invariant(ts, cut):
     assert split == whole
 
 
+@given(
+    st.lists(
+        st.floats(
+            min_value=-2.0, max_value=2.0, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.integers(min_value=0, max_value=6),
+)
+@settings(max_examples=300, deadline=None)
+def test_numpy_stable_round_matches_scalar_formula(xs, digits):
+    """The gram kernel replicates stable_round in vectorized numpy; both
+    are the same IEEE-754 ops, so they must agree bit-for-bit on every
+    input — this is what makes the numpy pair kernel oracle-safe."""
+    import numpy as np
+
+    s = float(10**digits)
+    a = np.asarray(xs, dtype=np.float64)
+    vec = np.floor(np.abs(a) * s + 0.5) / s * np.where(a < 0, -1.0, 1.0) + 0.0
+    import math
+
+    for x, got in zip(xs, vec):
+        want = math.floor(abs(x) * s + 0.5) / s * (-1.0 if x < 0 else 1.0) + 0.0
+        assert got == want
+
+
 @given(ts_lists)
 @settings(max_examples=200, deadline=None)
 def test_session_counts_bounds(ts):
