@@ -60,6 +60,7 @@ EXTENDED_QUERIES = [
     "x27_jaccard_maxdf",
     "x28_quantize_int8",
     "x29_incremental_dedup",
+    "x31_corpus_summary",
 ]
 
 
