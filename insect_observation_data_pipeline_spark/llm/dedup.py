@@ -139,6 +139,56 @@ def jaccard_pairs(
     )
 
 
+def containment_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """DIRECTED near-dup: containment(A in B) = |A ∩ B| / |A| over n-gram
+    shingle sets — the inclusion detector symmetric Jaccard misses (a
+    100-token doc quoted whole inside a 10k-token doc scores Jaccard
+    ~0.01 but containment 1.0; the standard dedup policy drops the
+    contained side). Same shingle self-join shape and scale posture as
+    :func:`jaccard_pairs`, including the optional ``max_df`` join-side
+    stop-shingle guard (containment then a lower bound); emits ORDERED
+    pairs (doc_a, doc_b, containment) = "doc_a is contained in doc_b",
+    both directions scored independently.
+    """
+    sh = doc_shingles(docs, text_col, id_col, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    join_sh = sh
+    if max_df is not None:
+        dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        join_sh = (
+            sh.join(dfreq.filter(F.col("__df") <= max_df), "shingle")
+            .select("doc_id", "shingle")
+        )
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+               & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    return (
+        inter.join(sa, "doc_a")
+        .withColumn(
+            "containment",
+            stable_round(F.col("n_inter") / F.col("n_a").cast("double"), 4),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

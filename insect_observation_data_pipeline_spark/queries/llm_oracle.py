@@ -167,6 +167,21 @@ LLM_ORACLE: dict[str, str] = {
         JOIN sizes sb ON i.doc_b = sb.doc_id
         WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.2
     """,
+    "x32_containment": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT i.doc_a, i.doc_b,
+               ((floor(abs(i.n_inter / CAST(sa.n_sh AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS containment
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        WHERE ((floor(abs(i.n_inter / CAST(sa.n_sh AS DOUBLE)) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (i.n_inter / CAST(sa.n_sh AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) >= 0.6
+    """,
     "x31_corpus_summary": f"""
         SELECT CAST(count(*) AS BIGINT) AS n_docs,
                CAST(sum(len({_TOKS})) AS BIGINT) AS total_tokens,

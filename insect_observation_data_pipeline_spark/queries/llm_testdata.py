@@ -93,6 +93,14 @@ def x29_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x32_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed shingle containment >= 0.6 — inclusion/quotation
+    detection that symmetric Jaccard misses."""
+    return dedup.containment_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def x31_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus card: one global-aggregate row of the dataset-report
     numbers (doc/token volume, language spread, exact-dup rate). A
@@ -542,6 +550,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x29_incremental_dedup": x29_incremental_dedup,
     "x30_ann_ivf_kmeans": x30_ann_ivf_kmeans,
     "x31_corpus_summary": x31_corpus_summary,
+    "x32_containment": x32_containment,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,

@@ -307,6 +307,37 @@ def test_pack_sequences_semantics(spark):
     assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
 
 
+def test_containment_directed_semantics(docs_small_containment):
+    """A short doc quoted whole inside a long one: containment(A in B)
+    is 1.0 while the reverse direction scores low — the inclusion case
+    symmetric Jaccard misses entirely."""
+    out = {
+        (r["doc_a"], r["doc_b"]): r["containment"]
+        for r in dedup.containment_pairs(
+            docs_small_containment, threshold=0.05
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # every shingle of 1 inside 2
+    assert out[(2, 1)] < 0.5  # long doc barely contained in short one
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(
+            docs_small_containment, threshold=0.0
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.5  # symmetric score buries the inclusion
+
+
+@pytest.fixture(scope="module")
+def docs_small_containment(spark):
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} filler{i} token{i}" for i in range(12))
+    return spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)],
+        "doc_id long, text string",
+    )
+
+
 def test_incremental_dedup_reasons(spark):
     """Batch-vs-corpus dedup: exact fingerprint hit wins over near-dup,
     shingle-overlap near-dups are caught cross-side, novel docs kept."""
