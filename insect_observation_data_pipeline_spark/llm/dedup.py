@@ -464,6 +464,143 @@ def incremental_dedup(
     )
 
 
+def build_dedup_index(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """One narrow index row per doc: (doc_id, fp, minhash_0..k-1, n_sh).
+
+    This is the persisted corpus-side state of incremental dedup: exact
+    checks hit ``fp``, LSH candidates come from the signature columns,
+    and ``n_sh`` completes the Jaccard denominator — so the per-batch
+    ingest path below never rescans corpus TEXT except for the few
+    candidate docs it must verify. Append the kept batch's index rows
+    after every ingest (see ``streaming.sink.dedup_ingest_sink``)."""
+    sh = doc_shingles(docs, text_col, id_col, shingle_n)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
+                f"minhash_{j}"
+            )
+            for j in range(num_hashes)
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
+    )
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"),
+        fingerprint128(F.col(text_col)).alias("fp"),
+    )
+    # left join: a doc too short to shingle still gets an exact-dedup row
+    return fp.join(sig, "doc_id", "left")
+
+
+def incremental_dedup_indexed(
+    index: DataFrame,
+    corpus: DataFrame,
+    batch: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.2,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """:func:`incremental_dedup` against a PRE-BUILT corpus index — the
+    shape that holds at 100 TB: the only full scans are the narrow index
+    and the batch; corpus TEXT is read just for the docs that became LSH
+    candidates (semi-join pushdown into the corpus scan), so per-batch
+    cost tracks batch size + candidate count, not corpus size.
+
+    ``index`` must be :func:`build_dedup_index` output for ``corpus``
+    (same hash/band/shingle parameters). Same output contract:
+    (doc_id, keep, reason)."""
+    from pyspark import StorageLevel
+
+    b_ids = batch.select(F.col(id_col).alias("doc_id"))
+    b_fp = batch.select(
+        F.col(id_col).alias("doc_id"), fingerprint128(F.col(text_col)).alias("fp")
+    )
+    exact = (
+        b_fp.join(index.select("fp").distinct(), "fp", "left_semi")
+        .select("doc_id")
+        .withColumn("__exact", F.lit(True))
+    )
+
+    sh_b = doc_shingles(batch, text_col, id_col, shingle_n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    ss_b = sh_b.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
+                f"minhash_{j}"
+            )
+            for j in range(num_hashes)
+        ],
+        F.count(F.lit(1)).alias("n_sh"),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    bands_b = band_frame(ss_b, num_hashes=num_hashes, bands=bands).select(
+        F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
+    )
+    idx_sig = index.filter(F.col("n_sh").isNotNull())
+    bands_c = band_frame(idx_sig, num_hashes=num_hashes, bands=bands).select(
+        F.col("doc_id").alias("c_id"), "band_idx", "band_hash"
+    )
+    cands = (
+        bands_b.join(bands_c, ["band_idx", "band_hash"])
+        .select("b_id", "c_id")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # shingle ONLY the candidate corpus docs (the scan-pruning payoff)
+    corpus_cand = corpus.join(
+        cands.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    sh_c = doc_shingles(corpus_cand, text_col, id_col, shingle_n)
+    inter = (
+        cands.join(sh_b.select(F.col("doc_id").alias("b_id"), "shingle"), "b_id")
+        .join(
+            sh_c.select(F.col("doc_id").alias("c_id"), "shingle"),
+            ["c_id", "shingle"],
+        )
+        .groupBy("b_id", "c_id")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    near = (
+        inter.join(ss_b.select(F.col("doc_id").alias("b_id"),
+                               F.col("n_sh").alias("n_b")), "b_id")
+        .join(idx_sig.select(F.col("doc_id").alias("c_id"),
+                             F.col("n_sh").alias("n_c")), "c_id")
+        .filter(
+            stable_round(
+                F.col("n_inter")
+                / (F.col("n_b") + F.col("n_c") - F.col("n_inter")).cast("double"),
+                4,
+            )
+            >= threshold
+        )
+        .select(F.col("b_id").alias("doc_id"))
+        .distinct()
+        .withColumn("__near", F.lit(True))
+    )
+    return (
+        b_ids.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("__exact").isNull() & F.col("__near").isNull()).alias("keep"),
+            F.when(F.col("__exact"), F.lit("exact"))
+            .when(F.col("__near"), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

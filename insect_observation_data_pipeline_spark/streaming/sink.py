@@ -67,15 +67,24 @@ def dedup_ingest_sink(
     Append is not idempotent, but the pipeline is EFFECTIVELY
     exactly-once under epoch replay: a replayed doc is an exact
     fingerprint duplicate of the copy the first delivery appended, so
-    step 2 drops it. At 100 TB the corpus read in step 2 is the
-    fingerprint/signature index scan described in incremental_dedup —
-    persist those two narrow frames next to the corpus and append to
-    them in step 3 instead of re-deriving from text."""
+    step 2 drops it.
+
+    The corpus-side state is the NARROW dedup index maintained at
+    ``<path>__index`` (``build_dedup_index`` rows: fingerprint +
+    minhash signature + shingle count per doc, appended with each
+    epoch's survivors). Step 2 runs against that index
+    (``incremental_dedup_indexed``), so per epoch the only full scans
+    are the batch and the index — corpus TEXT is read just for the LSH
+    candidate docs that need exact-Jaccard verification. That is what
+    keeps epoch cost ~ batch size as the corpus grows to 100 TB."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
+        build_dedup_index,
         exact_groups,
-        incremental_dedup,
+        incremental_dedup_indexed,
         minhash_lsh_dedup,
     )
+
+    index_path = f"{path}__index"
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -92,16 +101,22 @@ def dedup_ingest_sink(
         batch = batch.join(near_losers, id_col, "left_anti")
         if os.path.exists(path):
             corpus = spark.read.parquet(path)
+            index = spark.read.parquet(index_path)
             kept = (
-                incremental_dedup(
-                    corpus, batch,
+                incremental_dedup_indexed(
+                    index, corpus, batch,
                     text_col=text_col, id_col=id_col, threshold=threshold,
                 )
                 .filter(F.col("keep"))
                 .select(F.col("doc_id").alias(id_col))
             )
             batch = batch.join(kept, id_col, "left_semi")
+        batch = batch.persist()
         batch.write.mode("append").parquet(path)
+        build_dedup_index(batch, text_col=text_col, id_col=id_col).write.mode(
+            "append"
+        ).parquet(index_path)
+        batch.unpersist()
 
     return handle
 

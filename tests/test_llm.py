@@ -307,6 +307,29 @@ def test_pack_sequences_semantics(spark):
     assert got == {1: (0, 0), 2: (60, 0), 3: (110, 1), 4: (0, 0)}
 
 
+def test_incremental_dedup_indexed_matches_plain(spark):
+    """The pre-built-index path must reproduce the plain path exactly on
+    the x29 split of the real testdata — including exact-vs-near reason
+    priority and shingle-less short docs (index rows with null n_sh)."""
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = d.filter(F.col("doc_id") % 10 != 0)
+    batch = d.filter(F.col("doc_id") % 10 == 0)
+    plain = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in dedup.incremental_dedup(corpus, batch, threshold=0.2).collect()
+    }
+    index = dedup.build_dedup_index(corpus)
+    indexed = {
+        r["doc_id"]: (r["keep"], r["reason"])
+        for r in dedup.incremental_dedup_indexed(
+            index, corpus, batch, threshold=0.2
+        ).collect()
+    }
+    assert indexed == plain and len(plain) > 0
+
+
 def test_containment_directed_semantics(docs_small_containment):
     """A short doc quoted whole inside a long one: containment(A in B)
     is 1.0 while the reverse direction scores low — the inclusion case

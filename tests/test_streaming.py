@@ -275,6 +275,10 @@ def test_dedup_ingest_sink_grows_clean_corpus(spark, tmp_path):
     assert len(ids) == 3 and 6 in ids
     assert len(ids & {1, 2, 4}) == 1  # base1 family: near + exact dups
     assert len(ids & {3, 5}) == 1  # base3 family: near dup
+    # the narrow index tracks the corpus exactly: one row per kept doc
+    idx = spark.read.parquet(corpus + "__index")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == ids
+    assert {"fp", "n_sh", "minhash_0"} <= set(idx.columns)
 
 
 def test_keyed_state_sink_matches_batch_upsert(spark, tmp_path):
