@@ -526,6 +526,25 @@ def kmeans_fit(
     return cents
 
 
+def round_centroids(centroids: DataFrame, digits: int = 6) -> DataFrame:
+    """Element-wise :func:`stable_round` of a (cell, centroid) frame.
+
+    Trained centroids are cross-row float means, so their low bits are
+    partition-order noise (see :func:`kmeans_fit`'s float caveat).
+    Rounding each component at ``digits`` (default 1e-6, ~1e7x the
+    accumulation error of averaging a few thousand doubles) snaps every
+    run/engine/partitioning to the same centroid values, which makes
+    every DOWNSTREAM consumer (assignment, IVF routing, probe scoring)
+    deterministic — the same trick x24 uses (``centroid_digits``).
+    Apply before persisting a trained model or pinning an oracle."""
+    return centroids.select(
+        "cell",
+        F.transform(
+            F.col("centroid"), lambda x: stable_round(x, digits)
+        ).alias("centroid"),
+    )
+
+
 def _assign_cells(v: DataFrame, cents: DataFrame) -> DataFrame:
     """(_id, cell): nearest centroid by squared L2, id-stable tiebreak."""
     d2 = F.aggregate(

@@ -791,3 +791,35 @@ assert LLM_ORACLE["x10_ann_ivf"].count("WHERE rn = 1") == 1
 LLM_ORACLE["x26_ann_ivf_probe4"] = LLM_ORACLE["x10_ann_ivf"].replace(
     "WHERE rn = 1", "WHERE rn <= 4"
 )
+
+LLM_ORACLE["x30_ann_ivf_kmeans"] = """
+    -- PINNED oracle: x30's Lloyd's-trained IVF is an iterative float
+    -- algorithm no single SQL query expresses, but its output IS
+    -- deterministic: centroids are snapped at 1e-6 (round_centroids)
+    -- before assignment, making the result stable across engines,
+    -- partitionings and reruns (asserted under repartition(3)/(7) in
+    -- tests/test_llm.py::test_x30_stable_under_repartitioning). These
+    -- literal rows are that verified sf0.01 output; any drift in the
+    -- trainer, the rounding, or the IVF probe path breaks the hash.
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id,
+           CAST(cosine_sim AS DOUBLE) AS cosine_sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM (VALUES
+        (0, 365, 0.37, 1),
+        (0, 387, 0.3311, 2),
+        (0, 423, 0.2969, 3),
+        (1, 386, 0.3715, 1),
+        (1, 195, 0.3227, 2),
+        (1, 402, 0.2923, 3),
+        (2, 117, 0.3181, 1),
+        (2, 450, 0.2663, 2),
+        (2, 145, 0.2635, 3),
+        (3, 149, 0.3299, 1),
+        (3, 343, 0.3085, 2),
+        (3, 231, 0.2988, 3),
+        (4, 280, 0.2798, 1),
+        (4, 249, 0.2796, 2),
+        (4, 89, 0.266, 3)
+    ) AS t(query_id, neighbor_id, cosine_sim, rank)
+"""

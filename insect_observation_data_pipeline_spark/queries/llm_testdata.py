@@ -126,12 +126,20 @@ def x30_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF over REAL trained cells: deterministic-init Lloyd's k-means
     fits 8 centroids on the candidate vectors, assignment replaces the
     testdata label column, then the standard nprobe=2 IVF top-3 runs on
-    those cells. No DuckDB oracle by design (iterative float algorithm);
-    the driver records the rows-only check and
-    tests/test_llm.py::test_kmeans_recovers_separated_clusters pins the
-    trainer's semantics."""
+    those cells.
+
+    The trained centroids are snapped with ``round_centroids`` (1e-6 —
+    the x24 ``centroid_digits`` trick) before assignment, so the cell
+    layout and therefore the whole query output is engine- and
+    partitioning-stable (asserted under repartition(3)/repartition(7) in
+    tests/test_llm.py::test_x30_stable_under_repartitioning). That
+    stability is what lets the oracle be PINNED: the DuckDB side is a
+    literal VALUES table generated from the verified output at sf0.01
+    (Lloyd's iterations themselves are not expressible in one SQL query;
+    the trainer's semantics are pinned by
+    tests/test_llm.py::test_kmeans_recovers_separated_clusters)."""
     q, c = _emb_split(spark, sf_dir)
-    cents = similarity.kmeans_fit(c, k=8, iters=2)
+    cents = similarity.round_centroids(similarity.kmeans_fit(c, k=8, iters=2))
     cells = similarity.kmeans_assign(c, cents)
     trained = c.join(cells, "vec_id")
     return similarity.ivf_topk(
