@@ -12,7 +12,14 @@ $SPARK_GRAFT_BENCH_N times (default 5) in round-robin passes — order
 bias and GC spikes average out — and the reported number is the
 per-query MEDIAN, so run-to-run noise can't masquerade as a
 regression. ``deltas_vs_prev`` is this run / the latest committed
-BENCH_r*.json per query (>1 = slower than last round).
+BENCH_r*.json per query (>1 = slower than last round);
+``deltas_calib_normalized`` divides that by the calibration-probe drift
+so machine-speed changes don't read as plan regressions.
+
+Fault isolation: every query runs under try/except — a red query lands
+in ``errors`` with its exception and the rest of the suite still times
+and reports (a bench artifact with zero timings because one query threw
+is worse than a partial one).
 """
 
 from __future__ import annotations
@@ -23,6 +30,7 @@ import os
 import statistics
 import sys
 import time
+import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -85,19 +93,58 @@ def calibration_sec(spark, n_runs: int = 3) -> float:
     return round(statistics.median(samples), 3)
 
 
-def _prev_bench() -> dict[str, float]:
-    """Per-query timings from the latest committed BENCH_r*.json."""
+def _prev_bench() -> dict:
+    """Parsed JSON body of the latest committed BENCH_r*.json."""
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
-    if not files:
-        return {}
-    try:
-        with open(files[-1]) as f:
-            d = json.load(f)
+    for path in reversed(files):
+        try:
+            with open(path) as f:
+                d = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
         # the driver wraps bench.py's JSON line under "parsed"
-        return d.get("queries") or d.get("parsed", {}).get("queries", {})
-    except (OSError, json.JSONDecodeError):
-        return {}
+        body = d if d.get("queries") else d.get("parsed") or {}
+        if body.get("queries"):
+            return body
+    return {}
+
+
+def time_set(
+    spark,
+    sf_dir: str,
+    names: list[str],
+    n_passes: int,
+    errors: dict[str, str],
+) -> dict[str, float]:
+    """Warm + time each query in round-robin passes; medians. A query
+    that throws (warmup or timed pass) is recorded in ``errors`` and
+    excluded from further passes — the rest keep running."""
+    live = []
+    for name in names:
+        try:
+            run_once(QUERIES[name](spark, sf_dir))
+            live.append(name)
+        except Exception as e:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            traceback.print_exc(limit=2, file=sys.stderr)
+    samples: dict[str, list[float]] = {name: [] for name in live}
+    for _ in range(n_passes):
+        for name in list(live):
+            t0 = time.time()
+            try:
+                run_once(QUERIES[name](spark, sf_dir))
+            except Exception as e:  # noqa: BLE001
+                errors[name] = f"{type(e).__name__}: {e}"[:300]
+                live.remove(name)
+                samples.pop(name, None)
+                continue
+            samples[name].append(time.time() - t0)
+    return {
+        name: round(statistics.median(ts), 3)
+        for name, ts in samples.items()
+        if ts
+    }
 
 
 def main() -> None:
@@ -107,41 +154,27 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warmup: one untimed pass over the full set (JIT, codegen compile,
-    # parquet footer caches) so timings measure steady-state execution
-    for name in BENCH_QUERIES:
-        run_once(QUERIES[name](spark, sf_dir))
+    errors: dict[str, str] = {}
+    timings = time_set(spark, sf_dir, BENCH_QUERIES, n_runs, errors)
+    ext_timings = time_set(
+        spark, sf_dir, EXTENDED_QUERIES, min(3, n_runs), errors
+    )
 
-    samples: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
-    for _ in range(n_runs):
-        for name in BENCH_QUERIES:
-            t0 = time.time()
-            run_once(QUERIES[name](spark, sf_dir))
-            samples[name].append(time.time() - t0)
-    timings = {
-        name: round(statistics.median(ts), 3) for name, ts in samples.items()
-    }
-
-    # extended set: warm once, 3 timed round-robin passes, medians
-    ext_samples: dict[str, list[float]] = {n: [] for n in EXTENDED_QUERIES}
-    for name in EXTENDED_QUERIES:
-        run_once(QUERIES[name](spark, sf_dir))
-    for _ in range(min(3, n_runs)):
-        for name in EXTENDED_QUERIES:
-            t0 = time.time()
-            run_once(QUERIES[name](spark, sf_dir))
-            ext_samples[name].append(time.time() - t0)
-    ext_timings = {
-        name: round(statistics.median(ts), 3) for name, ts in ext_samples.items()
-    }
-
-    prev = _prev_bench()
-    deltas = {
-        name: round(timings[name] / prev[name], 3)
-        for name in timings
-        if prev.get(name)
-    }
     calib = calibration_sec(spark)
+    prev = _prev_bench()
+    prev_q = prev.get("queries", {})
+    deltas = {
+        name: round(timings[name] / prev_q[name], 3)
+        for name in timings
+        if prev_q.get(name)
+    }
+    prev_calib = prev.get("calib_sec")
+    calib_drift = round(calib / prev_calib, 3) if prev_calib else None
+    deltas_norm = (
+        {n: round(d / calib_drift, 3) for n, d in deltas.items()}
+        if calib_drift
+        else {}
+    )
 
     print(
         json.dumps(
@@ -154,8 +187,11 @@ def main() -> None:
                 "n": n_runs,
                 "deltas_vs_prev": deltas,
                 "calib_sec": calib,
+                "calib_drift_vs_prev": calib_drift,
+                "deltas_calib_normalized": deltas_norm,
                 "extended_queries": ext_timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
+                "errors": errors,
             }
         )
     )

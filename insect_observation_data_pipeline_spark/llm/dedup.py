@@ -498,6 +498,25 @@ def build_dedup_index(
     return fp.join(sig, "doc_id", "left")
 
 
+def build_band_index(
+    index: DataFrame, *, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """Pre-exploded LSH band rows for a :func:`build_dedup_index` frame:
+    (doc_id, band_idx, band_hash), one row per shingleable doc per band.
+
+    Persisting THIS frame (bucketed on the band key — see
+    ``streaming.sink.dedup_ingest_sink``) is what makes the per-epoch
+    candidate join shuffle-free on the corpus side: the explode and the
+    band hashing are paid once at index-build time instead of on every
+    ingest epoch, and a bucket-aligned scan replaces the re-shuffle of
+    the ever-growing index."""
+    return band_frame(
+        index.filter(F.col("n_sh").isNotNull()),
+        num_hashes=num_hashes,
+        bands=bands,
+    )
+
+
 def incremental_dedup_indexed(
     index: DataFrame,
     corpus: DataFrame,
@@ -509,6 +528,7 @@ def incremental_dedup_indexed(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    band_index: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`incremental_dedup` against a PRE-BUILT corpus index — the
     shape that holds at 100 TB: the only full scans are the narrow index
@@ -517,16 +537,22 @@ def incremental_dedup_indexed(
     cost tracks batch size + candidate count, not corpus size.
 
     ``index`` must be :func:`build_dedup_index` output for ``corpus``
-    (same hash/band/shingle parameters). Same output contract:
-    (doc_id, keep, reason)."""
+    (same hash/band/shingle parameters). ``band_index``, when given,
+    must be :func:`build_band_index` output for the same index; the
+    candidate join then uses it directly instead of re-deriving band
+    hashes — with the band index persisted bucketed on
+    (band_idx, band_hash) the join needs no shuffle of the corpus side
+    at all. Same output contract: (doc_id, keep, reason)."""
     from pyspark import StorageLevel
 
     b_ids = batch.select(F.col(id_col).alias("doc_id"))
     b_fp = batch.select(
         F.col(id_col).alias("doc_id"), fingerprint128(F.col(text_col)).alias("fp")
     )
+    # semi join needs no distinct on the right side — and skipping it
+    # keeps the index scan shuffle-free (bucketed-on-fp persisted form)
     exact = (
-        b_fp.join(index.select("fp").distinct(), "fp", "left_semi")
+        b_fp.join(index.select("fp"), "fp", "left_semi")
         .select("doc_id")
         .withColumn("__exact", F.lit(True))
     )
@@ -547,9 +573,11 @@ def incremental_dedup_indexed(
         F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
     )
     idx_sig = index.filter(F.col("n_sh").isNotNull())
-    bands_c = band_frame(idx_sig, num_hashes=num_hashes, bands=bands).select(
-        F.col("doc_id").alias("c_id"), "band_idx", "band_hash"
-    )
+    bands_c = (
+        band_index
+        if band_index is not None
+        else band_frame(idx_sig, num_hashes=num_hashes, bands=bands)
+    ).select(F.col("doc_id").alias("c_id"), "band_idx", "band_hash")
     cands = (
         bands_b.join(bands_c, ["band_idx", "band_hash"])
         .select("b_id", "c_id")

@@ -476,8 +476,14 @@ def e4_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (>10 min idle starts a new session)."""
     e = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    # NTZ-safe: parquet timestamps may arrive as TIMESTAMP_NTZ (Spark 4.x
+    # infers non-UTC-adjusted files as NTZ); unix_micros only accepts
+    # TIMESTAMP, and with the session tz pinned to UTC the cast is a
+    # no-op on the wall-clock value — and any fixed offset cancels in the
+    # gap difference regardless.
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    gap = F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w))
     tagged = e.withColumn(
         "new_session", F.when(gap > 600 * 1_000_000, 1).otherwise(0)
     )

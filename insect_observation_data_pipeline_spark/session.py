@@ -49,6 +49,13 @@ def get_spark(
             shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
         ),
         "spark.sql.session.timeZone": "UTC",
+        # Parquet files written without the UTC-adjusted flag are inferred
+        # as TIMESTAMP_NTZ by Spark 4.x; that type is rejected by
+        # unix_micros and by withWatermark (streaming event time). With
+        # the session tz pinned to UTC the instant semantics are
+        # identical, so keep the classic TIMESTAMP inference for a stable
+        # dtype contract across driver environments.
+        "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
         "spark.sql.execution.arrow.pyspark.enabled": "true",
         # Parquet scans: vectorized reader + pushdown are on by default;
         # keep splits big enough that sf0.1 files don't over-partition.

@@ -162,6 +162,7 @@ def write_bucketed(
     num_buckets: int = 32,
     sort_by: tuple[str, ...] = (),
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
     """Write a managed table hash-bucketed on the join/agg key.
 
@@ -171,8 +172,15 @@ def write_bucketed(
     100 TB, where broadcasting is impossible and a per-query shuffle of
     the big side dominates runtime. ``sort_by`` additionally pre-sorts
     within buckets, letting sort-merge join skip its sort.
+
+    ``path`` makes the table EXTERNAL at that location (the data
+    outlives the metastore — the shape for incrementally-grown state
+    like the streaming dedup index, where each epoch appends bucketed
+    files and every later join reads them bucket-aligned).
     """
     writer = df.write.bucketBy(num_buckets, *bucket_by)
     if sort_by:
         writer = writer.sortBy(*sort_by)
+    if path is not None:
+        writer = writer.option("path", path)
     writer.mode(mode).format("parquet").saveAsTable(table)

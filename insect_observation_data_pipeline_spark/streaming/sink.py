@@ -24,6 +24,7 @@ the state store instead of the warehouse.
 
 from __future__ import annotations
 
+import hashlib
 import os
 import shutil
 
@@ -50,6 +51,7 @@ def dedup_ingest_sink(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.2,
+    index_buckets: int = 16,
 ):
     """``foreachBatch`` handler growing a DEDUPLICATED corpus at ``path``
     — the streaming form of the training-data ingest loop. Per epoch:
@@ -69,22 +71,36 @@ def dedup_ingest_sink(
     fingerprint duplicate of the copy the first delivery appended, so
     step 2 drops it.
 
-    The corpus-side state is the NARROW dedup index maintained at
-    ``<path>__index`` (``build_dedup_index`` rows: fingerprint +
-    minhash signature + shingle count per doc, appended with each
-    epoch's survivors). Step 2 runs against that index
+    The corpus-side state is the NARROW dedup index maintained as two
+    EXTERNAL BUCKETED tables under ``<path>__index`` /
+    ``<path>__bands`` (``build_dedup_index`` rows bucketed on the
+    content fingerprint; ``build_band_index`` rows bucketed on the LSH
+    band key). Step 2 runs against them
     (``incremental_dedup_indexed``), so per epoch the only full scans
     are the batch and the index — corpus TEXT is read just for the LSH
-    candidate docs that need exact-Jaccard verification. That is what
-    keeps epoch cost ~ batch size as the corpus grows to 100 TB."""
+    candidate docs that need exact-Jaccard verification, and because
+    both index tables are bucketed on exactly their join keys, neither
+    the exact-fingerprint semi join nor the band candidate join ever
+    re-shuffles the (ever-growing) index: only the epoch's batch moves.
+    That is what keeps epoch cost ~ batch size as the corpus grows to
+    100 TB. An index written by an older version as plain parquet at
+    ``<path>__index`` is still read (without the bucketing shortcut)."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
+        build_band_index,
         build_dedup_index,
         exact_groups,
         incremental_dedup_indexed,
         minhash_lsh_dedup,
     )
+    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
 
     index_path = f"{path}__index"
+    bands_path = f"{path}__bands"
+    # table names are path-scoped so independent sinks coexist in one
+    # metastore; the data itself lives at the external paths above
+    suffix = hashlib.md5(path.encode()).hexdigest()[:10]
+    index_table = f"dedup_index_{suffix}"
+    bands_table = f"dedup_bands_{suffix}"
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -101,22 +117,48 @@ def dedup_ingest_sink(
         batch = batch.join(near_losers, id_col, "left_anti")
         if os.path.exists(path):
             corpus = spark.read.parquet(path)
-            index = spark.read.parquet(index_path)
+            if spark.catalog.tableExists(index_table):
+                index = spark.table(index_table)
+                band_index = (
+                    spark.table(bands_table)
+                    if spark.catalog.tableExists(bands_table)
+                    else None
+                )
+            else:  # pre-bucketing layout: plain parquet index
+                index = spark.read.parquet(index_path)
+                band_index = None
             kept = (
                 incremental_dedup_indexed(
                     index, corpus, batch,
                     text_col=text_col, id_col=id_col, threshold=threshold,
+                    band_index=band_index,
                 )
                 .filter(F.col("keep"))
                 .select(F.col("doc_id").alias(id_col))
             )
             batch = batch.join(kept, id_col, "left_semi")
-        batch = batch.persist()
+        # HARD lineage cut, not just a cache hint: the survivor set was
+        # computed against the index tables as of epoch start, and the
+        # writes below append to those same tables — a recompute through
+        # the original plan mid-epoch would see the epoch's own rows and
+        # judge every doc an exact duplicate (observed: the second
+        # bucketed write recomputed past persist() and appended nothing).
+        batch = batch.localCheckpoint(eager=True)
         batch.write.mode("append").parquet(path)
-        build_dedup_index(batch, text_col=text_col, id_col=id_col).write.mode(
-            "append"
-        ).parquet(index_path)
-        batch.unpersist()
+        new_index = build_dedup_index(
+            batch, text_col=text_col, id_col=id_col
+        ).persist()
+        write_bucketed(
+            new_index, index_table,
+            bucket_by=("fp",), num_buckets=index_buckets,
+            sort_by=("fp",), mode="append", path=index_path,
+        )
+        write_bucketed(
+            build_band_index(new_index), bands_table,
+            bucket_by=("band_idx", "band_hash"), num_buckets=index_buckets,
+            sort_by=("band_idx", "band_hash"), mode="append", path=bands_path,
+        )
+        new_index.unpersist()
 
     return handle
 

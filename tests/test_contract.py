@@ -8,7 +8,9 @@ import __spark_entry__ as entrymod
 # Queries DELIBERATELY without a DuckDB oracle (driver falls back to a
 # rows-only check) — only iterative float algorithms whose fixpoint no
 # SQL replay can reproduce belong here; everything else must have one.
-ROWS_ONLY = {"x30_ann_ivf_kmeans"}
+# Empty since x30 gained a pinned VALUES oracle (stability asserted by
+# tests/test_llm.py::test_x30_stable_under_repartitioning).
+ROWS_ONLY: set[str] = set()
 
 
 def test_keys_match():

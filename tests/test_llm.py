@@ -883,3 +883,34 @@ def test_jaccard_max_df_stop_shingle_cut(docs):
         scores[p] <= exact.get(p, 1.0) for p in scores
     )  # lower bound only
     assert (1, 2) not in scores  # identical docs share every shingle (df=2)
+
+
+def test_x30_stable_under_repartitioning(spark):
+    """x30's pinned-VALUES oracle rests on the claim that the whole
+    trained-IVF query output is partitioning-invariant (round_centroids
+    snaps the Lloyd's centroids at 1e-6 before assignment). Assert it
+    end-to-end: the exact x30 pipeline over the driver sf0.01 embeddings,
+    run with the input physically repartitioned to 3 and to 7 partitions,
+    must produce identical collected rows."""
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    e = read_table(spark, "/root/testdata/sf0.01", "embeddings")
+
+    def run(n_parts: int) -> list[tuple]:
+        src = e.repartition(n_parts)
+        q = src.filter(F.col("vec_id") < 5)
+        c = src.filter(F.col("vec_id") >= 5)
+        cents = similarity.round_centroids(similarity.kmeans_fit(c, k=8, iters=2))
+        trained = c.join(similarity.kmeans_assign(c, cents), "vec_id")
+        out = similarity.ivf_topk(
+            q,
+            trained.withColumnRenamed("cell", "kcell"),
+            cell_col="kcell",
+            k=3,
+            nprobe=2,
+        )
+        return sorted(tuple(r) for r in out.collect())
+
+    a, b = run(3), run(7)
+    assert a == b
+    assert len(a) == 15  # 5 queries x top-3, the pinned oracle's shape

@@ -64,6 +64,13 @@ def main() -> int:
     only = set(argv[1:])
     results: dict[str, dict] = {}
 
+    # Oracles that are literal VALUES pins generated from verified sf0.01
+    # output (iterative algorithms DuckDB can't replay). Valid ONLY at
+    # sf0.01 — at any other scale factor fall back to a rows-only check
+    # instead of reporting a spurious hash mismatch.
+    pinned_sf001 = {"x30_ann_ivf_kmeans"}
+    at_sf001 = sf_dir.rstrip("/").endswith("sf0.01")
+
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(
@@ -90,11 +97,12 @@ def main() -> int:
             }
             n_fail += 1
             continue
-        if name not in oracles:
-            print(f"SKIP {name}: rows-only ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
+        if name not in oracles or (name in pinned_sf001 and not at_sf001):
+            why = "rows-only" if name not in oracles else "oracle pinned at sf0.01"
+            print(f"SKIP {name}: {why} ({len(s_rows)} rows, {time.time()-t0:.1f}s)")
             results[name] = {
                 "rows_match": None, "schema_match": None, "hash_match": None,
-                "spark_rows": len(s_rows), "err": None, "note": "rows-only",
+                "spark_rows": len(s_rows), "err": None, "note": why,
             }
             continue
         try:
