@@ -189,6 +189,70 @@ def containment_pairs(
     )
 
 
+def containment_keep(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Keep/drop policy over :func:`containment_pairs` — the corpus-flow
+    consumer of directed containment: a doc DROPS when it is contained
+    (containment >= threshold) in a strictly larger doc, shingle-count
+    ties broken toward the smaller doc_id. The rule is a total order on
+    each directed pair, so it is deterministic, pairwise (not transitive
+    — same contract as the ingest sink's near-dedup: any surviving
+    superset still catches future subsets), and exactly expressible in
+    SQL for the oracle. Mutually-contained near-identical docs collapse
+    to the min id; a subset chain A < B < C keeps only C.
+
+    Output contract matches the other keep/drop operators:
+    (doc_id, keep, reason) with reason in ('contained', 'kept').
+    Scale posture: the pair generation is the x6-family exact baseline
+    (quadratic on colliding shingles — use ``max_df`` to cut
+    stop-shingles); the policy layer itself adds two broadcast-size
+    joins over the pair set."""
+    pairs = containment_pairs(
+        docs, text_col=text_col, id_col=id_col, n=n,
+        threshold=threshold, max_df=max_df,
+    )
+    sizes = (
+        doc_shingles(docs, text_col, id_col, n)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_sh"))
+    )
+    losers = (
+        pairs.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b")),
+            "doc_b",
+        )
+        .filter(
+            (F.col("n_b") > F.col("n_a"))
+            | ((F.col("n_b") == F.col("n_a")) & (F.col("doc_b") < F.col("doc_a")))
+        )
+        .select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(losers, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("__drop").isNull().alias("keep"),
+            F.when(F.col("__drop"), F.lit("contained"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,

@@ -823,3 +823,34 @@ LLM_ORACLE["x30_ann_ivf_kmeans"] = """
         (4, 89, 0.266, 3)
     ) AS t(query_id, neighbor_id, cosine_sim, rank)
 """
+
+LLM_ORACLE["h3_containment_keep"] = f"""
+    -- keep/drop over directed containment (the x32 pair set): doc_a
+    -- drops when containment(a in b) >= 0.6 and b is strictly larger
+    -- (shingle count), ties to the smaller doc_id — pairwise rule,
+    -- exactly the Spark containment_keep policy.
+    WITH {{shingles}},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM sh a JOIN sh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    losers AS (
+        SELECT DISTINCT i.doc_a AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE {{score}} >= 0.6
+          AND (sb.n_sh > sa.n_sh
+               OR (sb.n_sh = sa.n_sh AND i.doc_b < i.doc_a))
+    )
+    SELECT d.doc_id,
+           l.doc_id IS NULL AS keep,
+           CASE WHEN l.doc_id IS NULL THEN 'kept' ELSE 'contained' END AS reason
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+""".format(
+    shingles=_SHINGLES_CTE,
+    score=_sr("i.n_inter / CAST(sa.n_sh AS DOUBLE)", 4),
+)

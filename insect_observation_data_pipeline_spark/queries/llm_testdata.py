@@ -101,6 +101,17 @@ def x32_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def h3_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus keep/drop policy over x32's containment pairs: a doc
+    drops when >= 60% of its shingles appear in a strictly larger doc
+    (ties to the smaller doc_id) — subset/quotation dedup as a
+    deterministic pairwise rule. One (doc_id, keep, reason) row per
+    document."""
+    return dedup.containment_keep(
+        _t(spark, sf_dir, "documents"), threshold=0.6
+    )
+
+
 def x31_corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus card: one global-aggregate row of the dataset-report
     numbers (doc/token volume, language spread, exact-dup rate). A
@@ -565,6 +576,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x30_ann_ivf_kmeans": x30_ann_ivf_kmeans,
     "x31_corpus_summary": x31_corpus_summary,
     "x32_containment": x32_containment,
+    "h3_containment_keep": h3_containment_keep,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,

@@ -914,3 +914,27 @@ def test_x30_stable_under_repartitioning(spark):
     a, b = run(3), run(7)
     assert a == b
     assert len(a) == 15  # 5 queries x top-3, the pinned oracle's shape
+
+
+def test_containment_keep_policy(spark):
+    """Subset chain A < B < C keeps only C; mutual containment collapses
+    to the min id; unrelated docs keep; sub-shingle docs keep."""
+    inner = "alpha beta gamma delta epsilon zeta"
+    mid = inner + " eta theta iota kappa"
+    outer = mid + " lam mu nu xi omicron pi rho sigma tau"
+    rows = [
+        (1, inner),            # contained in 2 and 3 -> drop
+        (2, mid),              # contained in 3 -> drop
+        (3, outer),            # superset -> keep
+        (4, "totally unrelated words about completely other things here"),
+        (5, outer),            # exact twin of 3: mutual containment,
+        (6, "xy"),             # min id (3) wins, 5 drops; too-short doc keeps
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in dedup.containment_keep(df, threshold=0.6).collect()}
+    assert out[1] == (False, "contained")
+    assert out[2] == (False, "contained")
+    assert out[3] == (True, "kept")
+    assert out[4] == (True, "kept")
+    assert out[5] == (False, "contained")
+    assert out[6] == (True, "kept")

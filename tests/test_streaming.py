@@ -366,3 +366,53 @@ def test_stream_stream_attribution_matches_batch(spark, tmp_path):
     }
     assert len(expected) > 0
     assert got == expected
+
+
+def test_dedup_ingest_sink_chain_blocks_across_epochs(spark, tmp_path):
+    """Cross-epoch near-dup chain semantics (the sink's documented
+    pairwise-not-transitive contract): when B (a near-dup of A) is
+    dropped in its arrival epoch, a LATER arrival carrying B's exact
+    text must still be rejected — B's text is in neither the corpus nor
+    the index, so the block has to come from the surviving chain member
+    A via the LSH band join. Also asserts epoch replay is effectively
+    exactly-once (re-running a batch appends nothing) and that the
+    bucketed index tables track the corpus row-for-row."""
+    import hashlib as _hl
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = a + " with a tiny tail"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    corpus = str(tmp_path / "chain_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+
+    def ids() -> set[int]:
+        return {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+
+    # epoch 0: A survives, B collapses onto it within-batch
+    handle(
+        spark.createDataFrame([(1, a), (2, b)], "doc_id long, text string"), 0
+    )
+    assert ids() == {1}
+
+    # epoch 1: doc 3 = B's EXACT text. Not an exact-fingerprint hit
+    # (B never reached the corpus) — must be blocked as a near-dup of
+    # the surviving chain member A. Doc 4 is unrelated and survives.
+    batch1 = spark.createDataFrame(
+        [(3, b), (4, d)], "doc_id long, text string"
+    )
+    handle(batch1, 1)
+    assert ids() == {1, 4}
+
+    # epoch 2: replay of epoch 1 (at-least-once delivery) — doc 4 is
+    # now an exact-fingerprint hit, doc 3 still a near-dup: no growth.
+    handle(batch1, 2)
+    assert ids() == {1, 4}
+
+    # the bucketed index state tracks the corpus exactly
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    idx = spark.table(f"dedup_index_{suffix}")
+    bands = spark.table(f"dedup_bands_{suffix}")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 4}
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 4}
