@@ -938,3 +938,98 @@ def test_containment_keep_policy(spark):
     assert out[4] == (True, "kept")
     assert out[5] == (False, "contained")
     assert out[6] == (True, "kept")
+
+
+def test_png_pixel_roundtrip_all_color_types():
+    """png_encode_pixels -> png_decode_pixels is the identity for all
+    four 8-bit color types (gray, gray+alpha, RGB, RGBA) on seeded
+    random pixels — pixel-level decode, not header sniffing."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(5, 7, ch), dtype=np.uint8)
+        got = multimodal.png_decode_pixels(multimodal.png_encode_pixels(px))
+        assert got.shape == (5, 7, ch)
+        assert (got == px).all(), f"channels={ch}"
+
+
+def test_png_unfilter_all_filter_types():
+    """Decode reconstructs pixels through every PNG scanline filter
+    (0=None, 1=Sub, 2=Up, 3=Average, 4=Paeth): the test applies the
+    FORWARD filters independently per the spec, the decoder must invert
+    them."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    h, w, ch = 5, 6, 3
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.int32)
+    flat = px.reshape(h, w * ch)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    lines = b""
+    for y, f in enumerate([0, 1, 2, 3, 4]):
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(w * ch, dtype=np.int32)
+        out = np.zeros(w * ch, dtype=np.int32)
+        for x in range(w * ch):
+            a = int(cur[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if f == 0:
+                out[x] = cur[x]
+            elif f == 1:
+                out[x] = cur[x] - a
+            elif f == 2:
+                out[x] = cur[x] - b
+            elif f == 3:
+                out[x] = cur[x] - (a + b) // 2
+            else:
+                out[x] = cur[x] - paeth(a, b, c)
+        lines += bytes([f]) + bytes((out & 0xFF).astype(np.uint8))
+
+    def chunk(cid, body):
+        return (
+            struct.pack(">I", len(body)) + cid + body
+            + struct.pack(">I", zlib.crc32(cid + body) & 0xFFFFFFFF)
+        )
+
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    got = multimodal.png_decode_pixels(png)
+    assert (got.astype(np.int32) == px).all()
+
+
+def test_resize_images_real_png(spark):
+    """decoder='image' resize is a REAL pixel op end-to-end through
+    mapInPandas: a 2x2 quadrant PNG upscaled 2x nearest-neighbor yields
+    4x4 quadrant blocks, re-encoded as a valid PNG."""
+    import numpy as np
+
+    quad = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 255, 255]]],
+        dtype=np.uint8,
+    )
+    df = spark.createDataFrame(
+        [("q", "image", bytearray(multimodal.png_encode_pixels(quad)))],
+        "media_id string, media_type string, payload binary",
+    )
+    out = multimodal.resize_images(df, width=4, height=4, decoder="image").collect()
+    assert len(out) == 1 and out[0]["width"] == 4
+    px = multimodal.png_decode_pixels(bytes(out[0]["payload"]))
+    assert px.shape == (4, 4, 3)
+    expect = quad[np.repeat(np.arange(2), 2)][:, np.repeat(np.arange(2), 2)]
+    assert (px == expect).all()
