@@ -341,6 +341,53 @@ def near_dup_pairs(
     )
 
 
+def semdedup_keep(
+    vectors: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "label",
+    threshold: float = 0.35,
+    max_cell_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style keep/drop over :func:`near_dup_pairs` — the
+    embedding-path twin of the shingle policies (h3 containment,
+    x7 MinHash): within each cluster cell, every near-duplicate pair
+    (cosine >= threshold) drops its larger id, so the survivor set is
+    exactly the ids never appearing as ``b_id``. Pairwise like the
+    other keep/drop operators — deterministic, one extra anti-join over
+    the pair set, SQL-expressible for the oracle. Scale posture is
+    near_dup_pairs': cell blocking bounds the pair space, ``max_cell_rows``
+    salts mega-cells.
+
+    Output contract: (vec_id, keep, reason), reason in
+    ('near_embedding', 'kept')."""
+    pairs = near_dup_pairs(
+        vectors,
+        id_col=id_col,
+        vec_col=vec_col,
+        cell_col=cell_col,
+        threshold=threshold,
+        max_cell_rows=max_cell_rows,
+    )
+    losers = (
+        pairs.select(F.col("b_id").alias(id_col))
+        .distinct()
+        .withColumn("__drop", F.lit(True))
+    )
+    return (
+        vectors.select(F.col(id_col))
+        .join(losers, id_col, "left")
+        .select(
+            id_col,
+            F.col("__drop").isNull().alias("keep"),
+            F.when(F.col("__drop"), F.lit("near_embedding"))
+            .otherwise(F.lit("kept"))
+            .alias("reason"),
+        )
+    )
+
+
 def _near_dup_pairs_gram(
     vectors: DataFrame,
     *,

@@ -854,3 +854,31 @@ LLM_ORACLE["h3_containment_keep"] = f"""
     shingles=_SHINGLES_CTE,
     score=_sr("i.n_inter / CAST(sa.n_sh AS DOUBLE)", 4),
 )
+
+LLM_ORACLE["x33_semdedup_keep"] = f"""
+    -- embedding-path keep/drop: larger id of every within-cell cosine
+    -- near-dup pair (>= 0.35, the x11 pair set) drops
+    WITH e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), losers AS (
+        SELECT DISTINCT b.vec_id
+        FROM e a JOIN e b
+          ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE {_sr('list_cosine_similarity(a.v, b.v)', 4)} >= 0.35
+    )
+    SELECT e.vec_id,
+           l.vec_id IS NULL AS keep,
+           CASE WHEN l.vec_id IS NULL THEN 'kept'
+                ELSE 'near_embedding' END AS reason
+    FROM e LEFT JOIN losers l ON e.vec_id = l.vec_id
+"""
+
+LLM_ORACLE["f_tokens_percentile"] = f"""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           {_sr('quantile_cont(n_toks, 0.5)', 4)} AS p50_tokens,
+           {_sr('quantile_cont(n_toks, 0.9)', 4)} AS p90_tokens,
+           {_sr('avg(n_toks)', 4)} AS mean_tokens
+    FROM (SELECT lang, CAST(len({_TOKS}) AS DOUBLE) AS n_toks FROM documents)
+    GROUP BY lang
+"""

@@ -101,6 +101,34 @@ def x32_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x33_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-path keep/drop (SemDeDup shape): x11's cell-blocked
+    cosine pairs reduced to a per-vector decision — larger id of each
+    near-dup pair drops. One (vec_id, keep, reason) row per vector."""
+    return similarity.semdedup_keep(
+        _t(spark, sf_dir, "embeddings"), threshold=0.35
+    )
+
+
+def f_tokens_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-count distribution (exact interpolated p50/p90
+    + mean): the corpus-report query behind length-based curation cuts.
+    One partial-aggregated pass; percentile is Spark's exact
+    interpolated definition, which matches DuckDB quantile_cont."""
+    d = _t(spark, sf_dir, "documents")
+    n = textstats.token_count(F.col("text")).cast("double")
+    return (
+        d.select(F.col("lang"), n.alias("n_toks"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            stable_round(F.percentile(F.col("n_toks"), 0.5), 4).alias("p50_tokens"),
+            stable_round(F.percentile(F.col("n_toks"), 0.9), 4).alias("p90_tokens"),
+            stable_round(F.avg("n_toks"), 4).alias("mean_tokens"),
+        )
+    )
+
+
 def h3_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The corpus keep/drop policy over x32's containment pairs: a doc
     drops when >= 60% of its shingles appear in a strictly larger doc
@@ -577,6 +605,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x31_corpus_summary": x31_corpus_summary,
     "x32_containment": x32_containment,
     "h3_containment_keep": h3_containment_keep,
+    "x33_semdedup_keep": x33_semdedup_keep,
+    "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
     "x9_ann_bruteforce": x9_ann_bruteforce,

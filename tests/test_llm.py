@@ -1033,3 +1033,27 @@ def test_resize_images_real_png(spark):
     assert px.shape == (4, 4, 3)
     expect = quad[np.repeat(np.arange(2), 2)][:, np.repeat(np.arange(2), 2)]
     assert (px == expect).all()
+
+
+def test_semdedup_keep_policy(spark):
+    """Within-cell near-dup pairs drop the larger id; cross-cell twins
+    both survive (blocking semantics); orthogonal vectors keep."""
+    rows = [
+        (1, "a", [1.0, 0.0, 0.0]),
+        (2, "a", [1.0, 0.001, 0.0]),   # near-dup of 1, same cell -> drop
+        (3, "a", [0.0, 1.0, 0.0]),     # orthogonal -> keep
+        (4, "b", [1.0, 0.0, 0.0]),     # identical to 1 but other cell -> keep
+        (5, "b", [1.0, 0.0, 0.001]),   # near-dup of 4, same cell -> drop
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    out = {
+        r["vec_id"]: (r["keep"], r["reason"])
+        for r in similarity.semdedup_keep(df, threshold=0.9).collect()
+    }
+    assert out[1] == (True, "kept")
+    assert out[2] == (False, "near_embedding")
+    assert out[3] == (True, "kept")
+    assert out[4] == (True, "kept")
+    assert out[5] == (False, "near_embedding")
