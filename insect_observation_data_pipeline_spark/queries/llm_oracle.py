@@ -882,3 +882,29 @@ LLM_ORACLE["f_tokens_percentile"] = f"""
     FROM (SELECT lang, CAST(len({_TOKS}) AS DOUBLE) AS n_toks FROM documents)
     GROUP BY lang
 """
+
+LLM_ORACLE["e5_session_window_stats"] = """
+    -- gaps-and-islands replay of Spark's session_window(ts, 10 min):
+    -- a new session starts when the gap to the previous event is
+    -- >= 10 min (Spark's windows are half-open [start, last+gap)),
+    -- session_end = last event + gap
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         >= INTERVAL 10 MINUTE
+                         OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), islands AS (
+        SELECT user_id, ts,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sess
+        FROM flagged
+    )
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 10 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM islands
+    GROUP BY user_id, sess
+"""

@@ -536,6 +536,30 @@ def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e5_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session rows via Spark's NATIVE session_window operator
+    (10-min inactivity gap): (user, session_start, session_end,
+    n_events) — the same sessions e2 counts, materialized as intervals
+    by the engine's own stateful window instead of the lag/cumsum
+    rewrite. Spark closes a session when the next event is >= gap away;
+    session_end = last event + gap (half-open). NTZ-safe via the same
+    cast as e2."""
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    return (
+        e.groupBy(
+            F.session_window(ts, "10 minutes").alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -635,4 +659,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_sessionization": e2_sessionization,
     "e3_sliding_window_stats": e3_sliding_window_stats,
     "e4_json_props_rollup": e4_json_props_rollup,
+    "e5_session_window_stats": e5_session_window_stats,
 }

@@ -1057,3 +1057,28 @@ def test_semdedup_keep_policy(spark):
     assert out[3] == (True, "kept")
     assert out[4] == (True, "kept")
     assert out[5] == (False, "near_embedding")
+
+
+def test_session_window_agrees_with_lag_sessionization(spark):
+    """e5 (native session_window intervals) and e2 (lag/cumsum count)
+    describe the SAME sessions: per-user session counts match, every
+    session interval is self-consistent (start < end, end = last + gap
+    implies end - start >= gap for any session), and total events match
+    the events table."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e2_sessionization,
+        e5_session_window_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    e5 = e5_session_window_stats(spark, sf).collect()
+    by_user: dict[int, int] = {}
+    for r in e5:
+        by_user[r["user_id"]] = by_user.get(r["user_id"], 0) + 1
+        assert r["session_start"] < r["session_end"]
+    e2 = {r["user_id"]: r["n_sessions"] for r in e2_sessionization(spark, sf).collect()}
+    assert by_user == e2
+    n_events_total = sum(r["n_events"] for r in e5)
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    assert n_events_total == read_table(spark, sf, "events").count()
