@@ -135,6 +135,35 @@ def write_partitioned(
     out.write.partitionBy(*partition_by).mode(mode).parquet(path)
 
 
+def write_range_sorted(
+    df: DataFrame,
+    path: str,
+    *,
+    sort_by: tuple[str, ...],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write globally range-clustered, within-file sorted parquet.
+
+    ``repartitionByRange`` samples the sort key and assigns each output
+    file a DISJOINT key range; ``sortWithinPartitions`` orders rows
+    inside each file. The result is the zone-map layout: every file's
+    parquet min/max stats cover a narrow slice of the key space, so a
+    later filtered scan skips whole files/row-groups at the reader
+    instead of scanning everything — the flat-layout complement to
+    ``write_partitioned`` for HIGH-cardinality keys (timestamps, ids)
+    where one-directory-per-value is impossible. At 100 TB this is the
+    difference between a point-range query touching a handful of files
+    and touching the whole table. ``num_files`` defaults to the session
+    shuffle parallelism; size it as table_bytes / ~128 MB."""
+    out = (
+        df.repartitionByRange(num_files, *sort_by)
+        if num_files
+        else df.repartitionByRange(*sort_by)
+    )
+    out.sortWithinPartitions(*sort_by).write.mode(mode).parquet(path)
+
+
 def compact(df: DataFrame, *, target_partition_bytes: int = 128 << 20,
             shuffle: bool = False) -> DataFrame:
     """Right-size output partitioning before a write: the small-files

@@ -71,3 +71,39 @@ def test_compact_reduces_file_count(spark, tmp_path):
             spark.read.parquet(out).select("doc_id").orderBy("doc_id").collect()
         )
         assert before == after
+
+
+def test_write_range_sorted_disjoint_file_ranges(spark, tmp_path):
+    """write_range_sorted yields the zone-map layout: per-file
+    [min, max] key ranges are pairwise disjoint and rows are sorted
+    within each file, so min/max stats prune at read time. A filtered
+    read still returns exactly the right rows."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from insect_observation_data_pipeline_spark.sources.parquet import (
+        read_table,
+        write_range_sorted,
+    )
+
+    out = str(tmp_path / "orders_ranged")
+    orders = read_table(spark, "/root/testdata/sf0.001", "orders")
+    write_range_sorted(orders, out, sort_by=("o_orderdate",), num_files=6)
+
+    spans = []
+    for f in glob.glob(out + "/*.parquet"):
+        t = pq.read_table(f, columns=["o_orderdate"])
+        col = t.column("o_orderdate").to_pylist()
+        if not col:
+            continue
+        assert col == sorted(col), "rows not sorted within file"
+        spans.append((min(col), max(col)))
+    assert len(spans) > 1
+    spans.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2, f"overlapping file ranges: {hi1} > {lo2}"
+
+    got = spark.read.parquet(out).filter("o_orderdate >= DATE'1995-01-01'")
+    want = orders.filter("o_orderdate >= DATE'1995-01-01'")
+    assert got.count() == want.count()
