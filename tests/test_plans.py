@@ -111,3 +111,55 @@ def test_upsert_recompute_uses_window_group_limit(spark):
     df = QUERIES["u1_upsert_last_wins"](spark, SF)
     plan = formatted_plan(df)
     assert "WindowGroupLimit" in plan
+
+
+def test_dedup_index_joins_read_bucket_aligned(spark, tmp_path):
+    """The streaming dedup index's scale claim, pinned at the plan
+    level: with the index persisted as bucketed tables, the
+    exact-fingerprint semi join and the LSH band candidate join both
+    scan the index 'Bucketed: true' — the ever-growing corpus side is
+    never re-shuffled per epoch; only the batch moves."""
+    import re
+
+    from insect_observation_data_pipeline_spark.llm.dedup import incremental_dedup_indexed
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    corpus = str(tmp_path / "bucketed_plan_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+    handle(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog again and again"),
+             (2, "completely different corpus text about spark engines at scale")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    import hashlib
+
+    suffix = hashlib.md5(corpus.encode()).hexdigest()[:10]
+    index = spark.table(f"dedup_index_{suffix}")
+    bands = spark.table(f"dedup_bands_{suffix}")
+    batch = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog again and again yes")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup_indexed(
+        index, spark.read.parquet(corpus), batch, band_index=bands
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scans = {}
+    for m in re.finditer(
+        r"FileScan parquet \S*(dedup_(?:bands|index)_\w+)\[([^\]]*)\][^\n]*", plan
+    ):
+        table, cols = m.group(1), m.group(2)
+        bucketed = "Bucketed: true" in m.group(0)
+        scans.setdefault((table, cols.split("#")[0].strip()), []).append(bucketed)
+    band_scans = [b for (t, _), bs in scans.items() for b in bs if "bands" in t]
+    assert band_scans and all(band_scans), f"band scan not bucket-aligned: {scans}"
+    fp_scans = [
+        b
+        for (t, c), bs in scans.items()
+        for b in bs
+        if "index" in t and c == "fp"
+    ]
+    assert fp_scans and all(fp_scans), f"fp scan not bucket-aligned: {scans}"
