@@ -69,6 +69,11 @@ EXTENDED_QUERIES = [
     "x28_quantize_int8",
     "x29_incremental_dedup",
     "x31_corpus_summary",
+    # round 5
+    "h3_containment_keep",
+    "x33_semdedup_keep",
+    "e5_session_window_stats",
+    "f_tokens_percentile",
 ]
 
 

@@ -189,6 +189,80 @@ def containment_pairs(
     )
 
 
+def tf_cosine_pairs(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse lexical cosine pairs over TERM-FREQUENCY vectors via an
+    inverted-index self-join — the bag-of-words complement to the dense
+    embedding path (x11) and the set-based Jaccard path (x6/x27):
+    cosine(a, b) = sum(tf_a * tf_b) / (||tf_a|| * ||tf_b||).
+
+    Every sum is INTEGER (tf products and squared norms), so the score
+    is bit-exact across engines and partitionings — only the final
+    sqrt/divide touch floats, both IEEE-correctly-rounded, then
+    ``stable_round`` pins the cut. (A tf-idf-weighted dot would shuffle
+    float partial sums in nondeterministic order; idf belongs in the
+    TERM FILTER instead: ``max_df`` drops stop-terms from the join —
+    same skew guard as x27, and exactly where high-df terms stop
+    contributing anyway.) Scale: the join fans out per shared term —
+    sum over terms of df^2 pairs — so ``max_df`` is the knob that keeps
+    the inverted index join linear-ish at corpus scale.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    join_tf = tf
+    if max_df is not None:
+        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        join_tf = tf.join(dft.filter(F.col("__df") <= max_df), "term").select(
+            "doc_id", "term", "tf"
+        )
+    a, b = join_tf.alias("a"), join_tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
+    return (
+        dots.join(
+            norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a")),
+            "doc_a",
+        )
+        .join(
+            norms.select(F.col("doc_id").alias("doc_b"), F.col("sq").alias("sq_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "cosine_tf",
+            stable_round(
+                F.col("dot")
+                / (F.sqrt(F.col("sq_a").cast("double")) * F.sqrt(F.col("sq_b").cast("double"))),
+                4,
+            ),
+        )
+        .filter(F.col("cosine_tf") >= threshold)
+        .select("doc_a", "doc_b", "cosine_tf")
+    )
+
+
 def containment_keep(
     docs: DataFrame,
     *,

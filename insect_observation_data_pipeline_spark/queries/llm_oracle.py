@@ -908,3 +908,30 @@ LLM_ORACLE["e5_session_window_stats"] = """
     FROM islands
     GROUP BY user_id, sess
 """
+
+LLM_ORACLE["x34_tf_cosine_pairs"] = f"""
+    -- sparse tf-vector cosine: integer dot and squared norms (exact,
+    -- order-independent), floats only at the final sqrt/divide
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> x <> '')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), norms AS (
+        SELECT doc_id, sum(tf * tf) AS sq FROM tf GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               sum(a.tf * b.tf) AS dot
+        FROM tf a JOIN tf b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {_sr('d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))', 4)} AS cosine_tf
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.doc_id
+    JOIN norms nb ON d.doc_b = nb.doc_id
+    WHERE {_sr('d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))', 4)} >= 0.85
+"""

@@ -110,6 +110,16 @@ def x33_semdedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x34_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse bag-of-words cosine near-dup pairs (>= 0.85) via the
+    inverted-index self-join: integer dot/norm sums, so the score is
+    engine- and partitioning-exact. Completes the similarity triangle:
+    set (x6 Jaccard), dense (x11 embeddings), sparse lexical (this)."""
+    return dedup.tf_cosine_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.85
+    )
+
+
 def f_tokens_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated p50/p90
     + mean): the corpus-report query behind length-based curation cuts.
@@ -630,6 +640,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x32_containment": x32_containment,
     "h3_containment_keep": h3_containment_keep,
     "x33_semdedup_keep": x33_semdedup_keep,
+    "x34_tf_cosine_pairs": x34_tf_cosine_pairs,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

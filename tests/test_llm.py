@@ -1082,3 +1082,28 @@ def test_session_window_agrees_with_lag_sessionization(spark):
     from insect_observation_data_pipeline_spark.sources.parquet import read_table
 
     assert n_events_total == read_table(spark, sf, "events").count()
+
+
+def test_tf_cosine_pairs_exact_and_maxdf(spark):
+    """tf-cosine: identical docs score 1.0; doubling every count leaves
+    cosine invariant; disjoint vocab emits no pair; max_df drops
+    stop-terms from the join (scores only go down)."""
+    rows = [
+        (1, "apple banana cherry apple"),
+        (2, "apple banana cherry apple"),                  # identical -> 1.0
+        (3, "apple apple banana banana cherry cherry apple apple"),  # 2x counts
+        (4, "durian elderberry fig"),                      # disjoint
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(df, threshold=0.1).collect()
+    }
+    assert got[(1, 2)] == 1.0
+    assert got[(1, 3)] == 1.0  # scale-invariant
+    assert not any(4 in p for p in got)
+    cut = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(df, threshold=0.01, max_df=2).collect()
+    }
+    assert all(cut[p] <= got.get(p, 1.0) for p in cut)
