@@ -935,3 +935,19 @@ LLM_ORACLE["x34_tf_cosine_pairs"] = f"""
     JOIN norms nb ON d.doc_b = nb.doc_id
     WHERE {_sr('d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))', 4)} >= 0.85
 """
+
+LLM_ORACLE["x35_training_order"] = """
+    -- content-addressed shard + salted-md5 within-shard order: the
+    -- reproducible corpus shuffle (position depends only on ids)
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (
+               PARTITION BY shard
+               ORDER BY md5('ord:' || CAST(doc_id AS VARCHAR)), doc_id
+           ) AS INTEGER) AS pos
+    FROM (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+                    AS INTEGER) AS shard
+        FROM documents
+    )
+"""

@@ -120,6 +120,28 @@ def x34_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x35_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training order: content-addressed shard
+    (md5 bucket) + within-shard position by a salted md5 of the key —
+    the 'shuffle the corpus' step of a training pipeline, made
+    reproducible: order depends only on doc ids, never on partitioning,
+    cluster size, or scheduling. At 100 TB this is one hash projection
+    + one per-shard sort (range-partition by (shard, ord) and the sort
+    is the write)."""
+    d = _t(spark, sf_dir, "documents")
+    ord_key = F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("ord_key"), F.col("doc_id"))
+    return (
+        d.select(
+            "doc_id",
+            curation.hash_bucket(F.col("doc_id"), 8).cast("int").alias("shard"),
+            ord_key.alias("ord_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )
+
+
 def f_tokens_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated p50/p90
     + mean): the corpus-report query behind length-based curation cuts.
@@ -641,6 +663,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h3_containment_keep": h3_containment_keep,
     "x33_semdedup_keep": x33_semdedup_keep,
     "x34_tf_cosine_pairs": x34_tf_cosine_pairs,
+    "x35_training_order": x35_training_order,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

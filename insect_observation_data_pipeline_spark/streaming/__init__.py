@@ -1,5 +1,6 @@
 from insect_observation_data_pipeline_spark.streaming.events import (
     read_events_stream,
+    sessionized_event_counts,
     windowed_event_counts,
     run_batch_backfill,
 )
@@ -17,6 +18,7 @@ from insect_observation_data_pipeline_spark.streaming.sink import (
 
 __all__ = [
     "read_events_stream",
+    "sessionized_event_counts",
     "windowed_event_counts",
     "run_batch_backfill",
     "attribute_purchases",

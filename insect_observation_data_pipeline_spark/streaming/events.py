@@ -88,6 +88,31 @@ def windowed_event_counts(
     )
 
 
+def sessionized_event_counts(
+    events: DataFrame,
+    *,
+    gap: str = "10 minutes",
+    watermark_delay: str = "2 hours",
+) -> DataFrame:
+    """Per-session interval counts via the NATIVE ``session_window``
+    stateful operator — the streaming twin of the batch e5 query (same
+    logical plan; Spark merges windows within ``gap`` and finalizes a
+    session once the watermark passes its close). State per key lives
+    only until watermark + gap — bounded, unlike the unbounded
+    lag()-rewrite which streaming cannot express."""
+    return (
+        events.withWatermark("ts", watermark_delay)
+        .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def run_batch_backfill(spark: SparkSession, path: str) -> DataFrame:
     """Same rollup in batch mode (backfill path shares the stream code)."""
     from insect_observation_data_pipeline_spark.sources.parquet import read_table

@@ -416,3 +416,36 @@ def test_dedup_ingest_sink_chain_blocks_across_epochs(spark, tmp_path):
     bands = spark.table(f"dedup_bands_{suffix}")
     assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 4}
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 4}
+
+
+def test_session_window_stream_matches_e5_query(spark, tmp_path):
+    """Native session_window on a replayed stream (complete mode) == the
+    batch e5 session-interval query: same intervals, same counts."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e5_session_window_stats,
+    )
+    from insect_observation_data_pipeline_spark.streaming import (
+        read_events_stream,
+        sessionized_event_counts,
+    )
+
+    src = _events_us(spark, tmp_path, "events_us_e5")
+    q = (
+        sessionized_event_counts(read_events_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("sess_native")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM sess_native").collect()
+    }
+    expected = {
+        (r["user_id"], r["session_start"], r["session_end"]): r["n_events"]
+        for r in e5_session_window_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    assert len(got) > 0
+    assert got == expected
