@@ -69,11 +69,13 @@ EXTENDED_QUERIES = [
     "x28_quantize_int8",
     "x29_incremental_dedup",
     "x31_corpus_summary",
-    # round 5
+    # round 5 (x34 tf-cosine stays out: documented exact baseline,
+    # quadratic via common terms at sf0.1 — max_df is the scale path)
     "h3_containment_keep",
     "x33_semdedup_keep",
     "e5_session_window_stats",
     "f_tokens_percentile",
+    "x35_training_order",
 ]
 
 
