@@ -196,11 +196,23 @@ def tf_cosine_pairs(
     id_col: str = "doc_id",
     threshold: float = 0.5,
     max_df: int | None = None,
+    candidate_max_df: int | None = None,
 ) -> DataFrame:
     """Sparse lexical cosine pairs over TERM-FREQUENCY vectors via an
     inverted-index self-join — the bag-of-words complement to the dense
     embedding path (x11) and the set-based Jaccard path (x6/x27):
     cosine(a, b) = sum(tf_a * tf_b) / (||tf_a|| * ||tf_b||).
+
+    ``candidate_max_df`` is the SCALE path (the x27 trade applied to
+    cosine, PPJoin's low-frequency-prefix idea): candidate pairs come
+    only from terms shared by <= candidate_max_df docs — the join
+    fan-out is bounded by df_cap^2 per term instead of df^2 over
+    ubiquitous vocabulary — and every candidate is then verified with
+    the FULL exact dot product, so reported scores are exact (unlike
+    ``max_df``, which prunes the dot itself into a lower bound). A pair
+    sharing ONLY high-df boilerplate vocabulary is never considered —
+    the documented recall trade; near-identical real documents share
+    their rare tokens.
 
     Every sum is INTEGER (tf products and squared norms), so the score
     is bit-exact across engines and partitionings — only the final
@@ -229,18 +241,47 @@ def tf_cosine_pairs(
         join_tf = tf.join(dft.filter(F.col("__df") <= max_df), "term").select(
             "doc_id", "term", "tf"
         )
-    a, b = join_tf.alias("a"), join_tf.alias("b")
-    dots = (
-        a.join(
-            b,
-            (F.col("a.term") == F.col("b.term"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    if candidate_max_df is not None:
+        dft_c = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__cdf"))
+        rare = tf.join(
+            dft_c.filter(F.col("__cdf") <= candidate_max_df), "term"
+        ).select("doc_id", "term")
+        ra, rb = rare.alias("ra"), rare.alias("rb")
+        cands = (
+            ra.join(
+                rb,
+                (F.col("ra.term") == F.col("rb.term"))
+                & (F.col("ra.doc_id") < F.col("rb.doc_id")),
+            )
+            .select(
+                F.col("ra.doc_id").alias("doc_a"),
+                F.col("rb.doc_id").alias("doc_b"),
+            )
+            .distinct()
         )
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        # exact full dot, only for candidate pairs
+        dots = (
+            cands.join(tf.select(F.col("doc_id").alias("doc_a"),
+                                 "term", F.col("tf").alias("tf_a")), "doc_a")
+            .join(tf.select(F.col("doc_id").alias("doc_b"),
+                            "term", F.col("tf").alias("tf_b")),
+                  ["doc_b", "term"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
         )
-        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
-    )
+    else:
+        a, b = join_tf.alias("a"), join_tf.alias("b")
+        dots = (
+            a.join(
+                b,
+                (F.col("a.term") == F.col("b.term"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+        )
     return (
         dots.join(
             norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a")),

@@ -951,3 +951,4 @@ LLM_ORACLE["x35_training_order"] = """
         FROM documents
     )
 """
+

@@ -1107,3 +1107,34 @@ def test_tf_cosine_pairs_exact_and_maxdf(spark):
         for r in dedup.tf_cosine_pairs(df, threshold=0.01, max_df=2).collect()
     }
     assert all(cut[p] <= got.get(p, 1.0) for p in cut)
+
+
+def test_tf_cosine_candidate_guard_exact_verify(spark):
+    """candidate_max_df bounds the JOIN fan-out but verification is the
+    FULL dot product: every emitted pair's score equals the unguarded
+    score exactly; pairs sharing a rare term are found, pairs sharing
+    only ubiquitous vocabulary are the documented recall trade."""
+    common = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, common + " zebra77"),
+        (2, common + " zebra77"),        # shares rare 'zebra77' with 1
+        (3, common + " unique3token"),   # rare term shared with nobody
+        (4, common),                     # only common vocab
+        (5, common),                     # near-identical to 4 via common vocab only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(df, threshold=0.5).collect()
+    }
+    guarded = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(
+            df, threshold=0.5, candidate_max_df=3
+        ).collect()
+    }
+    assert guarded[(1, 2)] == exact[(1, 2)] == 1.0  # found via rare term,
+    #  and the guarded score is the exact one, not a lower bound
+    assert (4, 5) in exact and (4, 5) not in guarded  # the recall trade
+    assert set(guarded) <= set(exact)
+    assert all(guarded[p] == exact[p] for p in guarded)
