@@ -1138,3 +1138,39 @@ def test_tf_cosine_candidate_guard_exact_verify(spark):
     assert (4, 5) in exact and (4, 5) not in guarded  # the recall trade
     assert set(guarded) <= set(exact)
     assert all(guarded[p] == exact[p] for p in guarded)
+
+
+def test_tf_cosine_guard_subset_randomized(spark):
+    """Seeded sweep: over random corpora (common template + occasional
+    rare tokens), the guarded pair set is a subset of the exact set at
+    every candidate_max_df, with IDENTICAL scores on every emitted pair,
+    and recall is monotone in the cutoff."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(40):
+        toks = [vocab[rng.randrange(12)] for _ in range(rng.randint(5, 15))]
+        if rng.random() < 0.4:
+            toks.append(f"rare{rng.randrange(8)}")
+        rows.append((doc_id, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(df, threshold=0.6).collect()
+    }
+    prev_keys: set = set()
+    for cutoff in (2, 5, 40):
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+            for r in dedup.tf_cosine_pairs(
+                df, threshold=0.6, candidate_max_df=cutoff
+            ).collect()
+        }
+        assert set(got) <= set(exact)
+        assert all(got[p] == exact[p] for p in got)
+        assert prev_keys <= set(got)  # recall monotone in cutoff
+        prev_keys = set(got)
+    # cutoff >= n_docs admits every term -> guard degenerates to exact
+    assert prev_keys == set(exact)
