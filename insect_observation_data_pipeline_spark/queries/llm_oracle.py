@@ -952,3 +952,18 @@ LLM_ORACLE["x35_training_order"] = """
     )
 """
 
+
+LLM_ORACLE["x37_dup_shingle_coverage"] = f"""
+    -- cross-document duplicated-shingle coverage: fraction of each
+    -- doc's distinct 3-grams that appear in >= 2 docs total
+    WITH {_SHINGLES_CTE},
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1)
+    SELECT s.doc_id,
+           CAST(count(*) AS INTEGER) AS n_shingles,
+           CAST(sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_dup_shingles,
+           {_sr('sum(CASE WHEN d.df > 1 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE)', 4)}
+               AS dup_coverage
+    FROM sh s JOIN dfreq d ON s.shingle = d.shingle
+    GROUP BY s.doc_id
+"""

@@ -142,6 +142,32 @@ def x35_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x37_dup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-n-gram coverage per doc (the RefinedWeb /
+    Gopher dup-fraction gate, cross-document where x22 is within-doc):
+    for each doc, the fraction of its distinct 3-gram shingles that
+    appear in at least one OTHER document. Shingle once, one df
+    aggregate, one per-doc rollup — two shuffles total at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    sh = dedup.doc_shingles(d, "text", "doc_id", 3)
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_shingles"),
+            F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+            .cast("int")
+            .alias("n_dup_shingles"),
+            stable_round(
+                F.sum(F.when(F.col("df") > 1, 1).otherwise(0))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("dup_coverage"),
+        )
+    )
+
+
 def f_tokens_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated p50/p90
     + mean): the corpus-report query behind length-based curation cuts.
@@ -664,6 +690,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x33_semdedup_keep": x33_semdedup_keep,
     "x34_tf_cosine_pairs": x34_tf_cosine_pairs,
     "x35_training_order": x35_training_order,
+    "x37_dup_shingle_coverage": x37_dup_shingle_coverage,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,
