@@ -69,9 +69,12 @@ EXTENDED_QUERIES = [
     "x28_quantize_int8",
     "x29_incremental_dedup",
     "x31_corpus_summary",
-    # round 5 (x34 tf-cosine stays out: documented exact baseline,
-    # quadratic via common terms at sf0.1 — max_df is the scale path)
-    "h3_containment_keep",
+    # round 6: the GUARDED forms are the bench defaults — the exact
+    # baselines (x6/x32/x34/h3) stay registered as oracle cross-checks
+    # but their unguarded quadratic self-joins are not the plan this
+    # engine would run at scale, so they are not the plan we time
+    "h3b_containment_keep_maxdf",
+    "x34b_tf_cosine_candidates",
     "x33_semdedup_keep",
     "e5_session_window_stats",
     "f_tokens_percentile",
@@ -83,21 +86,45 @@ def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
-def calibration_sec(spark, n_runs: int = 3) -> float:
-    """Median wall-clock of a FIXED pure-codegen workload (sum over a
-    2e8 range — no I/O, no shuffle variance). Query timings on a shared
-    host move with CPU steal / frequency drift; this number moves with
-    them, so cross-round comparisons can separate machine-speed drift
-    from genuine plan regressions: if every query's delta matches the
-    calibration delta, the machine changed, not the code."""
-    samples = []
-    df = spark.range(200_000_000).selectExpr("sum(id) AS s")
-    run_once(df)  # warm
-    for _ in range(n_runs):
-        t0 = time.time()
-        run_once(df)
-        samples.append(time.time() - t0)
-    return round(statistics.median(samples), 3)
+def calibration_battery(spark, n_runs: int = 3) -> dict[str, float]:
+    """Per-op median wall-clock of a FIXED 3-op micro-battery — the
+    machine-drift probe behind ``deltas_calib_normalized``. Query
+    timings on a shared host move with CPU steal / frequency drift;
+    these numbers move with them, so cross-round comparisons can
+    separate machine-speed drift from genuine plan regressions: if
+    every query's delta matches the calibration delta, the machine
+    changed, not the code.
+
+    Three ops so the probe covers the three cost regimes a query mixes
+    (a single op was too thin to settle drift questions — round-5
+    verdict): ``codegen`` = whole-stage-codegen arithmetic (identical
+    to the pre-round-6 single probe, so the series stays comparable),
+    ``shuffle`` = hash exchange + agg, ``sort`` = range exchange +
+    sort. No I/O in any of them."""
+    ops = {
+        "codegen": spark.range(200_000_000).selectExpr("sum(id) AS s"),
+        "shuffle": (
+            spark.range(20_000_000)
+            .selectExpr("id % 1000 AS k")
+            .groupBy("k")
+            .count()
+        ),
+        "sort": (
+            spark.range(20_000_000)
+            .selectExpr("(id * 2654435761) % 16777216 AS k")
+            .orderBy("k")
+        ),
+    }
+    out = {}
+    for name, df in ops.items():
+        run_once(df)  # warm
+        samples = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            run_once(df)
+            samples.append(time.time() - t0)
+        out[name] = round(statistics.median(samples), 3)
+    return out
 
 
 def _prev_bench() -> dict:
@@ -167,7 +194,8 @@ def main() -> None:
         spark, sf_dir, EXTENDED_QUERIES, min(3, n_runs), errors
     )
 
-    calib = calibration_sec(spark)
+    calib_ops = calibration_battery(spark)
+    calib = round(sum(calib_ops.values()), 3)
     prev = _prev_bench()
     prev_q = prev.get("queries", {})
     deltas = {
@@ -175,25 +203,44 @@ def main() -> None:
         for name in timings
         if prev_q.get(name)
     }
+    # drift vs last round: battery-total ratio once both rounds carry
+    # the battery; against a pre-battery artifact, compare its single
+    # probe to our identical 'codegen' op
     prev_calib = prev.get("calib_sec")
-    calib_drift = round(calib / prev_calib, 3) if prev_calib else None
+    if prev.get("calib_ops"):
+        calib_drift = round(calib / prev_calib, 3) if prev_calib else None
+    elif prev_calib:
+        calib_drift = round(calib_ops["codegen"] / prev_calib, 3)
+    else:
+        calib_drift = None
     deltas_norm = (
         {n: round(d / calib_drift, 3) for n, d in deltas.items()}
         if calib_drift
         else {}
+    )
+    total = round(sum(timings.values()), 3)
+    prev_total = sum(v for n, v in prev_q.items() if n in timings)
+    total_delta = round(total / prev_total, 3) if prev_total else None
+    total_norm = (
+        round(total_delta / calib_drift, 3)
+        if total_delta and calib_drift
+        else None
     )
 
     print(
         json.dumps(
             {
                 "metric": "headline query wall-clock, noop sink",
-                "value": round(sum(timings.values()), 3),
+                "value": total,
                 "unit": "sec",
+                "total_delta_vs_prev": total_delta,
+                "total_delta_calib_normalized": total_norm,
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": n_runs,
                 "deltas_vs_prev": deltas,
                 "calib_sec": calib,
+                "calib_ops": calib_ops,
                 "calib_drift_vs_prev": calib_drift,
                 "deltas_calib_normalized": deltas_norm,
                 "extended_queries": ext_timings,

@@ -203,6 +203,33 @@ def tf_cosine_pairs(
     embedding path (x11) and the set-based Jaccard path (x6/x27):
     cosine(a, b) = sum(tf_a * tf_b) / (||tf_a|| * ||tf_b||).
 
+    Text front-end over :func:`tf_cosine_pairs_from_tf` (whitespace
+    tokenization, lowercased); see that function for the scale knobs.
+    """
+    terms = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
+        ).alias("term"),
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf_cosine_pairs_from_tf(
+        tf, threshold=threshold, max_df=max_df, candidate_max_df=candidate_max_df
+    )
+
+
+def tf_cosine_pairs_from_tf(
+    tf: DataFrame,
+    *,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    candidate_max_df: int | None = None,
+) -> DataFrame:
+    """Sparse cosine pairs from an already-built term-frequency frame
+    (doc_id, term, tf) — the core of :func:`tf_cosine_pairs`, exposed
+    so corpora whose "terms" are not words (purchase baskets, tag sets,
+    n-gram ids) skip the text round-trip entirely.
+
     ``candidate_max_df`` is the SCALE path (the x27 trade applied to
     cosine, PPJoin's low-frequency-prefix idea): candidate pairs come
     only from terms shared by <= candidate_max_df docs — the join
@@ -214,6 +241,11 @@ def tf_cosine_pairs(
     the documented recall trade; near-identical real documents share
     their rare tokens.
 
+    ``max_df`` and ``candidate_max_df`` are mutually exclusive: the
+    first prunes the dot itself (lower-bound scores), the second prunes
+    only candidate GENERATION (exact scores). Passing both would
+    silently compute one or the other, so it raises ``ValueError``.
+
     Every sum is INTEGER (tf products and squared norms), so the score
     is bit-exact across engines and partitionings — only the final
     sqrt/divide touch floats, both IEEE-correctly-rounded, then
@@ -222,16 +254,16 @@ def tf_cosine_pairs(
     TERM FILTER instead: ``max_df`` drops stop-terms from the join —
     same skew guard as x27, and exactly where high-df terms stop
     contributing anyway.) Scale: the join fans out per shared term —
-    sum over terms of df^2 pairs — so ``max_df`` is the knob that keeps
-    the inverted index join linear-ish at corpus scale.
+    sum over terms of df^2 pairs — so ``max_df`` / ``candidate_max_df``
+    are the knobs that keep the inverted index join linear-ish at
+    corpus scale.
     """
-    terms = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(
-            F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
-        ).alias("term"),
-    )
-    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if max_df is not None and candidate_max_df is not None:
+        raise ValueError(
+            "max_df and candidate_max_df are mutually exclusive: max_df "
+            "prunes the dot product (lower-bound scores), candidate_max_df "
+            "prunes candidate generation (exact scores); pick one."
+        )
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )

@@ -936,6 +936,75 @@ LLM_ORACLE["x34_tf_cosine_pairs"] = f"""
     WHERE {_sr('d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))', 4)} >= 0.85
 """
 
+LLM_ORACLE["x34b_tf_cosine_candidates"] = f"""
+    -- guarded sparse cosine over customer purchase baskets: candidates
+    -- only through rare parts (df <= 20), each verified with the FULL
+    -- integer dot product — exact scores, bounded fan-out
+    WITH tf AS (
+        SELECT o.o_custkey AS doc_id, l.l_partkey AS term, count(*) AS tf
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ), norms AS (
+        SELECT doc_id, sum(tf * tf) AS sq FROM tf GROUP BY doc_id
+    ), dft AS (
+        SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), rare AS (
+        SELECT tf.doc_id, tf.term
+        FROM tf JOIN dft USING (term) WHERE dft.df <= 20
+    ), cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM rare a JOIN rare b
+          ON a.term = b.term AND a.doc_id < b.doc_id
+    ), dots AS (
+        SELECT c.doc_a, c.doc_b, sum(ta.tf * tb.tf) AS dot
+        FROM cands c
+        JOIN tf ta ON ta.doc_id = c.doc_a
+        JOIN tf tb ON tb.doc_id = c.doc_b AND tb.term = ta.term
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {_sr('d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))', 4)} AS cosine_tf
+    FROM dots d
+    JOIN norms na ON d.doc_a = na.doc_id
+    JOIN norms nb ON d.doc_b = nb.doc_id
+    WHERE {_sr('d.dot / (sqrt(CAST(na.sq AS DOUBLE)) * sqrt(CAST(nb.sq AS DOUBLE)))', 4)} >= 0.1
+"""
+
+LLM_ORACLE["h3b_containment_keep_maxdf"] = f"""
+    -- guarded containment keep/drop: stop-shingles (df > 4) are cut
+    -- from the pair JOIN only; |A| stays exact, so scores are a lower
+    -- bound of h3's — fewer drops, zero false drops
+    WITH {{shingles}},
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    dfreq AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+    jsh AS (
+        SELECT s.doc_id, s.shingle
+        FROM sh s JOIN dfreq d ON s.shingle = d.shingle AND d.df <= 4
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM jsh a JOIN jsh b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    losers AS (
+        SELECT DISTINCT i.doc_a AS doc_id
+        FROM inter i
+        JOIN sizes sa ON i.doc_a = sa.doc_id
+        JOIN sizes sb ON i.doc_b = sb.doc_id
+        WHERE {{score}} >= 0.6
+          AND (sb.n_sh > sa.n_sh
+               OR (sb.n_sh = sa.n_sh AND i.doc_b < i.doc_a))
+    )
+    SELECT d.doc_id,
+           l.doc_id IS NULL AS keep,
+           CASE WHEN l.doc_id IS NULL THEN 'kept' ELSE 'contained' END AS reason
+    FROM documents d LEFT JOIN losers l ON d.doc_id = l.doc_id
+""".format(
+    shingles=_SHINGLES_CTE,
+    score=_sr("i.n_inter / CAST(sa.n_sh AS DOUBLE)", 4),
+)
+
 LLM_ORACLE["x35_training_order"] = """
     -- content-addressed shard + salted-md5 within-shard order: the
     -- reproducible corpus shuffle (position depends only on ids)

@@ -120,25 +120,101 @@ def x34_tf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x34b_tf_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """x34's GUARDED scale path over a genuinely open vocabulary: sparse
+    tf-cosine affinity between customer purchase baskets (doc =
+    customer, term = part key, tf = lineitem count via orders). The
+    documents table's closed 31-word vocabulary makes candidate
+    pruning structurally empty there, so the guard is demonstrated on
+    the corpus the warehouse actually has: 2k-20k part terms whose
+    document frequency spans ~11-53 customers.
+
+    ``candidate_max_df=20`` admits candidate pairs only through parts
+    bought by <= 20 customers (the rare tail), then verifies each with
+    the FULL integer dot product — exact scores, bounded join fan-out
+    (sum of df^2 over rare terms: 77x below the unguarded inverted
+    index at sf0.01). This is the plan shape that survives 100 TB;
+    x34 remains the exact-oracle baseline on documents."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    tf = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("doc_id"),
+            F.col("l_partkey").alias("term"),
+        )
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return dedup.tf_cosine_pairs_from_tf(
+        tf, threshold=0.1, candidate_max_df=20
+    )
+
+
+def h3b_containment_keep_maxdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """h3's GUARDED scale path: the same containment keep/drop policy
+    with the ``max_df=4`` join-side stop-shingle cut — a shingle
+    shared by more than 4 docs never enters the pair join, so the
+    quadratic fan-out is capped at 16 rows per shingle (at sf0.1 the
+    cut is 185x: 2.79M -> 15k join rows) while |A| stays exact, making
+    scores a documented lower bound: strictly fewer drops, zero false
+    drops — the production stance for containment dedup at 100 TB.
+    h3 remains the exact-oracle baseline."""
+    return dedup.containment_keep(
+        _t(spark, sf_dir, "documents"), threshold=0.6, max_df=4
+    )
+
+
 def x35_training_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic global training order: content-addressed shard
     (md5 bucket) + within-shard position by a salted md5 of the key —
     the 'shuffle the corpus' step of a training pipeline, made
     reproducible: order depends only on doc ids, never on partitioning,
-    cluster size, or scheduling. At 100 TB this is one hash projection
-    + one per-shard sort (range-partition by (shard, ord) and the sort
-    is the write)."""
-    d = _t(spark, sf_dir, "documents")
+    cluster size, or scheduling.
+
+    The within-shard position is a DISTRIBUTED rank, not one
+    row_number window per shard (which caps parallelism at the shard
+    count — the round-5 scale defect): ``ord_key`` is uniform md5 hex,
+    so its first ``bucket_chars`` characters range-bucket the shard
+    into 16^bucket_chars lexicographic slices. Ranks are computed per
+    (shard, slice) — shards x 256 concurrent window tasks at the
+    defaults — and slice start offsets come from a prefix sum over the
+    per-slice COUNTS (a frame with one row per slice, negligible at
+    any corpus size). Identical output to the single-window form
+    because a prefix of the sort key partitions its own sort order."""
+    return _training_order(_t(spark, sf_dir, "documents"))
+
+
+def _training_order(
+    d: DataFrame, *, shards: int = 8, bucket_chars: int = 2
+) -> DataFrame:
     ord_key = F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
-    w = Window.partitionBy("shard").orderBy(F.col("ord_key"), F.col("doc_id"))
+    keyed = d.select(
+        "doc_id",
+        curation.hash_bucket(F.col("doc_id"), shards).cast("int").alias("shard"),
+        ord_key.alias("ord_key"),
+    ).withColumn("sub", F.substring("ord_key", 1, bucket_chars))
+    w_rank = Window.partitionBy("shard", "sub").orderBy(
+        F.col("ord_key"), F.col("doc_id")
+    )
+    ranked = keyed.withColumn("rn", F.row_number().over(w_rank))
+    # one row per (shard, slice): the offset window is over ~16^chars
+    # rows per shard, so its constant-cardinality partitioning is free
+    w_off = (
+        Window.partitionBy("shard")
+        .orderBy("sub")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        keyed.groupBy("shard", "sub")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("off", F.coalesce(F.sum("n").over(w_off), F.lit(0)))
+        .select("shard", "sub", "off")
+    )
     return (
-        d.select(
-            "doc_id",
-            curation.hash_bucket(F.col("doc_id"), 8).cast("int").alias("shard"),
-            ord_key.alias("ord_key"),
+        ranked.join(F.broadcast(offsets), ["shard", "sub"])
+        .select(
+            "doc_id", "shard", (F.col("off") + F.col("rn")).cast("int").alias("pos")
         )
-        .withColumn("pos", F.row_number().over(w).cast("int"))
-        .select("doc_id", "shard", "pos")
     )
 
 
@@ -689,6 +765,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h3_containment_keep": h3_containment_keep,
     "x33_semdedup_keep": x33_semdedup_keep,
     "x34_tf_cosine_pairs": x34_tf_cosine_pairs,
+    "x34b_tf_cosine_candidates": x34b_tf_cosine_candidates,
+    "h3b_containment_keep_maxdf": h3b_containment_keep_maxdf,
     "x35_training_order": x35_training_order,
     "x37_dup_shingle_coverage": x37_dup_shingle_coverage,
     "f_tokens_percentile": f_tokens_percentile,

@@ -24,6 +24,25 @@ def test_keys_match():
     )
 
 
+def test_rotation_guarantee():
+    """The driver verifies the first 50 queries() entries per round; the
+    rotation guarantees every-other-round re-verification only while the
+    ROTATING set (non-exempt) stays <= 100. Exempt queries must exist in
+    the registry, carry a documented reason, and sort at the very end so
+    they never displace a rotating query from the driver window."""
+    from insect_observation_data_pipeline_spark.queries import QUERIES, ROTATION_EXEMPT
+
+    assert set(ROTATION_EXEMPT) <= set(QUERIES)
+    rotating = [q for q in QUERIES if q not in ROTATION_EXEMPT]
+    assert len(rotating) <= 100, (
+        f"{len(rotating)} rotating queries exceed the 2x50 driver cap — "
+        "consolidate or add a documented ROTATION_EXEMPT entry"
+    )
+    assert all(reason.strip() for reason in ROTATION_EXEMPT.values())
+    tail = list(QUERIES)[-len(ROTATION_EXEMPT):]
+    assert set(tail) == set(ROTATION_EXEMPT)
+
+
 def test_entry_runs(spark):
     df = entrymod.entry(spark)
     rows = df.collect()
