@@ -9,10 +9,13 @@ real WAV RIFF-chunk decoder (fmt + data: rate/channels/frames).
 ``PIXEL_DECODERS['image']`` goes all the way to pixels — IDAT inflate +
 scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs, with
 ``png_encode_pixels`` as the re-encode half — so ``resize_images`` with
-``decoder='image'`` is a genuine resample, stdlib+numpy only. PCM
-sample decode / richer codecs (JPEG, interlaced PNG, 16-bit) are where
-an imaging/audio library would slot in — swap the registry entry
-without touching the pipeline.
+``decoder='image'`` is a genuine resample, stdlib+numpy only. The audio
+path likewise goes to CONTENT: ``wav_decode_samples`` decodes 8/16-bit
+integer PCM frames (``wav_encode_pcm16`` is the round-trip partner) and
+the feature decoder emits exact-integer peak/RMS amplitudes. Richer
+codecs (JPEG, interlaced PNG, float/ADPCM audio, video) are where an
+imaging/audio library would slot in — swap the registry entry without
+touching the pipeline.
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -59,6 +62,8 @@ FEATURE_SCHEMA = StructType(
         StructField("sample_rate", IntegerType(), True),
         StructField("n_channels", IntegerType(), True),
         StructField("n_frames", IntegerType(), True),
+        StructField("peak_amp", IntegerType(), True),
+        StructField("rms_amp", IntegerType(), True),
     ]
 )
 
@@ -94,38 +99,112 @@ def _decode_image_png(payload: bytes) -> dict:
     }
 
 
-def _decode_audio_wav(payload: bytes) -> dict:
-    """Real (stdlib-only) WAV structural decode: RIFF/WAVE container walk
-    for the fmt chunk (PCM layout: channels, sample rate, block align)
-    and the data chunk (frame count = data bytes / block align). Sample
-    decode/resample is where an audio library would slot in; the header
-    layer below is what every WAV tool agrees on."""
+def _wav_chunks(b: bytes) -> tuple[tuple, bytes]:
+    """RIFF/WAVE container walk: (fmt tuple, data-chunk bytes). The
+    shared parse under both the structural decode and the PCM sample
+    decode — the header layer every WAV tool agrees on."""
     import struct
 
-    b = bytes(payload or b"")
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV: bad RIFF/WAVE header")
-    pos, fmt, data_size = 12, None, None
+    pos, fmt, data = 12, None, None
     while pos + 8 <= len(b):
         cid, csize = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + csize]
         if cid == b"fmt " and csize >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
         elif cid == b"data":
-            data_size = csize
+            data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
-    if fmt is None or data_size is None:
+    if fmt is None or data is None:
         raise ValueError("not a WAV: missing fmt/data chunk")
+    return fmt, data
+
+
+def wav_decode_samples(payload: bytes):
+    """Full PCM sample decode, stdlib+numpy only: the audio twin of
+    :func:`png_decode_pixels`. Returns an int32 ndarray of shape
+    (n_frames, n_channels), zero-centered (8-bit unsigned is shifted by
+    -128; 16-bit is already signed little-endian). Only integer PCM
+    (format tag 1) at 8/16 bits is handled — float/ADPCM/24-bit is
+    where a real audio library would slot in."""
+    import numpy as np
+
+    fmt, data = _wav_chunks(bytes(payload or b""))
+    audio_format, n_channels, _, _, block_align, bits = fmt
+    if audio_format != 1:
+        raise ValueError(f"WAV: unsupported format tag {audio_format} (PCM only)")
+    if bits not in (8, 16):
+        raise ValueError(f"WAV: unsupported bit depth {bits}")
+    if n_channels == 0 or block_align == 0:
+        raise ValueError("WAV: zero channels/block align")
+    whole = data[: len(data) // block_align * block_align]
+    if bits == 16:
+        arr = np.frombuffer(whole, dtype="<i2").astype(np.int32)
+    else:
+        arr = np.frombuffer(whole, dtype=np.uint8).astype(np.int32) - 128
+    return arr.reshape(-1, n_channels)
+
+
+def wav_encode_pcm16(samples, sample_rate: int) -> bytes:
+    """Minimal valid 16-bit PCM WAV encoder for an int array of shape
+    (n_frames, n_channels) — the round-trip partner that pins
+    :func:`wav_decode_samples` in tests (the png_encode_pixels analog)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    data = arr.tobytes()
+    fmt_body = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        padded = body + (b"\x00" if len(body) & 1 else b"")
+        return cid + struct.pack("<I", len(body)) + padded
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_audio_wav(payload: bytes) -> dict:
+    """WAV decode: RIFF/WAVE structural walk (rate/channels/frames from
+    the fmt and data chunks) plus CONTENT-dependent amplitude features
+    for integer-PCM payloads — peak (max |sample|) and RMS (integer
+    isqrt of the mean square: exact arithmetic, engine-portable). A
+    structurally-valid WAV in an unsupported encoding (float, ADPCM,
+    24-bit) still gets the header features with null amplitudes."""
+    import math
+
+    b = bytes(payload or b"")
+    fmt, data = _wav_chunks(b)
     _, n_channels, sample_rate, _, block_align, _ = fmt
     if n_channels == 0 or sample_rate == 0 or block_align == 0:
         raise ValueError("WAV: zero channels/rate/block align")
-    return {
+    feats = {
         "n_bytes": len(b),
         "feature_kind": "wav",
         "sample_rate": sample_rate,
         "n_channels": n_channels,
-        "n_frames": data_size // block_align,
+        "n_frames": len(data) // block_align,
     }
+    try:
+        arr = wav_decode_samples(b)
+    except ValueError:
+        return feats  # header-only for non-integer-PCM encodings
+    if arr.size:
+        sq_sum = int((arr.astype("int64") ** 2).sum())
+        feats["peak_amp"] = int(abs(arr).max())
+        feats["rms_amp"] = math.isqrt(sq_sum // arr.size)
+    else:
+        feats["peak_amp"] = 0
+        feats["rms_amp"] = 0
+    return feats
 
 
 def _fake_deterministic_decode(payload: bytes) -> dict:
@@ -285,6 +364,8 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
                         "sample_rate": feats.get("sample_rate"),
                         "n_channels": feats.get("n_channels"),
                         "n_frames": feats.get("n_frames"),
+                        "peak_amp": feats.get("peak_amp"),
+                        "rms_amp": feats.get("rms_amp"),
                     }
                 )
             yield pd.DataFrame(out, columns=[f.name for f in FEATURE_SCHEMA.fields])

@@ -886,12 +886,15 @@ LLM_ORACLE["f_tokens_percentile"] = f"""
 LLM_ORACLE["e5_session_window_stats"] = """
     -- gaps-and-islands replay of Spark's session_window(ts, 10 min):
     -- a new session starts when the gap to the previous event is
-    -- >= 10 min (Spark's windows are half-open [start, last+gap)),
+    -- STRICTLY more than 10 min — Spark merges sessions while
+    -- new_start <= current_end, so an exactly-gap-later event stays in
+    -- the running session (pinned by
+    -- tests/test_llm.py::test_session_boundary_exact_gap_agreement);
     -- session_end = last event + gap
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         >= INTERVAL 10 MINUTE
+                         > INTERVAL 10 MINUTE
                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
                     THEN 1 ELSE 0 END AS new_s
         FROM events

@@ -647,7 +647,14 @@ def e4_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (>10 min idle starts a new session)."""
+    """Gap-based sessionization: STRICTLY more than 10 min idle starts
+    a new session — deliberately the same boundary as Spark's native
+    ``session_window``, which MERGES an event arriving exactly gap
+    after its predecessor into the running session (sessions join
+    while new_start <= current_end; verified empirically in
+    tests/test_llm.py::test_session_boundary_exact_gap_agreement), so
+    e2 and e5 describe the same sessions on every input, exact-boundary
+    gaps included."""
     e = _t(spark, sf_dir, "events")
     # NTZ-safe: parquet timestamps may arrive as TIMESTAMP_NTZ (Spark 4.x
     # infers non-UTC-adjusted files as NTZ); unix_micros only accepts

@@ -45,6 +45,47 @@ def merge_latest(
     return distinct_on(merged, list(keys), order_by)
 
 
+def _migrate_legacy_index(
+    spark,
+    index_path: str,
+    index_table: str,
+    bands_path: str,
+    bands_table: str,
+    num_buckets: int,
+) -> None:
+    """One-time upgrade of a pre-bucketing dedup-index layout: plain
+    parquet rows at ``index_path`` (no metastore table) are rewritten
+    through the bucketed writer into the SAME location, and the band
+    table is backfilled from the full legacy index so later epochs'
+    candidate joins cover pre-upgrade corpus docs too.
+
+    The legacy frame is ``localCheckpoint``-ed (eagerly materialized in
+    block storage) before its source directory is removed — rewriting a
+    directory through a plan that still reads it would race the delete.
+    Bucketed files carry a ``_NNNNN`` bucket suffix the bucketed scan
+    requires of EVERY file in the table, so append-over-legacy-files is
+    never an option; a full rewrite of the narrow index is the one-time
+    cost of the upgrade."""
+    from insect_observation_data_pipeline_spark.llm.dedup import build_band_index
+    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
+
+    legacy = spark.read.parquet(index_path).localCheckpoint(eager=True)
+    shutil.rmtree(index_path)
+    write_bucketed(
+        legacy, index_table,
+        bucket_by=("fp",), num_buckets=num_buckets,
+        sort_by=("fp",), mode="append", path=index_path,
+    )
+    if not spark.catalog.tableExists(bands_table):
+        if os.path.exists(bands_path):  # orphaned plain-parquet bands
+            shutil.rmtree(bands_path)
+        write_bucketed(
+            build_band_index(legacy), bands_table,
+            bucket_by=("band_idx", "band_hash"), num_buckets=num_buckets,
+            sort_by=("band_idx", "band_hash"), mode="append", path=bands_path,
+        )
+
+
 def dedup_ingest_sink(
     path: str,
     *,
@@ -84,7 +125,12 @@ def dedup_ingest_sink(
     re-shuffles the (ever-growing) index: only the epoch's batch moves.
     That is what keeps epoch cost ~ batch size as the corpus grows to
     100 TB. An index written by an older version as plain parquet at
-    ``<path>__index`` is still read (without the bucketing shortcut)."""
+    ``<path>__index`` is MIGRATED on the first post-upgrade epoch: the
+    legacy rows are rewritten through the bucketed writer (and a band
+    table is backfilled from them) before anything appends — appending
+    bucketed files into a directory that still holds non-bucket-named
+    legacy parts would poison every later bucketed scan with
+    'Invalid bucket file'."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
         build_band_index,
         build_dedup_index,
@@ -117,16 +163,18 @@ def dedup_ingest_sink(
         batch = batch.join(near_losers, id_col, "left_anti")
         if os.path.exists(path):
             corpus = spark.read.parquet(path)
-            if spark.catalog.tableExists(index_table):
-                index = spark.table(index_table)
-                band_index = (
-                    spark.table(bands_table)
-                    if spark.catalog.tableExists(bands_table)
-                    else None
+            if not spark.catalog.tableExists(index_table):
+                # pre-bucketing layout: migrate BEFORE the first append
+                _migrate_legacy_index(
+                    spark, index_path, index_table, bands_path, bands_table,
+                    index_buckets,
                 )
-            else:  # pre-bucketing layout: plain parquet index
-                index = spark.read.parquet(index_path)
-                band_index = None
+            index = spark.table(index_table)
+            band_index = (
+                spark.table(bands_table)
+                if spark.catalog.tableExists(bands_table)
+                else None
+            )
             kept = (
                 incremental_dedup_indexed(
                     index, corpus, batch,

@@ -711,6 +711,8 @@ def test_wav_decoder_end_to_end(spark):
     assert (feats["b"]["sample_rate"], feats["b"]["n_channels"]) == (44100, 2)
     assert feats["b"]["n_frames"] == 7
     assert feats["a"]["width"] is None  # image fields stay null for audio
+    # all-zero PCM payload: content features are exact zeros
+    assert (feats["a"]["peak_amp"], feats["a"]["rms_amp"]) == (0, 0)
 
     with pytest.raises(Exception):
         multimodal.extract_features(
@@ -720,6 +722,66 @@ def test_wav_decoder_end_to_end(spark):
             ),
             "audio",
         ).collect()
+
+
+def test_wav_pcm_content_decode_known_waveform(spark):
+    """WAV decode reaches the SAMPLES, not just the header: a
+    synthesized known waveform round-trips through wav_encode_pcm16 ->
+    wav_decode_samples bit-exactly, and the feature decoder's
+    amplitude stats match hand-computed values — through mapInPandas
+    too, so the content path is exercised executor-side.
+
+    Square wave at +/-1000 over 2 channels: peak = 1000, mean square =
+    1000^2 exactly, so rms = 1000 with zero rounding slack."""
+    import numpy as np
+
+    frames = np.tile(np.array([[1000, -1000]], dtype=np.int16), (50, 1))
+    wav = multimodal.wav_encode_pcm16(frames, 8000)
+
+    decoded = multimodal.wav_decode_samples(wav)
+    assert decoded.shape == (50, 2)
+    assert (decoded == frames.astype(np.int32)).all()
+
+    feats = multimodal._decode_audio_wav(wav)
+    assert feats["sample_rate"] == 8000
+    assert feats["n_channels"] == 2
+    assert feats["n_frames"] == 50
+    assert feats["peak_amp"] == 1000
+    assert feats["rms_amp"] == 1000
+
+    # ramp: peak = 99; rms = isqrt(sum(i^2 for i<100)/100) = isqrt(3283) = 57
+    ramp = np.arange(100, dtype=np.int16)[:, None]
+    rwav = multimodal.wav_encode_pcm16(ramp, 16000)
+    df = spark.createDataFrame(
+        [("sq", "audio", bytearray(wav)), ("ramp", "audio", bytearray(rwav))],
+        "media_id string, media_type string, payload binary",
+    )
+    out = {
+        r["media_id"]: r for r in multimodal.extract_features(df, "audio").collect()
+    }
+    assert (out["sq"]["peak_amp"], out["sq"]["rms_amp"]) == (1000, 1000)
+    assert (out["ramp"]["peak_amp"], out["ramp"]["rms_amp"]) == (99, 57)
+
+    # 8-bit PCM: unsigned bytes are centered at 128
+    import struct
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    body = b"WAVE" + chunk(b"fmt ", fmt8) + chunk(b"data", bytes([128, 228, 28, 128]))
+    wav8 = b"RIFF" + struct.pack("<I", len(body)) + body
+    dec8 = multimodal.wav_decode_samples(wav8)
+    assert dec8.flatten().tolist() == [0, 100, -100, 0]
+    f8 = multimodal._decode_audio_wav(wav8)
+    assert (f8["peak_amp"], f8["rms_amp"]) == (100, 70)  # isqrt(20000/4)=70
+
+    # structurally-valid float WAV: header features, null amplitudes
+    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bodyf = b"WAVE" + chunk(b"fmt ", fmtf) + chunk(b"data", b"\x00" * 8)
+    wavf = b"RIFF" + struct.pack("<I", len(bodyf)) + bodyf
+    ff = multimodal._decode_audio_wav(wavf)
+    assert ff["n_frames"] == 2 and "peak_amp" not in ff
 
 
 def test_resize_plumbing(spark):
@@ -1082,6 +1144,63 @@ def test_session_window_agrees_with_lag_sessionization(spark):
     from insect_observation_data_pipeline_spark.sources.parquet import read_table
 
     assert n_events_total == read_table(spark, sf, "events").count()
+
+
+def test_session_boundary_exact_gap_agreement(spark, tmp_path):
+    """An event EXACTLY gap after its predecessor stays in the SAME
+    session: Spark's session_window merges while new_start <=
+    current_end (verified here empirically — this is the behavior the
+    e5 DuckDB oracle and e2's lag boundary must both replicate; a '>='
+    split in either would disagree on exact-boundary data while
+    looking green on data without any)."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e2_sessionization,
+        e5_session_window_stats,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:10:00", 7, "click", 1.0, "{}"),  # exactly 10 min
+        (3, "2024-01-01 00:15:00", 7, "click", 1.0, "{}"),  # 5 min later
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf = str(tmp_path / "boundary")
+    df.write.parquet(f"{sf}/events.parquet")
+
+    e2 = e2_sessionization(spark, sf).collect()
+    assert [(r["user_id"], r["n_sessions"]) for r in e2] == [(7, 1)]
+    e5 = e5_session_window_stats(spark, sf).collect()
+    assert [r["n_events"] for r in e5] == [3]
+
+    # and one second PAST the gap does split
+    import duckdb
+
+    rows2 = [
+        (1, "2024-01-01 00:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-01-01 00:10:01", 7, "click", 1.0, "{}"),
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, ts string, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf2 = str(tmp_path / "past_boundary")
+    df2.write.parquet(f"{sf2}/events.parquet")
+    assert [r["n_sessions"] for r in e2_sessionization(spark, sf2).collect()] == [2]
+    assert len(e5_session_window_stats(spark, sf2).collect()) == 2
+
+    # the DuckDB oracles agree on BOTH datasets (exact boundary + split)
+    from insect_observation_data_pipeline_spark.queries import ORACLE
+
+    for d, want_sessions in ((sf, 1), (sf2, 2)):
+        con = duckdb.connect()
+        # Spark writes a parquet DIRECTORY; DuckDB needs the part glob
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'"
+        )
+        assert con.sql(ORACLE["e5_session_window_stats"]).fetchall().__len__() == want_sessions
+        n2 = con.sql(ORACLE["e2_sessionization"]).fetchall()
+        assert [r[2] for r in n2] == [want_sessions]
 
 
 def test_tf_cosine_pairs_exact_and_maxdf(spark):

@@ -418,6 +418,63 @@ def test_dedup_ingest_sink_chain_blocks_across_epochs(spark, tmp_path):
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 4}
 
 
+def test_dedup_ingest_sink_migrates_legacy_plain_index(spark, tmp_path):
+    """Upgrade path: a corpus whose index was written by the
+    pre-bucketing sink as PLAIN parquet at <path>__index (no metastore
+    table) must keep working across MULTIPLE epochs. The first
+    post-upgrade epoch rewrites the legacy rows through the bucketed
+    writer — appending bucketed files next to legacy non-bucket-named
+    parts would make every later `spark.table(...)` scan throw
+    'Invalid bucket file' — and backfills the band table from the full
+    legacy index so near-dups of PRE-upgrade corpus docs are still
+    caught after the upgrade."""
+    import hashlib as _hl
+
+    from insect_observation_data_pipeline_spark.llm.dedup import build_dedup_index
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    e = "completely fresh words appear within this next standalone entry"
+    corpus = str(tmp_path / "legacy_corpus")
+
+    # simulate the old sink version: corpus + plain-parquet index only
+    seed = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    seed.write.parquet(corpus)
+    build_dedup_index(seed).write.parquet(f"{corpus}__index")
+
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+
+    def ids() -> set[int]:
+        return {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+
+    # epoch 0 (first post-upgrade): doc 2 is a NEAR-dup of legacy doc 1
+    # — only catchable through the band index backfilled from the
+    # migrated legacy rows; doc 3 is fresh and survives
+    handle(
+        spark.createDataFrame(
+            [(2, a + " with a tiny tail"), (3, d)],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    assert ids() == {1, 3}
+
+    # epoch 1 reads the migrated bucketed tables (the pre-fix failure
+    # mode: 'Invalid bucket file' on the second post-upgrade epoch)
+    handle(
+        spark.createDataFrame([(4, d), (5, e)], "doc_id long, text string"), 1
+    )
+    assert ids() == {1, 3, 5}
+
+    # index/band tables cover legacy + new rows alike
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    idx = spark.table(f"dedup_index_{suffix}")
+    bands = spark.table(f"dedup_bands_{suffix}")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 3, 5}
+    assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 3, 5}
+
+
 def test_session_window_stream_matches_e5_query(spark, tmp_path):
     """Native session_window on a replayed stream (complete mode) == the
     batch e5 session-interval query: same intervals, same counts."""
