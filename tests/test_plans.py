@@ -113,6 +113,49 @@ def test_upsert_recompute_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_training_order_rank_window_is_sub_bucketed(spark):
+    """x35's distributed rank: the HEAVY row_number window must
+    partition by (shard, sub) — 16^2 slices per shard — never by the
+    constant-cardinality shard alone (the round-5 defect: an 8-task
+    sort funnel at any corpus size). The shard-only window that remains
+    is the per-slice-count prefix sum, whose input is one row per
+    slice. And the scalable plan must stay byte-identical to the naive
+    single-window-per-shard form."""
+    import re
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = QUERIES["x35_training_order"](spark, SF)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "no row_number window in the x35 plan"
+    for spec in specs:
+        assert "shard" in spec and "sub" in spec, (
+            f"rank window partitioned by constant-cardinality keys: {spec}"
+        )
+
+    # output identity vs the naive form (order depends only on ids)
+    from insect_observation_data_pipeline_spark.llm.curation import hash_bucket
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    d = read_table(spark, SF, "documents")
+    ord_key = F.md5(F.concat(F.lit("ord:"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy(F.col("ord_key"), F.col("doc_id"))
+    naive = (
+        d.select(
+            "doc_id",
+            hash_bucket(F.col("doc_id"), 8).cast("int").alias("shard"),
+            ord_key.alias("ord_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .select("doc_id", "shard", "pos")
+    )
+    got = {(r["doc_id"], r["shard"], r["pos"]) for r in df.collect()}
+    want = {(r["doc_id"], r["shard"], r["pos"]) for r in naive.collect()}
+    assert got == want
+
+
 def test_dedup_index_joins_read_bucket_aligned(spark, tmp_path):
     """The streaming dedup index's scale claim, pinned at the plan
     level: with the index persisted as bucketed tables, the

@@ -475,6 +475,48 @@ def test_dedup_ingest_sink_migrates_legacy_plain_index(spark, tmp_path):
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 3, 5}
 
 
+def test_ingest_sink_then_containment_policy_epoch_invariant(spark, tmp_path):
+    """Composition of the two dedup policy layers: the streaming ingest
+    sink (exact + MinHash near-dedup) grows the corpus, then the
+    containment keep/drop policy (h3's operator) prunes subset docs
+    from whatever survived. The combined final keep set must not depend
+    on HOW the same arrivals were split into epochs — the sink's
+    pairwise contract (a surviving chain member blocks future dups) and
+    the policy's deterministic pairwise rule have to compose
+    order-insensitively."""
+    from insect_observation_data_pipeline_spark.llm.dedup import containment_keep
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    big = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    subset = "alpha beta gamma delta epsilon zeta eta theta"  # contained in big
+    other = "one two three four five six seven eight nine ten eleven twelve"
+    dup_of_big = big + " extra"
+    rows = [(1, big), (2, subset), (3, other), (4, dup_of_big), (5, big)]
+
+    def run(split: list[list[tuple[int, str]]], tag: str) -> frozenset[int]:
+        corpus = str(tmp_path / f"compose_{tag}")
+        handle = dedup_ingest_sink(corpus, threshold=0.2)
+        for epoch, batch in enumerate(split):
+            handle(
+                spark.createDataFrame(batch, "doc_id long, text string"), epoch
+            )
+        survivors = spark.read.parquet(corpus)
+        kept = containment_keep(survivors, threshold=0.6).filter("keep")
+        return frozenset(r["doc_id"] for r in kept.collect())
+
+    one_epoch = run([rows], "all")
+    per_doc = run([[r] for r in rows], "each")
+    two_epochs = run([rows[:2], rows[2:]], "pairs")
+    assert one_epoch == per_doc == two_epochs
+    # sanity on content: doc 1 survives both layers; 5 is an exact dup,
+    # 4 a near-dup, and 2 is dropped by the containment layer
+    assert 1 in one_epoch and one_epoch.isdisjoint({2, 4, 5})
+    assert 3 in one_epoch
+
+
 def test_session_window_stream_matches_e5_query(spark, tmp_path):
     """Native session_window on a replayed stream (complete mode) == the
     batch e5 session-interval query: same intervals, same counts."""
