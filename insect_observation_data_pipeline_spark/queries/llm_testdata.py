@@ -682,9 +682,12 @@ def e5_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (10-min inactivity gap): (user, session_start, session_end,
     n_events) — the same sessions e2 counts, materialized as intervals
     by the engine's own stateful window instead of the lag/cumsum
-    rewrite. Spark closes a session when the next event is >= gap away;
-    session_end = last event + gap (half-open). NTZ-safe via the same
-    cast as e2."""
+    rewrite. Spark closes a session only when the next event is
+    STRICTLY more than gap away (windows merge while new_start <=
+    current_end — an exactly-gap-later event continues the session;
+    pinned empirically in
+    tests/test_llm.py::test_session_boundary_exact_gap_agreement);
+    session_end = last event + gap. NTZ-safe via the same cast as e2."""
     e = _t(spark, sf_dir, "events")
     ts = F.col("ts").cast("timestamp")
     return (
