@@ -27,6 +27,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -127,8 +128,62 @@ def calibration_battery(spark, n_runs: int = 3) -> dict[str, float]:
     return out
 
 
+_NUMPAIR = re.compile(r'"([A-Za-z0-9_]+)": ([0-9][0-9.eE+-]*)')
+
+
+def _parse_bench_line(line: str) -> dict:
+    """Best-effort parse of one bench JSON line that may be
+    FRONT-truncated (the driver's ``tail`` capture keeps only the last
+    2000 chars, so the head of the line — typically through the first
+    entries of ``queries`` — is cut off). Strategy: try a clean parse;
+    failing that, cut at each quote position and take the first cut
+    whose remainder parses as a top-level object (cuts inside a nested
+    dict fail with "Extra data", so the first success is exactly the
+    first surviving top-level key), then salvage whole ``"name":
+    number`` pairs from the truncated prefix — those belong to the
+    dict the cut landed inside, attached as ``queries`` only when they
+    look like bench query names."""
+    line = line.strip()
+    if not line.endswith("}"):
+        return {}
+    try:
+        d = json.loads(line)
+        return d if isinstance(d, dict) else {}
+    except json.JSONDecodeError:
+        pass
+    for m in re.finditer(r'"', line):
+        i = m.start()
+        try:
+            cand = json.loads("{" + line[i:])
+        except json.JSONDecodeError:
+            continue
+        if not isinstance(cand, dict):
+            continue
+        if "queries" not in cand:
+            prefix = line[:i]
+            cut = prefix.rfind("}")
+            pairs = {
+                k: float(v)
+                for k, v in _NUMPAIR.findall(prefix[: cut + 1])
+            }
+            if any(k in pairs for k in BENCH_QUERIES):
+                cand["queries"] = pairs
+        return cand
+    return {}
+
+
 def _prev_bench() -> dict:
-    """Parsed JSON body of the latest committed BENCH_r*.json."""
+    """Parsed JSON body of the latest committed BENCH_r*.json.
+
+    The driver wraps bench.py's JSON line under ``parsed``, but the
+    committed r4–r6 artifacts carry ``"parsed": null`` with the JSON
+    body surviving only (front-truncated) in the ``tail`` capture — so
+    when ``parsed`` is missing, recover the body from ``tail`` via
+    ``_parse_bench_line`` before falling back to an older artifact
+    (round-6 verdict: without this, every deltas_vs_prev since r4
+    silently compared to round 3 while claiming "last round"). The
+    returned dict carries ``_src`` = artifact filename so the emitted
+    ``prev_src`` makes the comparison base auditable."""
     here = os.path.dirname(os.path.abspath(__file__))
     files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
     for path in reversed(files):
@@ -137,9 +192,15 @@ def _prev_bench() -> dict:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
             continue
-        # the driver wraps bench.py's JSON line under "parsed"
         body = d if d.get("queries") else d.get("parsed") or {}
+        if not body.get("queries"):
+            for line in reversed(d.get("tail", "").splitlines()):
+                cand = _parse_bench_line(line)
+                if cand.get("queries"):
+                    body = cand
+                    break
         if body.get("queries"):
+            body["_src"] = os.path.basename(path)
             return body
     return {}
 
@@ -219,14 +280,23 @@ def main() -> None:
         else {}
     )
     total = round(sum(timings.values()), 3)
+    # delta over the INTERSECTION on both sides — summing all current
+    # timings against only the common previous ones would inflate the
+    # ratio whenever a query is added or recovers from an error
     prev_total = sum(v for n, v in prev_q.items() if n in timings)
-    total_delta = round(total / prev_total, 3) if prev_total else None
+    total_common = sum(v for n, v in timings.items() if prev_q.get(n))
+    total_delta = round(total_common / prev_total, 3) if prev_total else None
     total_norm = (
         round(total_delta / calib_drift, 3)
         if total_delta and calib_drift
         else None
     )
 
+    # Key order is deliberate: the driver's artifact keeps only the
+    # LAST 2000 chars of output, so the derived diagnostics (deltas)
+    # come first and the raw per-query timings + calibration — what
+    # the next round's _prev_bench needs — come last, inside the
+    # truncation window.
     print(
         json.dumps(
             {
@@ -235,17 +305,18 @@ def main() -> None:
                 "unit": "sec",
                 "total_delta_vs_prev": total_delta,
                 "total_delta_calib_normalized": total_norm,
-                "queries": timings,
+                "prev_src": prev.get("_src"),
+                "deltas_vs_prev": deltas,
+                "deltas_calib_normalized": deltas_norm,
+                "calib_drift_vs_prev": calib_drift,
+                "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": n_runs,
-                "deltas_vs_prev": deltas,
                 "calib_sec": calib,
                 "calib_ops": calib_ops,
-                "calib_drift_vs_prev": calib_drift,
-                "deltas_calib_normalized": deltas_norm,
+                "queries": timings,
                 "extended_queries": ext_timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
-                "errors": errors,
             }
         )
     )
