@@ -264,6 +264,17 @@ def tf_cosine_pairs_from_tf(
             "prunes the dot product (lower-bound scores), candidate_max_df "
             "prunes candidate generation (exact scores); pick one."
         )
+    # tf feeds every downstream subtree — norms, the df count, the
+    # rare-term projection, and BOTH sides of the dot join (5 uses on
+    # the candidate path, 3 on the baseline). When the caller's tf is
+    # itself a join+agg (x34b: lineitem JOIN orders, GROUP BY), leaving
+    # it uncached recomputes that upstream work per subtree (round-6
+    # plan audit: 16 scans, 6x recompute — at 100 TB that is 6 passes
+    # over a fact join). One materialization, spill-safe, reused by
+    # every branch; ContextCleaner unpersists when the frame is GC'd.
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
     )
@@ -275,9 +286,16 @@ def tf_cosine_pairs_from_tf(
         )
     if candidate_max_df is not None:
         dft_c = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__cdf"))
-        rare = tf.join(
-            dft_c.filter(F.col("__cdf") <= candidate_max_df), "term"
-        ).select("doc_id", "term")
+        # rare feeds both sides of the self-join; vecs both sides of
+        # the pair join — persist each once instead of re-running its
+        # upstream shuffle per side
+        rare = (
+            tf.join(
+                dft_c.filter(F.col("__cdf") <= candidate_max_df), "term"
+            )
+            .select("doc_id", "term")
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
         ra, rb = rare.alias("ra"), rare.alias("rb")
         cands = (
             ra.join(
@@ -291,15 +309,73 @@ def tf_cosine_pairs_from_tf(
             )
             .distinct()
         )
-        # exact full dot, only for candidate pairs
-        dots = (
-            cands.join(tf.select(F.col("doc_id").alias("doc_a"),
-                                 "term", F.col("tf").alias("tf_a")), "doc_a")
-            .join(tf.select(F.col("doc_id").alias("doc_b"),
-                            "term", F.col("tf").alias("tf_b")),
-                  ["doc_b", "term"])
-            .groupBy("doc_a", "doc_b")
-            .agg(F.sum(F.col("tf_a") * F.col("tf_b")).alias("dot"))
+        # Exact full dot for candidate pairs, in VECTOR form: one row
+        # per doc carrying its sparse tf map + squared norm, candidate
+        # pairs join that frame twice, and the dot is a codegen'd
+        # map_zip_with merge — |cands| rows end-to-end. The term-level
+        # alternative (cands JOIN tf on doc_a JOIN tf on (doc_b, term))
+        # explodes each pair by the doc's whole term list before the
+        # shared-term filter — at sf0.1 that was ~80M intermediate rows
+        # across two sort-merge joins, and at corpus scale it multiplies
+        # every candidate by average doc vocabulary. Doc vocabulary is
+        # bounded (docs are bounded), so the map stays small; sums are
+        # integer, so scores stay bit-exact across partitionings.
+        vecs = (
+            tf.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "tf"))
+                ).alias("vec"),
+                F.sum(F.col("tf") * F.col("tf")).alias("sq"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        zero = F.lit(0).cast("long")
+        return (
+            cands.join(
+                vecs.select(
+                    F.col("doc_id").alias("doc_a"),
+                    F.col("vec").alias("va"),
+                    F.col("sq").alias("sq_a"),
+                ),
+                "doc_a",
+            )
+            .join(
+                vecs.select(
+                    F.col("doc_id").alias("doc_b"),
+                    F.col("vec").alias("vb"),
+                    F.col("sq").alias("sq_b"),
+                ),
+                "doc_b",
+            )
+            .withColumn(
+                "dot",
+                F.aggregate(
+                    F.map_values(
+                        F.map_zip_with(
+                            "va",
+                            "vb",
+                            lambda _, x, y: F.coalesce(x, zero)
+                            * F.coalesce(y, zero),
+                        )
+                    ),
+                    zero,
+                    lambda acc, v: acc + v,
+                ),
+            )
+            .withColumn(
+                "cosine_tf",
+                stable_round(
+                    F.col("dot")
+                    / (
+                        F.sqrt(F.col("sq_a").cast("double"))
+                        * F.sqrt(F.col("sq_b").cast("double"))
+                    ),
+                    4,
+                ),
+            )
+            .filter(F.col("cosine_tf") >= threshold)
+            .select("doc_a", "doc_b", "cosine_tf")
         )
     else:
         a, b = join_tf.alias("a"), join_tf.alias("b")
