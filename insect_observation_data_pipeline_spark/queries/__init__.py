@@ -70,17 +70,39 @@ ROTATION_EXEMPT: dict[str, str] = {
     ),
 }
 
-# Never-green first (last round 0), then stalest-verified first; declared
-# order breaks ties so the layout is deterministic; rotation-exempt
-# queries always sort last (past the driver's 50-slot window).
+# Ordering priority (round 7 — fixes the starvation that let e1 miss
+# two consecutive driver windows when new never-green queries sorted
+# first and displaced the stalest greens):
+#   0. OVERDUE greens — not verified in the latest artifact round,
+#      stalest first. These are the queries whose every-other-round
+#      guarantee breaks if they miss this window; nothing may
+#      displace them.
+#   1. NEVER-green queries (new entrants) — they enter through
+#      whatever window slack the overdue set leaves (with the
+#      rotating set capped at 100 and ~50 due per round there is
+#      always >= 0 slack; entrants queue at most briefly, while a
+#      green query's evidence can never silently go 3 rounds stale).
+#   2. Fresh greens (verified in the latest round) — due next round.
+#   3. ROTATION_EXEMPT — always past the window.
+# Declared order breaks ties so the layout is deterministic.
 _DECL = {k: i for i, k in enumerate(_ALL)}
-QUERIES = {
-    k: _ALL[k]
-    for k in sorted(
-        _ALL,
-        key=lambda k: (k in ROTATION_EXEMPT, _LAST_GREEN.get(k, 0), _DECL[k]),
-    )
-}
+_R_LATEST = max(_LAST_GREEN.values(), default=0)
+
+
+def _rotation_key(k: str) -> tuple[int, int, int]:
+    lg = _LAST_GREEN.get(k, 0)
+    if k in ROTATION_EXEMPT:
+        grp = 3
+    elif lg == 0:
+        grp = 1
+    elif lg < _R_LATEST:
+        grp = 0
+    else:
+        grp = 2
+    return (grp, lg, _DECL[k])
+
+
+QUERIES = {k: _ALL[k] for k in sorted(_ALL, key=_rotation_key)}
 ORACLE = {**_CORE_ORACLE, **LLM_ORACLE}
 
 # kept for tests/backward-compat: everything ever driver-green

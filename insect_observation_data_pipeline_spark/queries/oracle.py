@@ -325,8 +325,9 @@ ORACLE: dict[str, str] = {
         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
         LIMIT 10
     """,
-    "f_string_census": """
-        SELECT p_partkey,
+    "f_string_date_census": """
+        SELECT 'part' AS src,
+               CAST(p_partkey AS BIGINT) AS key,
                upper(p_name) AS up_name,
                array_to_string(
                    list_transform(string_split(p_name, ' '),
@@ -338,11 +339,26 @@ ORACLE: dict[str, str] = {
                split_part(p_name, ' ', 1) AS first_word,
                split_part(p_name, ' ', -1) AS last_word,
                lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
-               p_name || '|' || p_brand AS name_brand
+               p_name || '|' || p_brand AS name_brand,
+               CAST(NULL AS INTEGER) AS order_year,
+               CAST(NULL AS INTEGER) AS order_month,
+               CAST(NULL AS VARCHAR) AS month_name,
+               CAST(NULL AS VARCHAR) AS month_year,
+               CAST(NULL AS DATE) AS prev_day,
+               CAST(NULL AS DATE) AS month_start
         FROM part
-    """,
-    "f_date_census": """
-        SELECT o_orderkey,
+        UNION ALL
+        SELECT 'orders' AS src,
+               CAST(o_orderkey AS BIGINT) AS key,
+               CAST(NULL AS VARCHAR) AS up_name,
+               CAST(NULL AS VARCHAR) AS cap_name,
+               CAST(NULL AS VARCHAR) AS rev_name,
+               CAST(NULL AS INTEGER) AS name_len,
+               CAST(NULL AS INTEGER) AS space_pos,
+               CAST(NULL AS VARCHAR) AS first_word,
+               CAST(NULL AS VARCHAR) AS last_word,
+               CAST(NULL AS VARCHAR) AS size_pad,
+               CAST(NULL AS VARCHAR) AS name_brand,
                CAST(year(o_orderdate) AS INTEGER) AS order_year,
                CAST(month(o_orderdate) AS INTEGER) AS order_month,
                monthname(o_orderdate) AS month_name,
@@ -352,12 +368,31 @@ ORACLE: dict[str, str] = {
                          CAST(month(o_orderdate) AS INTEGER), 1) AS month_start
         FROM orders
     """,
-    "f_cast_census": """
+    "f_event_cast_census": """
         SELECT event_id,
                CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
                CAST(CAST(((floor(abs(value) * 100.0 + 0.5) / 100.0) * (CASE WHEN (value) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS DECIMAL(9,2)) AS DOUBLE) AS value_dec,
                (upper(CASE WHEN event_type = 'click' THEN 'Y' ELSE 'N' END) = 'Y')
-                 AS is_click
+                 AS is_click,
+               CASE WHEN event_type = 'click' THEN 'Y'
+                    WHEN event_type = 'view' THEN 'n'
+                    WHEN event_type = 'purchase' THEN 'Yes'
+                    WHEN event_type = 'signup' THEN 'FALSE'
+                    ELSE 'maybe'
+               END AS flag_raw,
+               CASE WHEN lower(trim(CASE WHEN event_type = 'click' THEN 'Y'
+                        WHEN event_type = 'view' THEN 'n'
+                        WHEN event_type = 'purchase' THEN 'Yes'
+                        WHEN event_type = 'signup' THEN 'FALSE'
+                        ELSE 'maybe' END))
+                         IN ('y','yes','t','true','1','on') THEN TRUE
+                    WHEN lower(trim(CASE WHEN event_type = 'click' THEN 'Y'
+                        WHEN event_type = 'view' THEN 'n'
+                        WHEN event_type = 'purchase' THEN 'Yes'
+                        WHEN event_type = 'signup' THEN 'FALSE'
+                        ELSE 'maybe' END))
+                         IN ('n','no','f','false','0','off') THEN FALSE
+               END AS flag_bool
         FROM events
     """,
     "f_name_parse": """
@@ -382,25 +417,6 @@ ORACLE: dict[str, str] = {
                               ' ', 1)
                ELSE full_name END AS last_name
         FROM base
-    """,
-    "f_yn_cast": """
-        WITH f AS (
-            SELECT event_id,
-                   CASE WHEN event_type = 'click' THEN 'Y'
-                        WHEN event_type = 'view' THEN 'n'
-                        WHEN event_type = 'purchase' THEN 'Yes'
-                        WHEN event_type = 'signup' THEN 'FALSE'
-                        ELSE 'maybe'
-                   END AS flag_raw
-            FROM events
-        )
-        SELECT event_id, flag_raw,
-               CASE WHEN lower(trim(flag_raw))
-                         IN ('y','yes','t','true','1','on') THEN TRUE
-                    WHEN lower(trim(flag_raw))
-                         IN ('n','no','f','false','0','off') THEN FALSE
-               END AS flag_bool
-        FROM f
     """,
     "j13_asof_latest_signup": """
         WITH s AS (

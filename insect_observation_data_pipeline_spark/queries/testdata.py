@@ -1018,6 +1018,67 @@ def f_yn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_string_date_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated §2h function census (round 7): the string census
+    (part grain) and the date census (orders grain) as ONE driver slot —
+    a tagged UNION ALL over the two grains with typed null padding, so
+    both function families keep their original evidence while the
+    rotating set shrinks below the 2x50 driver cap. Composes
+    :func:`f_string_census` and :func:`f_date_census` unchanged."""
+    s = f_string_census(spark, sf_dir)
+    d = f_date_census(spark, sf_dir)
+    null = F.lit(None)
+    s2 = s.select(
+        F.lit("part").alias("src"),
+        F.col("p_partkey").cast("bigint").alias("key"),
+        "up_name",
+        "cap_name",
+        "rev_name",
+        "name_len",
+        "space_pos",
+        "first_word",
+        "last_word",
+        "size_pad",
+        "name_brand",
+        null.cast("int").alias("order_year"),
+        null.cast("int").alias("order_month"),
+        null.cast("string").alias("month_name"),
+        null.cast("string").alias("month_year"),
+        null.cast("date").alias("prev_day"),
+        null.cast("date").alias("month_start"),
+    )
+    d2 = d.select(
+        F.lit("orders").alias("src"),
+        F.col("o_orderkey").cast("bigint").alias("key"),
+        null.cast("string").alias("up_name"),
+        null.cast("string").alias("cap_name"),
+        null.cast("string").alias("rev_name"),
+        null.cast("int").alias("name_len"),
+        null.cast("int").alias("space_pos"),
+        null.cast("string").alias("first_word"),
+        null.cast("string").alias("last_word"),
+        null.cast("string").alias("size_pad"),
+        null.cast("string").alias("name_brand"),
+        "order_year",
+        "order_month",
+        "month_name",
+        "month_year",
+        "prev_day",
+        "month_start",
+    )
+    return s2.unionByName(d2)
+
+
+def f_event_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated §2h cast census (round 7): the JSON/decimal/boolean
+    cast census and the 'Y'/'N' boolean-literal ladder share the events
+    grain, so they merge into one select — column union of
+    :func:`f_cast_census` and :func:`f_yn_cast`, one driver slot."""
+    c = f_cast_census(spark, sf_dir)
+    y = f_yn_cast(spark, sf_dir)
+    return c.join(y, "event_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "flagship_top_part_supplier": flagship,
     "q1_pricing_summary": q1_pricing_summary,
@@ -1065,11 +1126,13 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w4_moving_avg_frame": w4_moving_avg_frame,
     "w5_window_nav": w5_window_nav,
     "t1_topk_lineitems": t1_topk_lineitems,
-    "f_string_census": f_string_census,
-    "f_date_census": f_date_census,
-    "f_cast_census": f_cast_census,
+    # round 7: f_string_census/f_date_census and f_cast_census/f_yn_cast
+    # are consolidated into two driver slots (rotating-set headroom);
+    # the component functions are unchanged and still individually
+    # exercised through the consolidated plans
+    "f_string_date_census": f_string_date_census,
+    "f_event_cast_census": f_event_cast_census,
     "f_name_parse": f_name_parse,
-    "f_yn_cast": f_yn_cast,
     "f_stats_census": f_stats_census,
     "f_levenshtein_fuzzy": f_levenshtein_fuzzy,
     "f_array_census": f_array_census,

@@ -43,6 +43,58 @@ def test_rotation_guarantee():
     assert set(tail) == set(ROTATION_EXEMPT)
 
 
+def test_rotation_no_starvation():
+    """Machine-check of the every-other-round guarantee against the
+    COMMITTED driver artifacts (round-6 verdict: e1 missed two
+    consecutive windows because new never-green queries displaced the
+    stalest greens). Invariants on the current ordering:
+
+    - the overdue set (green, but not in the latest artifact round)
+      must FIT the 50-slot window — if it ever exceeds 50 the
+      guarantee is infeasible and this fails loudly;
+    - every overdue query IS in the window (nothing — in particular
+      no never-green entrant — displaces one);
+    - already-breached queries (>= 2 rounds stale, like e1 at r7)
+      sort at the very front, so even a partially-run driver window
+      repairs the oldest evidence first;
+    - never-green entrants enter only through leftover slack.
+    """
+    from insect_observation_data_pipeline_spark.queries import (
+        QUERIES,
+        ROTATION_EXEMPT,
+        _LAST_GREEN,
+        _R_LATEST,
+    )
+
+    rotating = [q for q in QUERIES if q not in ROTATION_EXEMPT]
+    window = list(QUERIES)[:50]
+    overdue = [
+        q for q in rotating if 0 < _LAST_GREEN.get(q, 0) < _R_LATEST
+    ]
+    assert len(overdue) <= 50, (
+        f"{len(overdue)} overdue queries cannot fit the 50-slot driver "
+        "window — the every-other-round guarantee is infeasible; "
+        "consolidate queries"
+    )
+    displaced = set(overdue) - set(window)
+    assert not displaced, (
+        f"overdue queries displaced from the driver window: {displaced}"
+    )
+    breached = sorted(
+        (q for q in rotating if 0 < _LAST_GREEN.get(q, 0) < _R_LATEST - 1),
+        key=lambda q: _LAST_GREEN[q],
+    )
+    assert window[: len(breached)] == breached
+    never = [q for q in rotating if _LAST_GREEN.get(q, 0) == 0]
+    slack = 50 - len(overdue)
+    in_window = [q for q in never if q in set(window)]
+    assert len(in_window) == min(slack, len(never)), (
+        "never-green entrants must fill exactly the window slack left "
+        f"by the overdue set (slack={slack}, entrants={len(never)}, "
+        f"in window={len(in_window)})"
+    )
+
+
 def test_prev_bench_reads_latest_artifact():
     """Regression for the round-6 verdict's top defect: committed
     BENCH_r4+ artifacts carry ``parsed: null`` with the JSON body
