@@ -26,12 +26,17 @@ from __future__ import annotations
 
 import hashlib
 import os
+import re
 import shutil
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from insect_observation_data_pipeline_spark.operators.dedupe import distinct_on
+
+# bucketed data files carry the writer's bucket id: `..._00003.c000...`;
+# plain (pre-bucketing) files end `...-c000...` with no bucket suffix
+_BUCKET_SUFFIX = re.compile(r"_\d{5}\.c\d{3}")
 
 
 def merge_latest(
@@ -45,44 +50,180 @@ def merge_latest(
     return distinct_on(merged, list(keys), order_by)
 
 
+def _data_files(path: str) -> list[str]:
+    if not os.path.isdir(path):
+        return []
+    return [
+        f
+        for f in os.listdir(path)
+        if f.startswith("part-") and f.endswith(".parquet")
+    ]
+
+
+def _has_legacy_files(path: str) -> bool:
+    """True when ``path`` holds plain (non-bucket-suffixed) data files —
+    the pre-bucketing sink layout. Detection reads FILE NAMES, not the
+    session catalog: ``tableExists`` is session-scoped under the
+    default in-memory catalog, so keying the 'one-time' migration on it
+    re-ran a full-index rewrite on every fresh session over an
+    already-bucketed sink (round-6 ADVICE)."""
+    files = _data_files(path)
+    return bool(files) and not all(_BUCKET_SUFFIX.search(f) for f in files)
+
+
+def _register_bucketed_table(
+    spark,
+    table: str,
+    path: str,
+    bucket_by: tuple[str, ...],
+    sort_by: tuple[str, ...],
+    num_buckets: int,
+) -> None:
+    """Register ALREADY-bucketed files at ``path`` as an external
+    bucketed table — pure metadata, no rewrite. This is how a fresh
+    session (or a fresh metastore) re-attaches to a sink a previous
+    session built."""
+    if spark.catalog.tableExists(table):
+        return
+    schema = spark.read.parquet(path).schema
+    cols = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+    )
+    bcols = ", ".join(f"`{c}`" for c in bucket_by)
+    sorted_by = (
+        "SORTED BY (" + ", ".join(f"`{c}`" for c in sort_by) + ") "
+        if sort_by
+        else ""
+    )
+    spark.sql(
+        f"CREATE TABLE `{table}` ({cols}) USING parquet "
+        f"CLUSTERED BY ({bcols}) {sorted_by}INTO {num_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+
+
 def _migrate_legacy_index(
     spark,
+    index_path: str,
+    index_table: str,
+    num_buckets: int,
+) -> None:
+    """One-time upgrade of a pre-bucketing dedup-index layout: plain
+    parquet rows at ``index_path`` (no metastore table) are rewritten
+    through the bucketed writer. Bucketed files carry a ``_NNNNN``
+    bucket suffix the bucketed scan requires of EVERY file in the
+    table, so append-over-legacy-files is never an option; a full
+    rewrite of the narrow index is the one-time cost of the upgrade.
+
+    Crash-safe (round-6 ADVICE: the previous version rmtree'd the only
+    durable copy before the rewrite landed): the bucketed rewrite goes
+    to a sibling temp directory while the legacy files stay in place,
+    then the swap is two renames with the legacy copy parked in a
+    trash dir until the new layout is live. At no instant is the index
+    absent from durable storage; a crash in the rename window leaves
+    ``index_path`` missing, which the caller repairs by REBUILDING the
+    index from the corpus (the corpus is the source of truth — the
+    index is always derivable)."""
+    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
+
+    tmp_path = index_path + ".migrating"
+    trash_path = index_path + ".legacy"
+    tmp_table = index_table + "__migrating"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+    for stale in (tmp_path, trash_path):  # crashed earlier attempt
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    write_bucketed(
+        spark.read.parquet(index_path), tmp_table,
+        bucket_by=("fp",), num_buckets=num_buckets,
+        sort_by=("fp",), mode="append", path=tmp_path,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")  # external: files stay
+    os.rename(index_path, trash_path)
+    os.rename(tmp_path, index_path)
+    shutil.rmtree(trash_path)
+    _register_bucketed_table(
+        spark, index_table, index_path, ("fp",), ("fp",), num_buckets
+    )
+
+
+def _ensure_index_tables(
+    spark,
+    corpus_path: str,
     index_path: str,
     index_table: str,
     bands_path: str,
     bands_table: str,
     num_buckets: int,
+    text_col: str,
+    id_col: str,
 ) -> None:
-    """One-time upgrade of a pre-bucketing dedup-index layout: plain
-    parquet rows at ``index_path`` (no metastore table) are rewritten
-    through the bucketed writer into the SAME location, and the band
-    table is backfilled from the full legacy index so later epochs'
-    candidate joins cover pre-upgrade corpus docs too.
+    """Bring the dedup index to 'bucketed files on disk + registered in
+    this session's catalog', whatever state disk and catalog are in:
 
-    The legacy frame is ``localCheckpoint``-ed (eagerly materialized in
-    block storage) before its source directory is removed — rewriting a
-    directory through a plan that still reads it would race the delete.
-    Bucketed files carry a ``_NNNNN`` bucket suffix the bucketed scan
-    requires of EVERY file in the table, so append-over-legacy-files is
-    never an option; a full rewrite of the narrow index is the one-time
-    cost of the upgrade."""
-    from insect_observation_data_pipeline_spark.llm.dedup import build_band_index
+    - index files MISSING (crashed migration swap, manual delete):
+      rebuild both tables from the corpus — the index is derived state,
+      so every crash window is recoverable;
+    - LEGACY plain files: crash-safe bucketed rewrite + band backfill;
+    - bucketed files, catalog entry missing (fresh session): register
+      the existing files as external bucketed tables — metadata only,
+      no rewrite.
+    """
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        build_band_index,
+        build_dedup_index,
+    )
     from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
 
-    legacy = spark.read.parquet(index_path).localCheckpoint(eager=True)
-    shutil.rmtree(index_path)
-    write_bucketed(
-        legacy, index_table,
-        bucket_by=("fp",), num_buckets=num_buckets,
-        sort_by=("fp",), mode="append", path=index_path,
-    )
-    if not spark.catalog.tableExists(bands_table):
-        if os.path.exists(bands_path):  # orphaned plain-parquet bands
-            shutil.rmtree(bands_path)
+    if not _data_files(index_path):
+        for stale in (
+            index_path,
+            index_path + ".migrating",
+            index_path + ".legacy",
+            bands_path,
+        ):
+            if os.path.exists(stale):
+                shutil.rmtree(stale)
+        for t in (index_table, bands_table):
+            spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+        full = build_dedup_index(
+            spark.read.parquet(corpus_path), text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
         write_bucketed(
-            build_band_index(legacy), bands_table,
+            full, index_table,
+            bucket_by=("fp",), num_buckets=num_buckets,
+            sort_by=("fp",), mode="append", path=index_path,
+        )
+        write_bucketed(
+            build_band_index(full), bands_table,
             bucket_by=("band_idx", "band_hash"), num_buckets=num_buckets,
             sort_by=("band_idx", "band_hash"), mode="append", path=bands_path,
+        )
+        return
+    if _has_legacy_files(index_path):
+        _migrate_legacy_index(spark, index_path, index_table, num_buckets)
+    else:
+        _register_bucketed_table(
+            spark, index_table, index_path, ("fp",), ("fp",), num_buckets
+        )
+    if not _data_files(bands_path) or _has_legacy_files(bands_path):
+        # orphaned/absent bands: backfill from the full index
+        if os.path.exists(bands_path):
+            shutil.rmtree(bands_path)
+        spark.sql(f"DROP TABLE IF EXISTS `{bands_table}`")
+        write_bucketed(
+            build_band_index(spark.table(index_table)), bands_table,
+            bucket_by=("band_idx", "band_hash"), num_buckets=num_buckets,
+            sort_by=("band_idx", "band_hash"), mode="append", path=bands_path,
+        )
+    else:
+        _register_bucketed_table(
+            spark,
+            bands_table,
+            bands_path,
+            ("band_idx", "band_hash"),
+            ("band_idx", "band_hash"),
+            num_buckets,
         )
 
 
@@ -163,18 +304,20 @@ def dedup_ingest_sink(
         batch = batch.join(near_losers, id_col, "left_anti")
         if os.path.exists(path):
             corpus = spark.read.parquet(path)
-            if not spark.catalog.tableExists(index_table):
-                # pre-bucketing layout: migrate BEFORE the first append
-                _migrate_legacy_index(
-                    spark, index_path, index_table, bands_path, bands_table,
-                    index_buckets,
+            if not spark.catalog.tableExists(index_table) or not (
+                spark.catalog.tableExists(bands_table)
+            ):
+                # repair/attach BEFORE the first append: legacy layout
+                # -> crash-safe bucketed rewrite; missing index (crashed
+                # swap) -> rebuild from corpus; already-bucketed files
+                # in a fresh session -> register, no rewrite
+                _ensure_index_tables(
+                    spark, path, index_path, index_table,
+                    bands_path, bands_table, index_buckets,
+                    text_col, id_col,
                 )
             index = spark.table(index_table)
-            band_index = (
-                spark.table(bands_table)
-                if spark.catalog.tableExists(bands_table)
-                else None
-            )
+            band_index = spark.table(bands_table)
             kept = (
                 incremental_dedup_indexed(
                     index, corpus, batch,

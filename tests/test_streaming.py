@@ -475,6 +475,129 @@ def test_dedup_ingest_sink_migrates_legacy_plain_index(spark, tmp_path):
     assert {r["doc_id"] for r in bands.select("doc_id").distinct().collect()} == {1, 3, 5}
 
 
+def test_dedup_ingest_sink_fresh_session_reattaches_without_rewrite(
+    spark, tmp_path
+):
+    """A fresh Spark session has an EMPTY in-memory catalog, but the
+    sink's bucketed files are already on disk. Re-attaching must be
+    metadata-only — register the existing files as external bucketed
+    tables — not a full-index rewrite (round-6 ADVICE: keying the
+    migration on session-scoped tableExists re-ran the rewrite, and its
+    crash window, on every restart). Simulated by dropping the catalog
+    entries between epochs; the original data files must survive BY
+    NAME and dedup must keep working."""
+    import hashlib as _hl
+    import os as _os
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    corpus = str(tmp_path / "reattach_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+    handle(
+        spark.createDataFrame([(1, a)], "doc_id long, text string"), 0
+    )
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    index_files = set(_os.listdir(f"{corpus}__index"))
+    # fresh session: catalog forgets the tables, files remain
+    spark.sql(f"DROP TABLE IF EXISTS `dedup_index_{suffix}`")
+    spark.sql(f"DROP TABLE IF EXISTS `dedup_bands_{suffix}`")
+
+    # doc 2 near-dups corpus doc 1 (band-index hit), doc 3 survives
+    handle(
+        spark.createDataFrame(
+            [(2, a + " with a tiny tail"), (3, d)],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 3}
+    # register-only: every pre-existing index file is still there
+    # (a rewrite would have replaced them with fresh uuid names)
+    assert index_files <= set(_os.listdir(f"{corpus}__index"))
+    idx = spark.table(f"dedup_index_{suffix}")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 3}
+
+
+def test_dedup_ingest_sink_rebuilds_missing_index_from_corpus(
+    spark, tmp_path
+):
+    """Crash-window recovery: if the index directory is missing while
+    the corpus exists (the rename window of a crashed migration, or a
+    manual delete), the sink rebuilds index + bands FROM THE CORPUS —
+    the corpus is the source of truth and the index is always
+    derivable, so no crash loses dedup state permanently."""
+    import hashlib as _hl
+    import shutil as _sh
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    corpus = str(tmp_path / "rebuild_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+    handle(
+        spark.createDataFrame([(1, a)], "doc_id long, text string"), 0
+    )
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    _sh.rmtree(f"{corpus}__index")
+    _sh.rmtree(f"{corpus}__bands")
+    spark.sql(f"DROP TABLE IF EXISTS `dedup_index_{suffix}`")
+    spark.sql(f"DROP TABLE IF EXISTS `dedup_bands_{suffix}`")
+
+    # doc 2 is an exact dup of corpus doc 1; doc 3 a near-dup of it;
+    # both only droppable through the REBUILT index
+    handle(
+        spark.createDataFrame(
+            [(2, a), (3, a + " with a tiny tail"), (4, d)],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 4}
+    idx = spark.table(f"dedup_index_{suffix}")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 4}
+
+
+def test_dedup_ingest_sink_migration_survives_stale_attempt(
+    spark, tmp_path
+):
+    """A crashed previous migration leaves a stale `.migrating` (and
+    possibly `.legacy`) directory next to the still-legacy index; the
+    next attempt must clean them and migrate correctly — and at no
+    point before the swap is the legacy copy deleted."""
+    from insect_observation_data_pipeline_spark.llm.dedup import build_dedup_index
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    corpus = str(tmp_path / "stale_corpus")
+    seed = spark.createDataFrame([(1, a)], "doc_id long, text string")
+    seed.write.parquet(corpus)
+    build_dedup_index(seed).write.parquet(f"{corpus}__index")
+    # a crashed earlier attempt: half-written temp dir
+    (tmp_path / "stale_corpus__index.migrating").mkdir()
+    (tmp_path / "stale_corpus__index.migrating" / "junk").write_text("x")
+
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+    handle(
+        spark.createDataFrame(
+            [(2, a + " with a tiny tail"), (3, d)],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 3}
+    import os as _os
+
+    assert not _os.path.exists(f"{corpus}__index.migrating")
+    assert not _os.path.exists(f"{corpus}__index.legacy")
+
+
 def test_ingest_sink_then_containment_policy_epoch_invariant(spark, tmp_path):
     """Composition of the two dedup policy layers: the streaming ingest
     sink (exact + MinHash near-dedup) grows the corpus, then the
