@@ -816,12 +816,13 @@ def incremental_dedup_indexed(
     bands: int = 4,
     shingle_n: int = 3,
     band_index: DataFrame | None = None,
+    candidate_pushdown: int = 0,
 ) -> DataFrame:
     """:func:`incremental_dedup` against a PRE-BUILT corpus index — the
     shape that holds at 100 TB: the only full scans are the narrow index
-    and the batch; corpus TEXT is read just for the docs that became LSH
-    candidates (semi-join pushdown into the corpus scan), so per-batch
-    cost tracks batch size + candidate count, not corpus size.
+    and the batch; corpus TEXT is needed just for the docs that became
+    LSH candidates, so per-batch cost tracks batch size + candidate
+    count, not corpus size.
 
     ``index`` must be :func:`build_dedup_index` output for ``corpus``
     (same hash/band/shingle parameters). ``band_index``, when given,
@@ -829,7 +830,24 @@ def incremental_dedup_indexed(
     candidate join then uses it directly instead of re-deriving band
     hashes — with the band index persisted bucketed on
     (band_idx, band_hash) the join needs no shuffle of the corpus side
-    at all. Same output contract: (doc_id, keep, reason)."""
+    at all. Same output contract: (doc_id, keep, reason).
+
+    ``candidate_pushdown`` — the corpus-IO contract. The candidate set
+    is batch-bounded (each batch doc collides with a handful of corpus
+    bands), but a plain semi join only avoids SHUFFLING the corpus: the
+    parquet scan under it still reads every corpus text page each epoch,
+    which at 100 TB is an every-epoch full-corpus read. With
+    ``candidate_pushdown`` = N > 0, when there are at most N distinct
+    candidate corpus ids they are collected (bounded driver memory:
+    N ids, no payload) and pushed into the corpus scan as an ``In``
+    predicate, so parquet row-group stats + dictionary filtering skip
+    the text pages of every row group holding no candidate — per-epoch
+    corpus IO then tracks the candidate count, not the corpus size
+    (pinned by ``tests/test_streaming.py`` epoch-flatness evidence).
+    More than N candidates falls back to the semi join. NOTE: a
+    positive value makes this call EAGER (it runs the candidate job at
+    plan-build time); keep the default 0 in lazily-registered query
+    paths and enable it in ingest loops (``dedup_ingest_sink`` does)."""
     from pyspark import StorageLevel
 
     b_ids = batch.select(F.col(id_col).alias("doc_id"))
@@ -872,9 +890,22 @@ def incremental_dedup_indexed(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # shingle ONLY the candidate corpus docs (the scan-pruning payoff)
-    corpus_cand = corpus.join(
-        cands.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
-    )
+    cand_ids_frame = cands.select(F.col("c_id").alias(id_col)).distinct()
+    corpus_cand = None
+    if candidate_pushdown > 0:
+        cand_ids = [
+            r[id_col]
+            for r in cand_ids_frame.limit(candidate_pushdown + 1).collect()
+        ]
+        if not cand_ids:
+            corpus_cand = corpus.filter(F.lit(False))
+        elif len(cand_ids) <= candidate_pushdown:
+            # In-predicate reaches the parquet scan's PushedFilters ->
+            # row-group/dictionary skipping; the semi join below cannot
+            # prune IO, only shuffles
+            corpus_cand = corpus.filter(F.col(id_col).isin(cand_ids))
+    if corpus_cand is None:
+        corpus_cand = corpus.join(cand_ids_frame, id_col, "left_semi")
     sh_c = doc_shingles(corpus_cand, text_col, id_col, shingle_n)
     inter = (
         cands.join(sh_b.select(F.col("doc_id").alias("b_id"), "shingle"), "b_id")

@@ -234,6 +234,7 @@ def dedup_ingest_sink(
     id_col: str = "doc_id",
     threshold: float = 0.2,
     index_buckets: int = 16,
+    candidate_pushdown: int = 100_000,
 ):
     """``foreachBatch`` handler growing a DEDUPLICATED corpus at ``path``
     — the streaming form of the training-data ingest loop. Per epoch:
@@ -259,13 +260,19 @@ def dedup_ingest_sink(
     content fingerprint; ``build_band_index`` rows bucketed on the LSH
     band key). Step 2 runs against them
     (``incremental_dedup_indexed``), so per epoch the only full scans
-    are the batch and the index — corpus TEXT is read just for the LSH
-    candidate docs that need exact-Jaccard verification, and because
-    both index tables are bucketed on exactly their join keys, neither
-    the exact-fingerprint semi join nor the band candidate join ever
-    re-shuffles the (ever-growing) index: only the epoch's batch moves.
-    That is what keeps epoch cost ~ batch size as the corpus grows to
-    100 TB. An index written by an older version as plain parquet at
+    are the batch and the index — corpus TEXT pages are read just for
+    the LSH candidate docs that need exact-Jaccard verification (the
+    batch-bounded candidate-id set is pushed into the corpus scan as an
+    ``In`` predicate, so parquet row-group stats/dictionaries skip
+    every non-candidate row group's text IO; ``candidate_pushdown``
+    caps the pushed set, falling back to a semi join past it), and
+    because both index tables are bucketed on exactly their join keys,
+    neither the exact-fingerprint semi join nor the band candidate join
+    ever re-shuffles the (ever-growing) index: only the epoch's batch
+    moves. That is what keeps epoch cost ~ batch size as the corpus
+    grows to 100 TB; pinned empirically by the epoch-flatness test in
+    ``tests/test_streaming.py`` (per-epoch filesystem bytes read stay
+    ~flat while the corpus grows). An index written by an older version as plain parquet at
     ``<path>__index`` is MIGRATED on the first post-upgrade epoch: the
     legacy rows are rewritten through the bucketed writer (and a band
     table is backfilled from them) before anything appends — appending
@@ -323,6 +330,7 @@ def dedup_ingest_sink(
                     index, corpus, batch,
                     text_col=text_col, id_col=id_col, threshold=threshold,
                     band_index=band_index,
+                    candidate_pushdown=candidate_pushdown,
                 )
                 .filter(F.col("keep"))
                 .select(F.col("doc_id").alias(id_col))

@@ -640,6 +640,153 @@ def test_ingest_sink_then_containment_policy_epoch_invariant(spark, tmp_path):
     assert 3 in one_epoch
 
 
+def _jvm_fs_bytes_read(spark) -> int:
+    """Total bytes read through the Hadoop FileSystem layer in this JVM.
+    local[n] runs every executor thread in the driver JVM, so the
+    per-scheme Statistics aggregate ALL task input IO — parquet data
+    pages, dictionary pages, and footers alike."""
+    return sum(
+        s.getBytesRead()
+        for s in spark._jvm.org.apache.hadoop.fs.FileSystem.getAllStatistics()
+    )
+
+
+def _dir_bytes(path: str) -> int:
+    import os as _os
+
+    total = 0
+    for root, _dirs, files in _os.walk(path):
+        for f in files:
+            total += _os.path.getsize(_os.path.join(root, f))
+    return total
+
+
+def test_dedup_ingest_sink_epoch_cost_flat_as_corpus_grows(spark, tmp_path):
+    """Empirical pin of the sink's 100 TB claim: per-epoch SCAN VOLUME
+    must not track corpus size. Constant-size batches (one near-dup of
+    an early corpus doc each epoch to keep the candidate-verify path
+    live, the rest unique ~2 KB docs) are ingested for several epochs;
+    filesystem bytes read are measured around each ``handle`` call via
+    the JVM-wide Hadoop FileSystem statistics. The corpus text grows
+    linearly; the per-epoch read may grow only by the NARROW index (and
+    per-file footers), so the read growth between an early and a late
+    epoch must stay well under the corpus-text growth over the same
+    span. Without the candidate-id pushdown into the corpus scan
+    (``In`` filter -> row-group skipping) every epoch re-reads all
+    corpus text pages and this assertion fails.
+
+    Toy-scale calibration: docs are ~36 KB and ``index_buckets`` is 2
+    so corpus TEXT bytes dominate the measurement. The other per-epoch
+    reader is the narrow index (fp / signature / band scans), which at
+    this scale carries heavy SMALL-FILE amplification — measured ~15-25
+    KB read per tiny index file (footer + buffered column-chunk reads)
+    against ~200 B of logical column data — a per-FILE constant that
+    vanishes at production file sizes, so the test sizes text to dwarf
+    it rather than pretending it is zero."""
+    import random
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    rng = random.Random(7)
+
+    def doc_text() -> str:
+        return " ".join(f"{rng.getrandbits(32):08x}" for _ in range(4000))
+
+    corpus = str(tmp_path / "flat_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2, index_buckets=2)
+
+    base_text = doc_text()  # doc 0: the standing near-dup target
+    epochs = 8
+    per_epoch_read: list[int] = []
+    corpus_bytes_before: list[int] = []
+    for e in range(epochs):
+        rows = [(e * 1000 + i, doc_text()) for i in range(1, 15)]
+        if e == 0:
+            rows.append((0, base_text))
+        else:
+            # near-dup of doc 0, fresh id + tail each epoch: never an
+            # exact hit, always an LSH candidate needing verification
+            rows.append((e * 1000 + 99, base_text + f" tail{e}"))
+        batch = spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1)  # one file per epoch: footer count grows slowly
+        corpus_bytes_before.append(
+            _dir_bytes(corpus) if e else 0
+        )
+        before = _jvm_fs_bytes_read(spark)
+        handle(batch, e)
+        per_epoch_read.append(_jvm_fs_bytes_read(spark) - before)
+
+    # the near-dup was dropped every epoch after 0; uniques survived
+    n_docs = spark.read.parquet(corpus).count()
+    assert n_docs == 15 + (epochs - 1) * 14
+
+    early, late = 2, epochs - 1
+    text_growth = corpus_bytes_before[late] - corpus_bytes_before[early]
+    read_growth = per_epoch_read[late] - per_epoch_read[early]
+    assert per_epoch_read[early] > 0, per_epoch_read
+    assert text_growth > 100_000, (text_growth, corpus_bytes_before)
+    # a full-text rescan per epoch would make read_growth ~= text_growth
+    assert read_growth < 0.35 * text_growth, (
+        per_epoch_read,
+        corpus_bytes_before,
+    )
+
+
+def test_incremental_indexed_pushes_candidate_ids_into_corpus_scan(
+    spark, tmp_path
+):
+    """Plan-level twin of the epoch-flatness test: with
+    ``candidate_pushdown`` on, the corpus parquet scan must carry the
+    candidate ids as a pushed filter (row-group pruning), not feed an
+    unpruned full scan into a semi join."""
+    import hashlib as _hl
+
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        incremental_dedup_indexed,
+    )
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    corpus = str(tmp_path / "push_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2)
+    handle(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog again and again"),
+             (2, "completely different corpus text about spark engines at scale")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    batch = spark.createDataFrame(
+        [(9, "the quick brown fox jumps over the lazy dog again and again yes")],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup_indexed(
+        spark.table(f"dedup_index_{suffix}"),
+        spark.read.parquet(corpus),
+        batch,
+        band_index=spark.table(f"dedup_bands_{suffix}"),
+        candidate_pushdown=1000,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the corpus scan is the only FileScan reading the text column
+    # (plan Location strings are truncated, so match by ReadSchema)
+    corpus_scans = [
+        line
+        for line in plan.splitlines()
+        if "FileScan parquet" in line and "text:string" in line
+    ]
+    assert corpus_scans, plan
+    assert any(
+        ("In(doc_id" in line or "EqualTo(doc_id" in line)
+        for line in corpus_scans
+    ), corpus_scans
+    # and the dedup verdict itself is unchanged by the pushdown
+    got = {(r["doc_id"], r["keep"]) for r in out.collect()}
+    assert got == {(9, False)}
+
+
 def test_session_window_stream_matches_e5_query(spark, tmp_path):
     """Native session_window on a replayed stream (complete mode) == the
     batch e5 session-interval query: same intervals, same counts."""
