@@ -147,6 +147,56 @@ def _migrate_legacy_index(
     )
 
 
+def _compact_bucketed_table(
+    spark,
+    path: str,
+    table: str,
+    bucket_by: tuple[str, ...],
+    sort_by: tuple[str, ...],
+    num_buckets: int,
+) -> None:
+    """Rewrite an external bucketed table's accumulated small per-epoch
+    files into ~``num_buckets`` right-sized ones. Every epoch's append
+    adds up to ``num_buckets`` tiny files per table; after thousands of
+    epochs the index read cost is dominated by per-file overhead
+    (footer + buffered chunk reads — measured ~15-25 KB per tiny file
+    against ~200 B of logical data), and at cluster scale by namenode /
+    object-store listing. Same crash-safe temp+swap idiom as
+    ``_migrate_legacy_index``: the rewrite lands in a sibling dir while
+    the live files keep serving, then two renames swap it in; a crash
+    in the rename window leaves ``path`` missing, which the next
+    epoch's ``_ensure_index_tables`` repairs by rebuilding from the
+    corpus. Reading the bucketed table and writing with the same
+    bucket spec avoids a shuffle (bucketing is preserved end-to-end).
+
+    This is threshold-triggered FULL rewrite — O(index) every ~K
+    epochs, the right trade while the index is orders of magnitude
+    smaller than the corpus. On an object store back the index with a
+    transactional table format and use its incremental OPTIMIZE
+    instead; the trigger point below is where it slots in."""
+    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
+
+    tmp_path = path + ".compacting"
+    trash_path = path + ".compacted-old"
+    tmp_table = table + "__compacting"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+    for stale in (tmp_path, trash_path):  # crashed earlier attempt
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
+    write_bucketed(
+        spark.table(table), tmp_table,
+        bucket_by=bucket_by, num_buckets=num_buckets,
+        sort_by=sort_by, mode="append", path=tmp_path,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")  # external: files stay
+    os.rename(path, trash_path)
+    os.rename(tmp_path, path)
+    shutil.rmtree(trash_path)
+    # the catalog entry still points at `path`; drop the cached file
+    # listing so the next scan sees the compacted files
+    spark.catalog.refreshTable(table)
+
+
 def _ensure_index_tables(
     spark,
     corpus_path: str,
@@ -180,7 +230,11 @@ def _ensure_index_tables(
             index_path,
             index_path + ".migrating",
             index_path + ".legacy",
+            index_path + ".compacting",
+            index_path + ".compacted-old",
             bands_path,
+            bands_path + ".compacting",
+            bands_path + ".compacted-old",
         ):
             if os.path.exists(stale):
                 shutil.rmtree(stale)
@@ -235,6 +289,7 @@ def dedup_ingest_sink(
     threshold: float = 0.2,
     index_buckets: int = 16,
     candidate_pushdown: int = 100_000,
+    compact_file_threshold: int | None = None,
 ):
     """``foreachBatch`` handler growing a DEDUPLICATED corpus at ``path``
     — the streaming form of the training-data ingest loop. Per epoch:
@@ -278,7 +333,15 @@ def dedup_ingest_sink(
     table is backfilled from them) before anything appends — appending
     bucketed files into a directory that still holds non-bucket-named
     legacy parts would poison every later bucketed scan with
-    'Invalid bucket file'."""
+    'Invalid bucket file'.
+
+    SMALL-FILE control: each epoch's append adds up to
+    ``index_buckets`` tiny files per index table; once a table's file
+    count reaches ``compact_file_threshold`` (default
+    ``index_buckets * 16``, i.e. roughly every 16 epochs; 0 disables)
+    it is compacted back to ~``index_buckets`` files via the crash-safe
+    swap in ``_compact_bucketed_table`` — unbounded epoch counts would
+    otherwise drown the narrow index scans in per-file overhead."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
         build_band_index,
         build_dedup_index,
@@ -358,6 +421,22 @@ def dedup_ingest_sink(
             sort_by=("band_idx", "band_hash"), mode="append", path=bands_path,
         )
         new_index.unpersist()
+        limit = (
+            compact_file_threshold
+            if compact_file_threshold is not None
+            else index_buckets * 16
+        )
+        if limit and len(_data_files(index_path)) >= limit:
+            _compact_bucketed_table(
+                spark, index_path, index_table,
+                ("fp",), ("fp",), index_buckets,
+            )
+        if limit and len(_data_files(bands_path)) >= limit:
+            _compact_bucketed_table(
+                spark, bands_path, bands_table,
+                ("band_idx", "band_hash"), ("band_idx", "band_hash"),
+                index_buckets,
+            )
 
     return handle
 

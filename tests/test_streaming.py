@@ -733,6 +733,87 @@ def test_dedup_ingest_sink_epoch_cost_flat_as_corpus_grows(spark, tmp_path):
     )
 
 
+def test_dedup_ingest_sink_compacts_index_small_files(spark, tmp_path):
+    """Small-file control: with a low compaction threshold, many epochs
+    must keep the index/band file counts bounded (each epoch's append
+    adds files; compaction rewrites the table back to ~bucket-count
+    files via the crash-safe swap), while dedup semantics stay intact
+    ACROSS a compaction: a near-dup of a doc ingested long before the
+    last compaction is still rejected, an exact replay still appends
+    nothing, and the index tracks the corpus row-for-row."""
+    import hashlib as _hl
+    import os as _os
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+    from insect_observation_data_pipeline_spark.streaming.sink import _data_files
+
+    corpus = str(tmp_path / "compact_corpus")
+    threshold = 6
+    handle = dedup_ingest_sink(
+        corpus, threshold=0.2, index_buckets=2, compact_file_threshold=threshold
+    )
+    base = (
+        "the quick brown fox jumps over the lazy dog again and again "
+        "while the band index keeps growing one tiny file at a time"
+    )
+    epochs = 10
+    max_seen = 0
+    for e in range(epochs):
+        rows = [
+            (e * 100 + i, f"epoch {e} doc {i} unique text payload "
+                          f"alpha{e} beta{i} gamma{e * 7 + i} delta epsilon")
+            for i in range(1, 4)
+        ]
+        if e == 0:
+            rows.append((0, base))
+        handle(
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(1),
+            e,
+        )
+        max_seen = max(
+            max_seen,
+            len(_data_files(f"{corpus}__index")),
+            len(_data_files(f"{corpus}__bands")),
+        )
+    # appends can briefly reach the threshold before the post-epoch
+    # compaction runs, but never run away past it
+    assert max_seen <= threshold + 2, max_seen
+    assert len(_data_files(f"{corpus}__index")) < threshold, max_seen
+    # no compaction debris
+    for sfx in (".compacting", ".compacted-old"):
+        assert not _os.path.exists(f"{corpus}__index{sfx}")
+        assert not _os.path.exists(f"{corpus}__bands{sfx}")
+
+    # near-dup of doc 0 (ingested epoch 0, long before the last
+    # compaction) must still be caught through the compacted index
+    handle(
+        spark.createDataFrame(
+            [(9901, base + " with a tiny tail"), (9902, "wholly new text "
+              "about nothing seen before in this corpus at all")],
+            "doc_id long, text string",
+        ).coalesce(1),
+        epochs,
+    )
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus).select("doc_id").collect()}
+    assert 9901 not in ids and 9902 in ids
+    # exact replay appends nothing
+    n_before = spark.read.parquet(corpus).count()
+    handle(
+        spark.createDataFrame(
+            [(9903, base)], "doc_id long, text string"
+        ).coalesce(1),
+        epochs + 1,
+    )
+    assert spark.read.parquet(corpus).count() == n_before
+    # index tracks corpus row-for-row after everything
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.table(f"dedup_index_{suffix}").select("doc_id").collect()
+    }
+    assert idx_ids == ids
+
+
 def test_incremental_indexed_pushes_candidate_ids_into_corpus_scan(
     spark, tmp_path
 ):
