@@ -567,6 +567,27 @@ ORACLE["f_stats_census"] = f"""
     ORDER BY l_returnflag
 """
 
+ORACLE["f_sketch_audit"] = f"""
+    -- exact twins of the Spark sketch audit; sketch_ok is literal TRUE
+    -- because the sketches are REQUIRED to land inside tolerance — a
+    -- Spark-side sketch drifting out flips the boolean and fails the
+    -- value hash. quantile_cont matches Spark's interpolated percentile.
+    WITH g AS (
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_orderkey) AS DOUBLE) AS exact_distinct,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.95) AS p95
+        FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'distinct_orderkeys' AS metric,
+           {_sr('exact_distinct', 4)} AS exact_value, TRUE AS sketch_ok
+    FROM g
+    UNION ALL
+    SELECT l_returnflag, 'p50_price', {_sr('p50', 4)}, TRUE FROM g
+    UNION ALL
+    SELECT l_returnflag, 'p95_price', {_sr('p95', 4)}, TRUE FROM g
+"""
+
 ORACLE["f_levenshtein_fuzzy"] = """
     WITH t AS (
         SELECT p_partkey,

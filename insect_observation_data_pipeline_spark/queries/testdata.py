@@ -933,6 +933,51 @@ def f_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-aggregate audit — the 100 TB cardinality/quantile path,
+    made hash-checkable. ``approx_count_distinct`` (HyperLogLog++,
+    rsd 2%) and ``approx_percentile`` (Greenwald-Khanna summaries,
+    accuracy 1e4) are the single-pass, partial-aggregating, mergeable
+    replacements for exact COUNT(DISTINCT)/percentile at scales where
+    the exact forms' per-group shuffle+sort of raw values is the
+    bottleneck — a sketch is a few KB per group no matter how many
+    rows feed it. Sketch VALUES are engine-specific, so the query
+    returns each EXACT aggregate plus a deterministic bounded-error
+    verdict (sketch within tolerance of exact); the DuckDB oracle
+    reproduces the exact value and a literal TRUE, which means any
+    sketch drifting out of tolerance flips a boolean and fails the
+    value-hash gate. HLL merges are per-register max — order- and
+    partitioning-insensitive; GK's 1e-4 rank error is orders of
+    magnitude inside the 1%-of-value tolerance at every test SF
+    (partitioning-robustness pinned in tests/test_functions.py)."""
+    l = _t(spark, sf_dir, "lineitem")
+    g = l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_orderkey").alias("exact_distinct"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("hll_distinct"),
+        F.percentile("l_extendedprice", 0.5).alias("exact_p50"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("gk_p50"),
+        F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
+        F.expr("approx_percentile(l_extendedprice, 0.95, 10000)").alias("gk_p95"),
+    )
+    return g.selectExpr(
+        "l_returnflag",
+        """stack(3,
+            'distinct_orderkeys', CAST(exact_distinct AS DOUBLE),
+                abs(hll_distinct - exact_distinct)
+                    <= 0.05 * exact_distinct,
+            'p50_price', exact_p50,
+                abs(gk_p50 - exact_p50) <= 0.01 * exact_p50,
+            'p95_price', exact_p95,
+                abs(gk_p95 - exact_p95) <= 0.01 * exact_p95
+        ) AS (metric, exact_value, sketch_ok)""",
+    ).select(
+        "l_returnflag",
+        "metric",
+        stable_round(F.col("exact_value"), 4).alias("exact_value"),
+        "sketch_ok",
+    )
+
+
 def f_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance census: levenshtein is the fuzzy-match primitive for
     entity resolution (exact integer — identical on every engine). Flags
@@ -1134,6 +1179,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "f_event_cast_census": f_event_cast_census,
     "f_name_parse": f_name_parse,
     "f_stats_census": f_stats_census,
+    "f_sketch_audit": f_sketch_audit,
     "f_levenshtein_fuzzy": f_levenshtein_fuzzy,
     "f_array_census": f_array_census,
 }

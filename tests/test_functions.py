@@ -88,6 +88,41 @@ def test_approx_distinct_within_tolerance(spark):
     assert abs(est - exact) / exact <= 0.15
 
 
+def test_sketch_audit_verdicts_partitioning_invariant(spark):
+    """f_sketch_audit's oracle contract is `sketch_ok` = TRUE for every
+    (flag, metric) row, and the driver runs it on a session whose
+    partition layout we don't control — so the verdicts must hold under
+    radically different partitionings. HLL is per-register max-merged
+    (value IDENTICAL under any split); GK percentile summaries can
+    differ per merge order but must stay far inside the 1% tolerance."""
+    from insect_observation_data_pipeline_spark.queries.testdata import f_sketch_audit
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    base = f_sketch_audit(spark, "/root/testdata/sf0.001")
+    assert all(r["sketch_ok"] for r in base.collect())
+
+    l = read_table(spark, "/root/testdata/sf0.001", "lineitem")
+    for parts in (1, 17):
+        shuffled = l.repartition(parts)
+        g = shuffled.groupBy("l_returnflag").agg(
+            F.count_distinct("l_orderkey").alias("exact_d"),
+            F.approx_count_distinct("l_orderkey", 0.02).alias("hll_d"),
+            F.percentile("l_extendedprice", 0.95).alias("exact_p95"),
+            F.expr(
+                "approx_percentile(l_extendedprice, 0.95, 10000)"
+            ).alias("gk_p95"),
+        )
+        for r in g.collect():
+            assert abs(r["hll_d"] - r["exact_d"]) <= 0.05 * r["exact_d"], (
+                parts,
+                r,
+            )
+            assert abs(r["gk_p95"] - r["exact_p95"]) <= 0.01 * r["exact_p95"], (
+                parts,
+                r,
+            )
+
+
 def test_approx_quantiles_close_to_exact(spark):
     from insect_observation_data_pipeline_spark.functions import approx_quantiles
     from insect_observation_data_pipeline_spark.sources.parquet import read_table
