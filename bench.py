@@ -87,6 +87,9 @@ EXTENDED_QUERIES = [
     "e5_session_window_stats",
     "f_tokens_percentile",
     "x35_training_order",
+    # round 7: the sketch path (HLL distinct + GK percentile audited
+    # against exact twins)
+    "f_sketch_audit",
 ]
 
 

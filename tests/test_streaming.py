@@ -598,6 +598,55 @@ def test_dedup_ingest_sink_migration_survives_stale_attempt(
     assert not _os.path.exists(f"{corpus}__index.legacy")
 
 
+def test_dedup_ingest_sink_recovers_from_crashed_compaction(spark, tmp_path):
+    """Compaction crash-window recovery: a crash between the two swap
+    renames leaves the index dir MISSING, with the rewrite stranded in
+    `.compacting` and possibly the old files in `.compacted-old`. On
+    the next epoch (fresh session — simulated by dropping the
+    session-scoped tables) the sink must rebuild index+bands from the
+    corpus, sweep the stale compaction dirs, and keep deduping: an
+    exact dup and a near-dup of pre-crash corpus docs are still
+    rejected."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    corpus = str(tmp_path / "crashcomp_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2, index_buckets=2)
+    handle(
+        spark.createDataFrame([(1, a), (2, d)], "doc_id long, text string"), 0
+    )
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+
+    # crash mid-swap: index dir gone, rewrite stranded in .compacting,
+    # previous files parked in .compacted-old; session died with it
+    _sh.move(f"{corpus}__index", f"{corpus}__index.compacting")
+    _os.mkdir(f"{corpus}__index.compacted-old")
+    (tmp_path / "crashcomp_corpus__index.compacted-old" / "junk").write_text("x")
+    spark.sql(f"DROP TABLE IF EXISTS `dedup_index_{suffix}`")
+    spark.sql(f"DROP TABLE IF EXISTS `dedup_bands_{suffix}`")
+
+    handle(
+        spark.createDataFrame(
+            [(3, a), (4, a + " with a tiny tail"),
+             (5, "wholly new text about nothing seen before at all")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 5}
+    idx = spark.table(f"dedup_index_{suffix}")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 2, 5}
+    for sfx in (".compacting", ".compacted-old"):
+        assert not _os.path.exists(f"{corpus}__index{sfx}")
+        assert not _os.path.exists(f"{corpus}__bands{sfx}")
+
+
 def test_ingest_sink_then_containment_policy_epoch_invariant(spark, tmp_path):
     """Composition of the two dedup policy layers: the streaming ingest
     sink (exact + MinHash near-dedup) grows the corpus, then the
