@@ -330,6 +330,62 @@ def test_incremental_dedup_indexed_matches_plain(spark):
     assert indexed == plain and len(plain) > 0
 
 
+def test_incremental_indexed_pushdown_equivalent_to_semi_join(spark):
+    """candidate_pushdown is a pure IO optimization: on the real
+    testdata split AND on seeded random corpora with dup families, the
+    pushed-In-filter path, the over-threshold fallback (pushdown=1
+    forces the semi join whenever >1 candidate), and the default semi
+    join must produce identical (doc_id, keep, reason) verdicts."""
+    import random
+
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    def verdicts(index, corpus, batch, bands, pd):
+        return {
+            r["doc_id"]: (r["keep"], r["reason"])
+            for r in dedup.incremental_dedup_indexed(
+                index, corpus, batch, threshold=0.2,
+                band_index=bands, candidate_pushdown=pd,
+            ).collect()
+        }
+
+    def check(corpus, batch):
+        index = dedup.build_dedup_index(corpus).localCheckpoint(eager=True)
+        bands = dedup.build_band_index(index)
+        base = verdicts(index, corpus, batch, bands, 0)
+        assert len(base) > 0
+        for pd in (1, 100_000):
+            assert verdicts(index, corpus, batch, bands, pd) == base, pd
+
+    d = read_table(spark, "/root/testdata/sf0.001", "documents")
+    check(
+        d.filter(F.col("doc_id") % 10 != 0), d.filter(F.col("doc_id") % 10 == 0)
+    )
+
+    rng = random.Random(13)
+    words = [f"w{i}" for i in range(40)]
+    for trial in range(3):
+        def doc() -> str:
+            return " ".join(rng.choice(words) for _ in range(rng.randint(0, 25)))
+
+        corpus_rows = [(i, doc()) for i in range(1, 30)]
+        batch_rows = []
+        for j in range(30, 45):
+            r = rng.random()
+            if r < 0.3 and corpus_rows:
+                batch_rows.append((j, rng.choice(corpus_rows)[1]))  # exact
+            elif r < 0.6 and corpus_rows:
+                batch_rows.append(
+                    (j, rng.choice(corpus_rows)[1] + " tail")  # near-ish
+                )
+            else:
+                batch_rows.append((j, doc()))
+        check(
+            spark.createDataFrame(corpus_rows, "doc_id long, text string"),
+            spark.createDataFrame(batch_rows, "doc_id long, text string"),
+        )
+
+
 def test_containment_directed_semantics(docs_small_containment):
     """A short doc quoted whole inside a long one: containment(A in B)
     is 1.0 while the reverse direction scores low — the inclusion case
