@@ -893,13 +893,14 @@ def incremental_dedup_indexed(
     cand_ids_frame = cands.select(F.col("c_id").alias(id_col)).distinct()
     corpus_cand = None
     if candidate_pushdown > 0:
-        cand_ids = [
-            r[id_col]
-            for r in cand_ids_frame.limit(candidate_pushdown + 1).collect()
-        ]
-        if not cand_ids:
+        # count first: the action materializes the persisted `cands`
+        # fully (a limit+collect probe would cache only the partitions
+        # it touched, re-running the band join during the main pass)
+        n_cand = cand_ids_frame.count()
+        if n_cand == 0:
             corpus_cand = corpus.filter(F.lit(False))
-        elif len(cand_ids) <= candidate_pushdown:
+        elif n_cand <= candidate_pushdown:
+            cand_ids = [r[id_col] for r in cand_ids_frame.collect()]
             # In-predicate reaches the parquet scan's PushedFilters ->
             # row-group/dictionary skipping; the semi join below cannot
             # prune IO, only shuffles
