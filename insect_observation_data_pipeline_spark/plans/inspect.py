@@ -30,6 +30,34 @@ def formatted_plan(df: DataFrame) -> str:
     return buf.getvalue()
 
 
+def simple_plan(df: DataFrame) -> str:
+    """``explain()`` simple-mode text. Unlike formatted mode, exchange
+    nodes here carry their partitioning inline ("Exchange
+    hashpartitioning(...)"), so shuffle counting must use THIS form —
+    formatted mode splits the arguments onto separate lines and a
+    substring count silently reads 0."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain()
+    return buf.getvalue()
+
+
+def executed_plan_string(df: DataFrame) -> str:
+    """Final physical plan AFTER running the query (empty string if the
+    run fails). Under AQE this is the only form that shows the real
+    story: WholeStageCodegen subtrees exist only once stages
+    materialize, and runtime re-plans (broadcast conversion, skew
+    splits, coalesced partitions) appear nowhere else. Executes the
+    DataFrame's OWN query execution (collect) — a noop-sink write would
+    finalize the write command's separate QueryExecution and leave this
+    df's AdaptiveSparkPlanExec untouched (observed: codegen invisible)."""
+    try:
+        df.collect()
+        return df._jdf.queryExecution().executedPlan().toString()
+    except Exception:  # noqa: BLE001 — audit aid, never the gate
+        return ""
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """All PushedFilters entries across scans."""
     plan = formatted_plan(df)

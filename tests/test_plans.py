@@ -18,6 +18,26 @@ from insect_observation_data_pipeline_spark.queries import QUERIES
 SF = "/root/testdata/sf0.001"
 
 
+def test_audit_counters_see_exchanges_and_codegen(spark):
+    """Integrity of the PLANS_r{N}.json counters (r5/r6 silently
+    recorded 0 exchanges and no codegen for every query because the
+    substrings being counted never occur in formatted-mode explain):
+    the simple-mode text must carry inline 'Exchange hashpartitioning'
+    for a groupBy, and the post-execution plan must show codegen stage
+    markers."""
+    from insect_observation_data_pipeline_spark.plans import (
+        executed_plan_string,
+        simple_plan,
+    )
+
+    df = QUERIES["q1_pricing_summary"](spark, SF)
+    sp = simple_plan(df)
+    assert "Exchange hashpartitioning" in sp or "Exchange rangepartitioning" in sp
+    executed = executed_plan_string(df)
+    assert executed and "isFinalPlan=true" in executed
+    assert "*(" in executed or "WholeStageCodegen" in executed
+
+
 def test_filter_and_projection_pushdown(spark):
     df = QUERIES["s1_scan_prune"](spark, SF)
     pushed = " ".join(pushed_filters(df))

@@ -18,9 +18,11 @@ import sys
 sys.path.insert(0, ".")
 
 from insect_observation_data_pipeline_spark.plans.inspect import (  # noqa: E402
+    executed_plan_string,
     formatted_plan,
     plan_flags,
     read_schema_columns,
+    simple_plan,
     unpartitioned_windows,
 )
 from insect_observation_data_pipeline_spark.queries import QUERIES  # noqa: E402
@@ -38,11 +40,29 @@ def main() -> None:
         flags = plan_flags(df)
         plan = formatted_plan(df)
         scans = read_schema_columns(df)
+        # shuffle counts need SIMPLE mode (formatted splits "Exchange"
+        # from its partitioning across lines -> substring count reads 0,
+        # which is what PLANS_r05/r06 silently recorded); codegen needs
+        # the EXECUTED plan (AQE materializes WholeStageCodegen only as
+        # stages run)
+        splan = simple_plan(df)
+        executed = executed_plan_string(df)
         results[name] = {
             **flags,
+            # the executed-plan string renders codegen spans as "*(N)"
+            # stage markers, not the literal node name
+            "whole_stage_codegen": (
+                "*(" in executed
+                or "WholeStageCodegen" in executed
+                or flags["whole_stage_codegen"]
+            ),
             "unpartitioned_windows": unpartitioned_windows(df),
-            "exchanges": plan.count("Exchange hashpartitioning"),
+            "exchanges": (
+                splan.count("Exchange hashpartitioning")
+                + splan.count("Exchange rangepartitioning")
+            ),
             "broadcast_exchanges": plan.count("BroadcastExchange"),
+            "executed": bool(executed),
             "scan_columns": [len(c) for c in scans],
         }
         print(name, "ok")
