@@ -166,8 +166,16 @@ def _compact_bucketed_table(
     the live files keep serving, then two renames swap it in; a crash
     in the rename window leaves ``path`` missing, which the next
     epoch's ``_ensure_index_tables`` repairs by rebuilding from the
-    corpus. Reading the bucketed table and writing with the same
-    bucket spec avoids a shuffle (bucketing is preserved end-to-end).
+    corpus. The read is explicitly repartitioned on the bucket
+    columns before the write: a plain scan→write carries no
+    bucket-keyed operator, so Spark's auto-bucketed-scan falls back
+    to file-split scanning and the write would inherit one task per
+    small input file — emitting MORE files than it compacts
+    (observed under a shared session). The repartition pins the task
+    layout to exactly ``num_buckets`` hash partitions (same Murmur3
+    hash as the bucket spec, so each task holds one whole bucket)
+    and the output at <= ``num_buckets`` files, one index-sized
+    shuffle every ~K epochs.
 
     This is threshold-triggered FULL rewrite — O(index) every ~K
     epochs, the right trade while the index is orders of magnitude
@@ -184,7 +192,8 @@ def _compact_bucketed_table(
         if os.path.exists(stale):
             shutil.rmtree(stale)
     write_bucketed(
-        spark.table(table), tmp_table,
+        spark.table(table).repartition(num_buckets, *[F.col(c) for c in bucket_by]),
+        tmp_table,
         bucket_by=bucket_by, num_buckets=num_buckets,
         sort_by=sort_by, mode="append", path=tmp_path,
     )
