@@ -630,6 +630,15 @@ def minhash_lsh_dedup(
             ).alias("jaccard"),
         )
     )
+    if threshold > 0:
+        # Candidates sharing ZERO shingles (possible only via band-hash
+        # collision) have jaccard 0 and can't pass a positive threshold,
+        # so the cands-left-join-jac shape below is a no-op here — and
+        # skipping it avoids re-running the band self-join (cands has
+        # two consumers otherwise; this was 2 of x7's 14 exchanges).
+        return jac.filter(F.col("jaccard") >= threshold).select(
+            "doc_a", "doc_b", "jaccard"
+        )
     return (
         cands.join(jac, ["doc_a", "doc_b"], "left")
         .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
