@@ -450,12 +450,16 @@ ORACLE: dict[str, str] = {
         GROUP BY c.c_nationkey
         ORDER BY c.c_nationkey
     """,
-    "g1_set_except": """
-        SELECT user_id, ts::DATE AS event_day
-        FROM events WHERE event_type = 'view'
-        EXCEPT
-        SELECT user_id, ts::DATE
-        FROM events WHERE event_type = 'purchase'
+    "g3_set_ops": """
+        WITH v AS (SELECT DISTINCT user_id, ts::DATE AS event_day
+                   FROM events WHERE event_type = 'view'),
+             p AS (SELECT DISTINCT user_id, ts::DATE AS event_day
+                   FROM events WHERE event_type = 'purchase')
+        SELECT user_id, event_day, 'except' AS set_op
+        FROM (SELECT * FROM v EXCEPT SELECT * FROM p)
+        UNION ALL
+        SELECT user_id, event_day, 'intersect' AS set_op
+        FROM (SELECT * FROM v INTERSECT SELECT * FROM p)
     """,
     "a3_conditional_sum": """
         SELECT l_returnflag,
@@ -526,14 +530,6 @@ def _sr(expr: str, digits: int) -> str:
         f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)"
     )
 
-
-ORACLE["g2_set_intersect"] = """
-    SELECT user_id, ts::DATE AS event_day
-    FROM events WHERE event_type = 'view'
-    INTERSECT
-    SELECT user_id, ts::DATE
-    FROM events WHERE event_type = 'purchase'
-"""
 
 _W_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
 

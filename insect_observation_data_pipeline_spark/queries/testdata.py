@@ -586,26 +586,23 @@ def j10_join_using(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def g1_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set EXCEPT (§2g, the quarantine good/bad split as a set op):
-    (user, day) pairs with a view but no purchase that day.
-    ``subtract`` = EXCEPT DISTINCT."""
+def g3_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set EXCEPT + INTERSECT over the same operand pair, one result
+    (§2g; consolidates the former g1_set_except / g2_set_intersect for
+    rotation-window headroom — both operators still execute and both
+    outputs are hash-checked, tagged by ``set_op``): (user, day) pairs
+    with a view but no purchase that day ('except'), and pairs that
+    both viewed AND purchased ('intersect'). ``subtract`` = EXCEPT
+    DISTINCT, ``intersect`` = INTERSECT DISTINCT."""
     e = _t(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("event_day")
     viewers = e.filter(F.col("event_type") == "view").select("user_id", day)
     purchasers = e.filter(F.col("event_type") == "purchase").select("user_id", day)
-    return viewers.subtract(purchasers)
-
-
-def g2_set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Set INTERSECT (§2g completion alongside g1's EXCEPT): (user, day)
-    pairs that both viewed AND purchased that day.
-    ``intersect`` = INTERSECT DISTINCT."""
-    e = _t(spark, sf_dir, "events")
-    day = F.col("ts").cast("date").alias("event_day")
-    viewers = e.filter(F.col("event_type") == "view").select("user_id", day)
-    purchasers = e.filter(F.col("event_type") == "purchase").select("user_id", day)
-    return viewers.intersect(purchasers)
+    return viewers.subtract(purchasers).withColumn(
+        "set_op", F.lit("except")
+    ).unionByName(
+        viewers.intersect(purchasers).withColumn("set_op", F.lit("intersect"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1181,8 +1178,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j13_asof_latest_signup": j13_asof_latest_signup,
     "j5_multikey_anti": j5_multikey_anti,
     "j10_join_using": j10_join_using,
-    "g1_set_except": g1_set_except,
-    "g2_set_intersect": g2_set_intersect,
+    "g3_set_ops": g3_set_ops,
     "a3_conditional_sum": a3_conditional_sum,
     "a6_distinct_pairs": a6_distinct_pairs,
     "a10_coalesce_zero_agg": a10_coalesce_zero_agg,
