@@ -88,8 +88,10 @@ EXTENDED_QUERIES = [
     "f_tokens_percentile",
     "x35_training_order",
     # round 7: the sketch path (HLL distinct + GK percentile audited
-    # against exact twins)
+    # against exact twins), and the cross-source contamination matrix
+    # (df-guarded shingle-overlap pair join)
     "f_sketch_audit",
+    "x38_source_overlap",
 ]
 
 

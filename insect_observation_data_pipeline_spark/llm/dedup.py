@@ -1083,6 +1083,129 @@ def cluster_representatives(
     )
 
 
+def source_overlap_matrix(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    shingle_n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Cross-corpus contamination report: per source pair, how much
+    shingle vocabulary the two corpora share. One row per unordered
+    source pair with at least one shared shingle: (source_a, source_b,
+    shared_shingles, overlap), where ``overlap`` = shared /
+    min(|A|, |B|) (the overlap coefficient over distinct shingle sets —
+    1.0 means the smaller corpus's shingles are entirely contained in
+    the larger, the "my eval set leaked into a training source" alarm).
+
+    Shape for scale: everything is computed on the (source, shingle)
+    DISTINCT grain — doc counts never enter a join, so two sources
+    sharing a boilerplate shingle across millions of docs still
+    contribute ONE row per side. The pair join fans out per shingle as
+    (#sources carrying it)^2, bounded by the source count squared —
+    and ``max_df`` (sources-per-shingle cap, the x27 stop-shingle
+    trade at source grain) cuts ubiquitous vocabulary out of the join
+    entirely, making ``shared_shingles`` a documented lower bound
+    while per-source set sizes (the denominator) stay exact.
+    """
+    src = docs.select(
+        F.col(id_col).alias("doc_id"), F.col(group_col).alias("grp")
+    )
+    gsh = (
+        doc_shingles(docs, text_col, id_col, shingle_n)
+        .join(src, "doc_id")
+        .select("grp", "shingle")
+        .distinct()
+        .persist()
+    )
+    sizes = gsh.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sh"))
+    if max_df is not None:
+        # Guarded path: per-shingle source LIST, pairs exploded from the
+        # sorted array — one aggregation replaces the two-sided shingle
+        # self-join (measured 2.77 -> 1.65 s at sf0.1, identical rows).
+        # The df-cap SEMI-JOIN runs BEFORE collect_set so no array ever
+        # exceeds max_df entries: collecting first and filtering by
+        # size() would materialize one row per boilerplate shingle
+        # holding EVERY source carrying it — with a high-cardinality
+        # grouping (per-domain corpora) that's an OOM row, the exact
+        # failure mode max_df exists to cut.
+        dfreq = gsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        per = (
+            gsh.join(
+                dfreq.filter(
+                    (F.col("__df") >= 2) & (F.col("__df") <= max_df)
+                ),
+                "shingle",
+                "left_semi",
+            )
+            .groupBy("shingle")
+            .agg(F.sort_array(F.collect_set("grp")).alias("gs"))
+        )
+        idx = F.sequence(F.lit(0), F.size("gs") - 1)
+        shared = (
+            per.select(
+                F.explode(
+                    F.flatten(
+                        F.transform(
+                            idx,
+                            lambda i: F.transform(
+                                F.slice(F.col("gs"), i + 2, F.size("gs")),
+                                lambda s: F.struct(
+                                    F.element_at(F.col("gs"), i + 1).alias(
+                                        "source_a"
+                                    ),
+                                    s.alias("source_b"),
+                                ),
+                            ),
+                        )
+                    )
+                ).alias("p")
+            )
+            .groupBy(F.col("p.source_a").alias("source_a"),
+                     F.col("p.source_b").alias("source_b"))
+            .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        )
+    else:
+        # Exact path: no df cap means a per-shingle source list is
+        # unbounded (a shingle in every corpus collects them all), so
+        # stay with the streaming-safe two-sided self-join.
+        a, b = gsh.alias("a"), gsh.alias("b")
+        shared = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.grp") < F.col("b.grp")),
+            )
+            .groupBy(
+                F.col("a.grp").alias("source_a"),
+                F.col("b.grp").alias("source_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        )
+    return (
+        shared.join(
+            sizes.select(F.col("grp").alias("source_a"), F.col("n_sh").alias("n_a")),
+            "source_a",
+        )
+        .join(
+            sizes.select(F.col("grp").alias("source_b"), F.col("n_sh").alias("n_b")),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.col("shared_shingles").cast("bigint").alias("shared_shingles"),
+            stable_round(
+                F.col("shared_shingles")
+                / F.least("n_a", "n_b").cast("double"),
+                4,
+            ).alias("overlap"),
+        )
+    )
+
+
 _HEX = "0123456789abcdef"
 
 

@@ -1025,6 +1025,37 @@ LLM_ORACLE["x35_training_order"] = """
 """
 
 
+LLM_ORACLE["x38_source_overlap"] = f"""
+    -- cross-source contamination matrix on the (source, shingle)
+    -- DISTINCT grain; max_df=10 stop-shingle cut on the pair join
+    -- (shared counts are a lower bound, set sizes exact)
+    WITH {_SHINGLES_CTE},
+    gsh AS (
+        SELECT DISTINCT d.source AS grp, s.shingle
+        FROM sh s JOIN documents d USING (doc_id)
+    ),
+    sizes AS (SELECT grp, count(*) AS n_sh FROM gsh GROUP BY 1),
+    dfreq AS (SELECT shingle, count(*) AS df FROM gsh GROUP BY 1),
+    joinable AS (
+        SELECT g.grp, g.shingle
+        FROM gsh g JOIN dfreq f USING (shingle) WHERE f.df <= 10
+    ),
+    shared AS (
+        SELECT a.grp AS source_a, b.grp AS source_b, count(*) AS shared_shingles
+        FROM joinable a
+        JOIN joinable b ON a.shingle = b.shingle AND a.grp < b.grp
+        GROUP BY 1, 2
+    )
+    SELECT s.source_a, s.source_b,
+           CAST(s.shared_shingles AS BIGINT) AS shared_shingles,
+           {_sr('s.shared_shingles / CAST(least(sa.n_sh, sb.n_sh) AS DOUBLE)', 4)}
+               AS overlap
+    FROM shared s
+    JOIN sizes sa ON s.source_a = sa.grp
+    JOIN sizes sb ON s.source_b = sb.grp
+"""
+
+
 LLM_ORACLE["x37_dup_shingle_coverage"] = f"""
     -- cross-document duplicated-shingle coverage: fraction of each
     -- doc's distinct 3-grams that appear in >= 2 docs total

@@ -244,6 +244,19 @@ def x37_dup_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x38_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix (the corpus-level twin of
+    x21's doc-level decontamination): distinct-3-gram-shingle overlap
+    per source pair, with the max_df=10 stop-shingle cut keeping the
+    pair join's fan-out bounded by df_cap^2 per shingle (shared counts
+    are a documented lower bound; per-source set sizes stay exact —
+    the h3b/x27 trade at source grain)."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.source_overlap_matrix(
+        d, group_col="source", shingle_n=3, max_df=10
+    )
+
+
 def f_tokens_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated p50/p90
     + mean): the corpus-report query behind length-based curation cuts.
@@ -779,6 +792,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h3b_containment_keep_maxdf": h3b_containment_keep_maxdf,
     "x35_training_order": x35_training_order,
     "x37_dup_shingle_coverage": x37_dup_shingle_coverage,
+    "x38_source_overlap": x38_source_overlap,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

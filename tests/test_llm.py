@@ -1404,3 +1404,47 @@ def test_tf_cosine_guard_subset_randomized(spark):
         prev_keys = set(got)
     # cutoff >= n_docs admits every term -> guard degenerates to exact
     assert prev_keys == set(exact)
+
+
+def test_source_overlap_matrix(spark):
+    # two sources sharing one 3-gram ("a b c"), a third sharing nothing
+    rows = [
+        (1, "a b c d", "s1"),
+        (2, "a b c e", "s2"),   # shares shingle "a b c" with doc 1
+        (3, "x y z w", "s3"),   # disjoint vocabulary
+        (4, "a b c d", "s1"),   # dup doc within s1: must not inflate counts
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {
+        (r["source_a"], r["source_b"]): (r["shared_shingles"], r["overlap"])
+        for r in dedup.source_overlap_matrix(docs, group_col="source").collect()
+    }
+    # s1 {a b c, b c d}, s2 {a b c, b c e}: share exactly {a b c};
+    # overlap = 1 / min(2, 2) = 0.5. s3 pairs with nobody.
+    assert out == {("s1", "s2"): (1, 0.5)}
+
+
+def test_source_overlap_maxdf_lower_bound(spark):
+    # "a b c" appears in all 3 sources; with max_df=2 it leaves the
+    # join, so s1-s2 keep only their rarer shared shingle and s1-s3 /
+    # s2-s3 (who share ONLY the ubiquitous one) drop out entirely --
+    # shared counts are a lower bound, never an overcount
+    rows = [
+        (1, "a b c d e", "s1"),  # shingles: abc, bcd, cde
+        (2, "a b c d f", "s2"),  # shingles: abc, bcd, cdf
+        (3, "a b c x y", "s3"),  # shingles: abc, bcx, cxy
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    full = {
+        (r["source_a"], r["source_b"]): r["shared_shingles"]
+        for r in dedup.source_overlap_matrix(docs, group_col="source").collect()
+    }
+    assert full == {("s1", "s2"): 2, ("s1", "s3"): 1, ("s2", "s3"): 1}
+    guarded = {
+        (r["source_a"], r["source_b"]): r["shared_shingles"]
+        for r in dedup.source_overlap_matrix(
+            docs, group_col="source", max_df=2
+        ).collect()
+    }
+    assert guarded == {("s1", "s2"): 1}
+    assert all(guarded[p] <= full[p] for p in guarded)
