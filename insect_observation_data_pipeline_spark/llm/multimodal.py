@@ -10,12 +10,13 @@ real WAV RIFF-chunk decoder (fmt + data: rate/channels/frames).
 scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs, with
 ``png_encode_pixels`` as the re-encode half — so ``resize_images`` with
 ``decoder='image'`` is a genuine resample, stdlib+numpy only. The audio
-path likewise goes to CONTENT: ``wav_decode_samples`` decodes 8/16-bit
-integer PCM frames (``wav_encode_pcm16`` is the round-trip partner) and
-the feature decoder emits exact-integer peak/RMS amplitudes. Richer
-codecs (JPEG, interlaced PNG, float/ADPCM audio, video) are where an
-imaging/audio library would slot in — swap the registry entry without
-touching the pipeline.
+path likewise goes to CONTENT: ``wav_decode_samples`` decodes
+8/16/24-bit integer PCM, float32, and IMA ADPCM frames (the
+``wav_encode_*`` family are the round-trip partners) and the feature
+decoder emits exact-integer peak/RMS amplitudes. Richer codecs (JPEG,
+interlaced PNG, non-IMA ADPCM, video) are where an imaging/audio
+library would slot in — swap the registry entry without touching the
+pipeline.
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -122,22 +123,26 @@ def _wav_chunks(b: bytes) -> tuple[tuple, bytes]:
 
 
 def wav_decode_samples(payload: bytes):
-    """Full PCM sample decode, stdlib+numpy only: the audio twin of
+    """Full sample decode, stdlib+numpy only: the audio twin of
     :func:`png_decode_pixels`. Returns an int32 ndarray of shape
     (n_frames, n_channels), zero-centered. Handles integer PCM (format
     tag 1) at 8/16/24 bits (8-bit unsigned shifted by -128; 16/24-bit
-    already signed little-endian) and IEEE float32 (format tag 3) —
+    already signed little-endian), IEEE float32 (format tag 3) —
     float samples are mapped onto the 16-bit integer grid
     (round-half-even of x*32767, clipped to [-32768, 32767]) so every
-    downstream amplitude feature stays exact integer arithmetic.
-    ADPCM and WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE) remain out of scope
-    — that is where a real audio library would slot in."""
+    downstream amplitude feature stays exact integer arithmetic — and
+    IMA/DVI ADPCM (format tag 17, the common 4-bit lossy WAV codec)
+    via :func:`_ima_adpcm_decode`. WAVE_FORMAT_EXTENSIBLE (tag
+    0xFFFE) and the non-IMA ADPCM variants remain out of scope — that
+    is where a real audio library would slot in."""
     import numpy as np
 
     fmt, data = _wav_chunks(bytes(payload or b""))
     audio_format, n_channels, _, _, block_align, bits = fmt
     if n_channels == 0 or block_align == 0:
         raise ValueError("WAV: zero channels/block align")
+    if audio_format == 17 and bits == 4:
+        return _ima_adpcm_decode(data, n_channels, block_align)
     whole = data[: len(data) // block_align * block_align]
     if audio_format == 1 and bits == 16:
         arr = np.frombuffer(whole, dtype="<i2").astype(np.int32)
@@ -222,6 +227,161 @@ def wav_encode_pcm24(samples, sample_rate: int) -> bytes:
     return _wav_container(1, sample_rate, n_channels, 24, data)
 
 
+# IMA/DVI ADPCM tables (public spec: IMA Digital Audio Compression
+# Standard; the same tables every WAV tool ships)
+_IMA_STEPS = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+]
+_IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_step(pred: int, index: int, code: int) -> tuple[int, int]:
+    """One IMA ADPCM state transition: (predictor, step index) after
+    consuming one 4-bit code. Shared verbatim by decoder and encoder —
+    the encoder MUST track the decoder's reconstruction or the error
+    feedback loop diverges."""
+    step = _IMA_STEPS[index]
+    diff = step >> 3
+    if code & 4:
+        diff += step
+    if code & 2:
+        diff += step >> 1
+    if code & 1:
+        diff += step >> 2
+    pred = pred - diff if code & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_ADJ[code & 7]))
+    return pred, index
+
+
+def _ima_adpcm_decode(data: bytes, n_channels: int, block_align: int):
+    """IMA ADPCM 'data' chunk -> int32 (n_frames, n_channels). Block
+    layout per the WAV spec: per channel a 4-byte header (int16 seed
+    predictor, uint8 step index, pad), then the 4-bit codes in 4-byte
+    per-channel groups, low nibble first. The nibble loop is scalar
+    Python — ADPCM is a per-sample feedback recurrence with no closed
+    form, so there is nothing to vectorize without a native codec;
+    inside ``mapInPandas`` the parallel axis is rows (payloads), not
+    samples, so the scalar loop bounds one payload, not the corpus."""
+    import struct
+
+    import numpy as np
+
+    header = 4 * n_channels
+    if block_align <= header or (block_align - header) % (4 * n_channels):
+        raise ValueError("WAV: bad IMA ADPCM block align")
+    chans: list[list[int]] = [[] for _ in range(n_channels)]
+    for base in range(0, len(data) - header + 1, block_align):
+        block = data[base : base + block_align]
+        pred, idx = [], []
+        for c in range(n_channels):
+            pred.append(struct.unpack_from("<h", block, 4 * c)[0])
+            idx.append(min(88, block[4 * c + 2]))
+            chans[c].append(pred[c])
+        for group in range(header, len(block) - 4 * n_channels + 1,
+                           4 * n_channels):
+            for c in range(n_channels):
+                for byte in block[group + 4 * c : group + 4 * c + 4]:
+                    for code in (byte & 0xF, byte >> 4):
+                        pred[c], idx[c] = _ima_step(pred[c], idx[c], code)
+                        chans[c].append(pred[c])
+    n = min(len(ch) for ch in chans) if chans else 0
+    out = np.empty((n, n_channels), dtype=np.int32)
+    for c in range(n_channels):
+        out[:, c] = chans[c][:n]
+    return out
+
+
+def wav_encode_ima_adpcm(samples, sample_rate: int) -> bytes:
+    """IMA ADPCM WAV encoder (format tag 17; round-trip partner for the
+    ADPCM branch of :func:`wav_decode_samples`). ``samples`` is an
+    int16-range array of shape (n_frames, n_channels). Standard greedy
+    quantizer: each code is chosen bit-by-bit against the current step,
+    then the ENCODER state advances through the decoder's own
+    transition (:func:`_ima_step`) so quantization error feeds back
+    instead of accumulating. Lossy by construction — tests assert
+    bounded reconstruction error, not bit equality."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    block_align = 256 * n_channels
+    samples_per_block = (block_align - 4 * n_channels) * 2 // n_channels + 1
+    out = bytearray()
+    # warm-start the step index per channel: a cold index of 0 (step 7)
+    # takes dozens of samples to climb to a fast signal's slope, putting
+    # a large attack transient at the head of the stream; seed with the
+    # smallest step >= the mean absolute first-difference instead (the
+    # header stores the index, so decoders follow automatically)
+    import bisect
+
+    idx = []
+    for c in range(n_channels):
+        est = (
+            float(np.abs(np.diff(arr[: samples_per_block, c])).mean())
+            if n_frames > 1
+            else 0.0
+        )
+        idx.append(min(88, bisect.bisect_left(_IMA_STEPS, est)))
+    for start in range(0, n_frames, samples_per_block):
+        chunk_arr = arr[start : start + samples_per_block]
+        pred = [int(chunk_arr[0, c]) for c in range(n_channels)]
+        for c in range(n_channels):
+            out += struct.pack("<hBB", pred[c], idx[c], 0)
+        nib_count = samples_per_block - 1
+        codes: list[list[int]] = [[] for _ in range(n_channels)]
+        for c in range(n_channels):
+            for s in range(1, len(chunk_arr)):
+                target = int(chunk_arr[s, c])
+                step = _IMA_STEPS[idx[c]]
+                diff = target - pred[c]
+                code = 0
+                if diff < 0:
+                    code = 8
+                    diff = -diff
+                if diff >= step:
+                    code |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    code |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    code |= 1
+                codes[c].append(code)
+                pred[c], idx[c] = _ima_step(pred[c], idx[c], code)
+            codes[c] += [0] * (nib_count - len(codes[c]))  # pad last block
+        for group in range(0, nib_count, 8):
+            for c in range(n_channels):
+                for k in range(group, group + 8, 2):
+                    out.append(codes[c][k] | (codes[c][k + 1] << 4))
+    # _wav_container derives block_align from bits//8 — meaningless for
+    # a 4-bit block codec, so build the fmt chunk directly: block-based
+    # block_align plus the cbSize=2 samples-per-block extension the
+    # ADPCM fmt spec requires
+    byte_rate = sample_rate * block_align // samples_per_block
+    fmt_body = struct.pack(
+        "<HHIIHHHH", 17, n_channels, sample_rate, byte_rate,
+        block_align, 4, 2, samples_per_block,
+    )
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        padded = body + (b"\x00" if len(body) & 1 else b"")
+        return cid + struct.pack("<I", len(body)) + padded
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", bytes(out))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def wav_encode_float32(samples, sample_rate: int) -> bytes:
     """IEEE float32 WAV encoder (format tag 3; round-trip partner for
     the float branch of :func:`wav_decode_samples`). ``samples`` is a
@@ -239,9 +399,13 @@ def _decode_audio_wav(payload: bytes) -> dict:
     the fmt and data chunks) plus CONTENT-dependent amplitude features
     for integer-PCM payloads — peak (max |sample|) and RMS (integer
     isqrt of the mean square: exact arithmetic, engine-portable) for
-    8/16/24-bit integer PCM and float32 payloads. A structurally-valid
-    WAV in a remaining unsupported encoding (ADPCM, extensible) still
-    gets the header features with null amplitudes."""
+    8/16/24-bit integer PCM, float32, and IMA ADPCM payloads. A
+    structurally-valid WAV in a remaining unsupported encoding
+    (extensible, non-IMA ADPCM) still gets the header features with
+    null amplitudes. ``n_frames`` comes from the decoded sample count
+    when decode succeeds (for ADPCM the header-derived
+    ``len(data)//block_align`` would be the BLOCK count); the header
+    estimate is kept only on the header-only path."""
     import math
 
     b = bytes(payload or b"")
@@ -259,7 +423,8 @@ def _decode_audio_wav(payload: bytes) -> dict:
     try:
         arr = wav_decode_samples(b)
     except ValueError:
-        return feats  # header-only for non-integer-PCM encodings
+        return feats  # header-only for unsupported encodings
+    feats["n_frames"] = int(arr.shape[0])
     if arr.size:
         sq_sum = int((arr.astype("int64") ** 2).sum())
         feats["peak_amp"] = int(abs(arr).max())
