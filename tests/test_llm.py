@@ -1524,3 +1524,48 @@ def test_wav_ima_adpcm_decode_reference_and_roundtrip(spark):
     row = multimodal.extract_features(df, "audio").collect()[0]
     assert row["peak_amp"] == feats["peak_amp"]
     assert row["n_frames"] == dec2.shape[0]
+
+
+def test_source_overlap_guard_randomized(spark):
+    """Seeded sweep for x38's two execution machines: the capped path
+    (df-filtered collect_set + pair explode) against the exact path
+    (two-sided self-join). Over random multi-source corpora: capped
+    shared counts are a per-pair lower bound that is monotone in
+    max_df, the pair set is monotone too, and a cap >= the source
+    count makes the collect machine reproduce the self-join machine
+    EXACTLY — each implementation checks the other."""
+    import random
+
+    rng = random.Random(43)
+    vocab = [f"w{i}" for i in range(10)]
+    rows = []
+    doc_id = 0
+    for src in range(6):
+        for _ in range(rng.randint(3, 6)):
+            toks = [vocab[rng.randrange(10)] for _ in range(rng.randint(4, 10))]
+            if rng.random() < 0.5:
+                toks += [f"s{src}tok{rng.randrange(3)}"] * 3
+            rows.append((doc_id, " ".join(toks), f"src{src}"))
+            doc_id += 1
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    def matrix(max_df=None):
+        return {
+            (r["source_a"], r["source_b"]): (r["shared_shingles"], r["overlap"])
+            for r in dedup.source_overlap_matrix(
+                df, group_col="source", max_df=max_df
+            ).collect()
+        }
+
+    exact = matrix()
+    prev: dict = {}
+    for cap in (2, 4, 6):
+        got = matrix(max_df=cap)
+        assert set(got) <= set(exact)
+        assert all(got[p][0] <= exact[p][0] for p in got)  # lower bound
+        assert set(prev) <= set(got)  # pair recall monotone in cap
+        assert all(prev[p][0] <= got[p][0] for p in prev)  # counts too
+        prev = got
+    # cap >= #sources admits every shingle: the collect_set machine
+    # must equal the self-join machine bit-for-bit (incl. overlap)
+    assert matrix(max_df=6) == exact
