@@ -533,19 +533,14 @@ def _sr(expr: str, digits: int) -> str:
 
 _W_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"
 
-ORACLE["w4_moving_avg_frame"] = f"""
-    SELECT event_id, user_id,
-           {_sr(f"avg(value) OVER ({_W_ORDER} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)}
-               AS moving_avg3
-    FROM events
-"""
-
 _W_FULL = (
     f"{_W_ORDER} ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
 )
 
-ORACLE["w5_window_nav"] = f"""
+ORACLE["w45_window_frames"] = f"""
     SELECT event_id, user_id,
+           {_sr(f"avg(value) OVER ({_W_ORDER} ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)", 2)}
+               AS moving_avg3,
            {_sr(f"first_value(value) OVER ({_W_FULL})", 2)} AS first_val,
            {_sr(f"last_value(value) OVER ({_W_FULL})", 2)} AS last_val,
            {_sr(f"nth_value(value, 2) OVER ({_W_FULL})", 2)} AS second_val

@@ -796,30 +796,22 @@ def w1_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def w4_moving_avg_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit ROWS frame (beyond the reference's default frames): a
-    trailing 3-row moving average per user over event time. The frame
-    is fully determined (unique (ts, event_id) order), so the same
-    values sum in the same sequence on every engine."""
-    e = _t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        .rowsBetween(-2, Window.currentRow)
-    )
-    return e.select(
-        "event_id",
-        "user_id",
-        stable_round(F.avg("value").over(w), 2).alias("moving_avg3"),
-    )
-
-
-def w5_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window navigation census: first_value / last_value / nth_value
-    over the full partition (explicit unbounded frame — last/nth are
-    wrong under the default current-row-bounded frame)."""
+def w45_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-frame window census (consolidates the former
+    w4_moving_avg_frame / w5_window_nav for rotation-window headroom —
+    both frame families still execute and hash-check): per event, a
+    trailing 3-row ROWS-frame moving average PLUS first/last/nth_value
+    over the unbounded frame (last/nth are wrong under the default
+    current-row-bounded frame — the census pins the explicit one). All
+    four run over the SAME partition + sort, so Spark evaluates them in
+    one Window operator pass — one shuffle, one sort, both semantics."""
     e = _t(spark, sf_dir, "events")
     order = [F.col("ts").asc(), F.col("event_id").asc()]
+    wtrail = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(-2, Window.currentRow)
+    )
     wfull = (
         Window.partitionBy("user_id")
         .orderBy(*order)
@@ -828,6 +820,7 @@ def w5_window_nav(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         "user_id",
+        stable_round(F.avg("value").over(wtrail), 2).alias("moving_avg3"),
         stable_round(F.first("value").over(wfull), 2).alias("first_val"),
         stable_round(F.last("value").over(wfull), 2).alias("last_val"),
         stable_round(F.nth_value("value", 2).over(wfull), 2).alias("second_val"),
@@ -1199,8 +1192,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a9_group_by_expression": a9_group_by_expression,
     "w1_lag_delta": w1_lag_delta,
     "w3_scd2_intervals": w3_scd2_intervals,
-    "w4_moving_avg_frame": w4_moving_avg_frame,
-    "w5_window_nav": w5_window_nav,
+    "w45_window_frames": w45_window_frames,
     "t1_topk_lineitems": t1_topk_lineitems,
     # round 7: f_string_census/f_date_census and f_cast_census/f_yn_cast
     # are consolidated into two driver slots (rotating-set headroom);
