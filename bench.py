@@ -92,6 +92,7 @@ EXTENDED_QUERIES = [
     # (df-guarded shingle-overlap pair join)
     "f_sketch_audit",
     "x38_source_overlap",
+    "x39_cm_heavy_hitters",
 ]
 
 

@@ -40,3 +40,51 @@ def approx_quantiles(
     return F.percentile_approx(
         col, F.array(*[F.lit(p) for p in probabilities]), F.lit(accuracy)
     )
+
+
+def cm_bucket(term: Column, row: int, width: int) -> Column:
+    """Count-min hash: row ``row``'s bucket for ``term`` in a width-
+    ``width`` sketch. md5-prefix arithmetic (no engine-private hash), so
+    any engine — and the DuckDB oracle — lands every term in the same
+    bucket: bucket = int(md5(row ':' term)[:8], 16) % width."""
+    h = F.md5(F.concat(F.lit(f"{row}:"), term))
+    return (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+    ).alias(f"bucket_{row}")
+
+
+def cm_weights(term_counts, term_col: str, cnt_col: str, *,
+               depth: int = 3, width: int = 1024):
+    """Count-min sketch TABLE from exact per-term counts: one row per
+    (sketch row, bucket) with the summed weight of all terms hashing
+    there. This is the mergeable fixed-size state (depth x width cells)
+    a 100 TB frequency pipeline keeps INSTEAD of vocabulary-sized exact
+    counts — per partition the map-side combine caps at depth*width
+    rows no matter how many distinct terms pass through, and cross-
+    shard merge is cellwise addition (the same property the HLL/GK
+    audit pins for distinct/quantiles). Estimates read back as
+    min over rows of the term's bucket weight: never an underestimate
+    (every occurrence of the term is in each of its buckets), over by
+    at most the colliding mass, bounded by ~N/width per row."""
+    rows = F.explode(
+        F.array(*[F.lit(r) for r in range(depth)])
+    ).alias("cm_row")
+    exploded = term_counts.select(
+        F.col(term_col).alias("__term"), F.col(cnt_col).alias("__cnt"), rows
+    )
+    bucketed = exploded.select(
+        "cm_row",
+        "__cnt",
+        _cm_bucket_expr("__term", "cm_row", width).alias("bucket"),
+    )
+    return bucketed.groupBy("cm_row", "bucket").agg(
+        F.sum("__cnt").alias("weight")
+    )
+
+
+def _cm_bucket_expr(term_col: str, row_col: str, width: int) -> Column:
+    """cm_bucket with the row index as a COLUMN (post-explode form)."""
+    h = F.md5(
+        F.concat(F.col(row_col).cast("string"), F.lit(":"), F.col(term_col))
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width

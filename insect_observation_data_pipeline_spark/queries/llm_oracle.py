@@ -1025,6 +1025,48 @@ LLM_ORACLE["x35_training_order"] = """
 """
 
 
+LLM_ORACLE["x39_cm_heavy_hitters"] = """
+    -- count-min frequency audit: rebuild the identical 3x1024
+    -- md5-bucketed sketch and read back estimates for the exact top-15
+    WITH toks AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+            AS term
+        FROM documents
+    ),
+    tf AS (SELECT term, count(*) AS exact_cnt FROM toks GROUP BY 1),
+    tot AS (SELECT sum(exact_cnt) AS n_total FROM tf),
+    rows_ AS (SELECT unnest([0, 1, 2]) AS cm_row),
+    tb AS (
+        SELECT cm_row, term, exact_cnt,
+               ('0x' || substr(md5(cm_row::VARCHAR || ':' || term), 1, 8))::BIGINT
+                   % 1024 AS bucket
+        FROM tf CROSS JOIN rows_
+    ),
+    wts AS (
+        SELECT cm_row, bucket, sum(exact_cnt) AS weight
+        FROM tb GROUP BY 1, 2
+    ),
+    top AS (
+        SELECT term, exact_cnt FROM tf
+        ORDER BY exact_cnt DESC, term LIMIT 15
+    ),
+    est AS (
+        SELECT t.term, t.exact_cnt, min(w.weight) AS cm_est
+        FROM top t
+        JOIN tb b ON b.term = t.term
+        JOIN wts w ON w.cm_row = b.cm_row AND w.bucket = b.bucket
+        GROUP BY 1, 2
+    )
+    SELECT e.term,
+           CAST(e.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cm_est AS BIGINT) AS cm_est,
+           CAST(e.cm_est - e.exact_cnt AS BIGINT) AS overest,
+           (e.cm_est >= e.exact_cnt
+            AND (e.cm_est - e.exact_cnt) * 100 <= t.n_total) AS cm_ok
+    FROM est e CROSS JOIN tot t
+"""
+
+
 LLM_ORACLE["x38_source_overlap"] = f"""
     -- cross-source contamination matrix on the (source, shingle)
     -- DISTINCT grain; max_df=10 stop-shingle cut on the pair join

@@ -257,6 +257,52 @@ def x38_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x39_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency audit — the third sketch family next
+    to f_sketch_audit's HLL (distinct) and GK (quantiles): for the
+    corpus's exact top-15 terms, the CM estimate (min over 3 rows of
+    1024 md5-hashed buckets) against the exact count, with CM's
+    one-sided guarantee surfaced as data: ``cm_est >= exact_cnt``
+    always, and ``overest`` within 1% of total token mass. The sketch
+    table is the fixed-size mergeable state (depth x width cells,
+    cellwise-additive across shards) a 100 TB frequency pipeline keeps
+    instead of vocabulary-sized exact counts; buckets are md5-prefix
+    arithmetic so the DuckDB oracle rebuilds the identical sketch."""
+    from insect_observation_data_pipeline_spark.functions import approx
+    from insect_observation_data_pipeline_spark.operators.topk import top_k
+
+    d = _t(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(textstats.tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .persist()  # three consumers: sketch build, top-k probe, total
+    )
+    total = tf.agg(F.sum("exact_cnt").alias("n_total"))
+    wts = approx.cm_weights(tf, "term", "exact_cnt", depth=3, width=1024)
+    top = top_k(tf, [F.desc("exact_cnt"), F.asc("term")], 15)
+    probes = top.select(
+        "term",
+        "exact_cnt",
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("cm_row"),
+    ).withColumn("bucket", approx._cm_bucket_expr("term", "cm_row", 1024))
+    est = (
+        probes.join(F.broadcast(wts), ["cm_row", "bucket"])
+        .groupBy("term", "exact_cnt")
+        .agg(F.min("weight").alias("cm_est"))
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "term",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("cm_est").cast("bigint").alias("cm_est"),
+        (F.col("cm_est") - F.col("exact_cnt")).cast("bigint").alias("overest"),
+        (
+            (F.col("cm_est") >= F.col("exact_cnt"))
+            & ((F.col("cm_est") - F.col("exact_cnt")) * 100 <= F.col("n_total"))
+        ).alias("cm_ok"),
+    )
+
+
 def f_tokens_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language token-count distribution (exact interpolated p50/p90
     + mean): the corpus-report query behind length-based curation cuts.
@@ -793,6 +839,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x35_training_order": x35_training_order,
     "x37_dup_shingle_coverage": x37_dup_shingle_coverage,
     "x38_source_overlap": x38_source_overlap,
+    "x39_cm_heavy_hitters": x39_cm_heavy_hitters,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

@@ -136,3 +136,40 @@ def test_approx_quantiles_close_to_exact(spark):
     ).collect()[0]["q"]
     for est, ex in zip(got, exact):
         assert abs(est - ex) / ex <= 0.01
+
+
+def test_cm_sketch_one_sided_and_exact_when_wide(spark):
+    """Count-min property pins on a corpus engineered to collide: with
+    width 4 every term shares buckets, so estimates may overestimate
+    but NEVER underestimate (every occurrence of a term lands in each
+    of its own buckets); with a width far beyond the vocabulary the
+    3-row min recovers the exact count for every term."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    rows = [(t, c) for t, c in
+            [("a", 100), ("b", 40), ("c", 7), ("d", 3), ("e", 1),
+             ("f", 999), ("g", 12), ("h", 5)]]
+    tf = spark.createDataFrame(rows, "term string, exact_cnt long")
+
+    def estimates(width):
+        wts = approx.cm_weights(tf, "term", "exact_cnt", depth=3, width=width)
+        probes = tf.select(
+            "term", "exact_cnt",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("cm_row"),
+        ).withColumn("bucket", approx._cm_bucket_expr("term", "cm_row", width))
+        return {
+            r["term"]: (r["exact_cnt"], r["est"])
+            for r in probes.join(wts, ["cm_row", "bucket"])
+            .groupBy("term", "exact_cnt")
+            .agg(F.min("weight").alias("est"))
+            .collect()
+        }
+
+    tight = estimates(4)
+    assert len(tight) == 8
+    assert all(est >= cnt for cnt, est in tight.values())  # one-sided
+    assert any(est > cnt for cnt, est in tight.values())   # collisions real
+    wide = estimates(1 << 20)
+    assert all(est == cnt for cnt, est in wide.values())   # exact when wide
