@@ -1,0 +1,164 @@
+"""Measured scale-up evidence: time queries across sf0.001/0.01/0.1.
+
+The 100 TB design claims in SURVEY/VERDICT are plan-shape arguments
+("bounded fan-out", "one shuffle", "broadcast dim"). This harness turns
+them into NUMBERS: each query runs at three committed data scales (100x
+apart end to end) and the artifact records the wall-clock growth ratio
+per 10x of data. A plan that is linear-or-better in the input shows a
+ratio near (or below) 10 once fixed overhead is netted out; a hidden
+quadratic shows ~100. The exact-oracle baselines (x6/x32/x34/h3) are
+timed alongside their guarded scale twins (x27/h3b/x34b) so the
+contrast the twins exist for is measured, not asserted.
+
+Writes SCALING_r{N}.json:
+  {"sf_dirs": [...], "n": runs/query/scale,
+   "queries": {name: {"sec": {"0.001": t, ...},
+                      "ratio_001_to_01": t(0.01)/t(0.001),
+                      "ratio_01_to_1": t(0.1)/t(0.01),
+                      "net_ratio_01_to_1": overhead-netted ratio}},
+   "overhead_sec": per-scale floor (min observed time at that scale)}
+
+``net_ratio_01_to_1`` subtracts the per-scale floor — the cheapest
+query at each scale approximates fixed session/job overhead (scheduler,
+noop commit), which otherwise hides growth at toy scales — before
+taking the ratio, and is the number to read against 10x.
+
+Usage: python tools/scaling.py [out.json]
+Env: SPARK_GRAFT_SCALING_N (passes per query per scale, default 3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from insect_observation_data_pipeline_spark import get_spark  # noqa: E402
+from insect_observation_data_pipeline_spark.queries import QUERIES  # noqa: E402
+
+SF_DIRS = [
+    "/root/testdata/sf0.001",
+    "/root/testdata/sf0.01",
+    "/root/testdata/sf0.1",
+]
+
+# Guarded scale twins next to their exact baselines (the measured
+# contrast), plus the most shuffle-heavy registered queries — the set
+# where a scaling defect would hide.
+SCALING_QUERIES = [
+    # exact baseline vs guarded twin pairs
+    "x6_ngram_jaccard",
+    "x27_jaccard_maxdf",
+    "h3_containment_keep",
+    "h3b_containment_keep_maxdf",
+    "x34_tf_cosine_pairs",
+    "x34b_tf_cosine_candidates",
+    "x32_containment",
+    # heavy registered plans
+    "x7_minhash_lsh",
+    "x29_incremental_dedup",
+    "h1_dup_clusters",
+    "x35_training_order",
+    "x38_source_overlap",
+    "x17_tfidf_top_terms",
+    "x33_semdedup_keep",
+    "x9_ann_bruteforce",
+    # classic warehouse shapes as linear controls
+    "q1_pricing_summary",
+    "flagship_top_part_supplier",
+    "w2_best_month_per_customer",
+    "e2_sessionization",
+    "x1_dedup_exact",
+]
+
+
+def _sf_key(sf_dir: str) -> str:
+    return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else "SCALING.json"
+    n_runs = int(os.environ.get("SPARK_GRAFT_SCALING_N", "3"))
+    spark = get_spark("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    times: dict[str, dict[str, float]] = {q: {} for q in SCALING_QUERIES}
+    errors: dict[str, str] = {}
+    for sf_dir in SF_DIRS:
+        key = _sf_key(sf_dir)
+        for name in SCALING_QUERIES:
+            try:
+                df = QUERIES[name](spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()  # warm
+                samples = []
+                for _ in range(n_runs):
+                    t0 = time.time()
+                    QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    samples.append(time.time() - t0)
+                times[name][key] = round(statistics.median(samples), 3)
+            except Exception as e:  # noqa: BLE001 — isolate per query
+                errors[f"{name}@{key}"] = f"{type(e).__name__}: {e}"[:200]
+                traceback.print_exc(limit=2, file=sys.stderr)
+
+    # per-scale fixed-overhead floor: the cheapest query at that scale
+    floors = {
+        key: min(
+            (t[key] for t in times.values() if key in t), default=0.0
+        )
+        for key in (_sf_key(d) for d in SF_DIRS)
+    }
+
+    def ratio(t: dict[str, float], a: str, b: str, net: float = 0.0):
+        if a in t and b in t and t[a] - net > 0.005:
+            return round((t[b] - net) / (t[a] - net), 2)
+        return None
+
+    queries = {}
+    for name, t in times.items():
+        queries[name] = {
+            "sec": t,
+            "ratio_001_to_01": ratio(t, "0.001", "0.01"),
+            "ratio_01_to_1": ratio(t, "0.01", "0.1"),
+            "net_ratio_01_to_1": ratio(
+                t, "0.01", "0.1", net=min(floors.values())
+            ),
+        }
+
+    print(
+        json.dumps(
+            {
+                "metric": "wall-clock growth per 10x data (noop sink)",
+                "sf_dirs": SF_DIRS,
+                "n": n_runs,
+                "overhead_sec": floors,
+                "errors": errors,
+                "queries": queries,
+            },
+            indent=1,
+        )
+    )
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "metric": "wall-clock growth per 10x data (noop sink)",
+                "sf_dirs": SF_DIRS,
+                "n": n_runs,
+                "overhead_sec": floors,
+                "errors": errors,
+                "queries": queries,
+            },
+            f,
+            indent=1,
+        )
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main()
