@@ -482,13 +482,23 @@ ORACLE: dict[str, str] = {
         LEFT JOIN events e ON c.c_custkey = e.user_id
         GROUP BY c.c_custkey
     """,
-    "a11_rollup_revenue": """
-        SELECT o_orderstatus, o_orderpriority,
-               count(*) AS n_orders,
-               ((floor(abs(sum(o_totalprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(o_totalprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total_revenue
-        FROM orders
-        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
-        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    "a11_grouping_lattice": """
+        SELECT * FROM (
+            SELECT 'rollup_orders' AS src,
+                   o_orderstatus AS k1, o_orderpriority AS k2,
+                   count(*) AS n_rows,
+                   ((floor(abs(sum(o_totalprice)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(o_totalprice)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+            UNION ALL
+            SELECT 'cube_lineitem' AS src,
+                   l_returnflag AS k1, l_linestatus AS k2,
+                   count(*) AS n_rows,
+                   ((floor(abs(sum(l_quantity)) * 10.0 + 0.5) / 10.0) * (CASE WHEN (sum(l_quantity)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS total
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        )
+        ORDER BY src, k1 NULLS FIRST, k2 NULLS FIRST
     """,
     "a12_pivot_status": """
         SELECT l_returnflag,
@@ -497,14 +507,6 @@ ORACLE: dict[str, str] = {
         FROM lineitem
         GROUP BY l_returnflag
         ORDER BY l_returnflag
-    """,
-    "a13_cube_counts": """
-        SELECT l_returnflag, l_linestatus,
-               count(*) AS n_lines,
-               ((floor(abs(sum(l_quantity)) * 10.0 + 0.5) / 10.0) * (CASE WHEN (sum(l_quantity)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_qty
-        FROM lineitem
-        GROUP BY CUBE (l_returnflag, l_linestatus)
-        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
     """,
     "u1_upsert_last_wins": """
         WITH r AS (

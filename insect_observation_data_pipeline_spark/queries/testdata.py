@@ -661,38 +661,51 @@ def a10_coalesce_zero_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def a11_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP (hierarchical subtotals + grand total) — beyond
-    the reference surface, standard OLAP capability. One pass: Spark
-    plans rollup as Expand + single hash agg."""
+def a11_grouping_lattice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-lattice census — ROLLUP and CUBE in one tagged result
+    (beyond the reference surface, standard OLAP capability; merged
+    from the former a11_rollup_revenue + a13_cube_counts for rotation
+    headroom, round 7). ``src='rollup_orders'`` rows are the
+    hierarchical subtotals + grand total of orders revenue by
+    (status, priority); ``src='cube_lineitem'`` rows are every
+    grouping-set combination of lineitem counts by (returnflag,
+    linestatus). Both halves keep their one-pass Expand + single hash
+    agg plan; the union is plan-level concatenation, no extra
+    shuffle."""
     o = _t(spark, sf_dir, "orders")
-    return (
+    l = _t(spark, sf_dir, "lineitem")
+    rollup_half = (
         o.rollup("o_orderstatus", "o_orderpriority")
         .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            stable_round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_round(F.sum("o_totalprice"), 2).alias("total"),
         )
-        .orderBy(
-            F.col("o_orderstatus").asc_nulls_first(),
-            F.col("o_orderpriority").asc_nulls_first(),
+        .select(
+            F.lit("rollup_orders").alias("src"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n_rows",
+            "total",
         )
     )
-
-
-def a13_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY CUBE: all grouping-set combinations in one Expand pass
-    (rounds out the rollup/cube/grouping-sets family)."""
-    l = _t(spark, sf_dir, "lineitem")
-    return (
+    cube_half = (
         l.cube("l_returnflag", "l_linestatus")
         .agg(
-            F.count(F.lit(1)).alias("n_lines"),
-            stable_round(F.sum("l_quantity"), 1).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+            stable_round(F.sum("l_quantity"), 1).alias("total"),
         )
-        .orderBy(
-            F.col("l_returnflag").asc_nulls_first(),
-            F.col("l_linestatus").asc_nulls_first(),
+        .select(
+            F.lit("cube_lineitem").alias("src"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n_rows",
+            "total",
         )
+    )
+    return rollup_half.unionByName(cube_half).orderBy(
+        "src",
+        F.col("k1").asc_nulls_first(),
+        F.col("k2").asc_nulls_first(),
     )
 
 
@@ -1183,9 +1196,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a3_conditional_sum": a3_conditional_sum,
     "a6_distinct_pairs": a6_distinct_pairs,
     "a10_coalesce_zero_agg": a10_coalesce_zero_agg,
-    "a11_rollup_revenue": a11_rollup_revenue,
+    # round 7: a11_rollup_revenue/a13_cube_counts merged into one
+    # tagged grouping-lattice result for rotation headroom (both
+    # Expand-plan halves preserved; a12's pivot plan stays separate)
+    "a11_grouping_lattice": a11_grouping_lattice,
     "a12_pivot_status": a12_pivot_status,
-    "a13_cube_counts": a13_cube_counts,
     "u1_upsert_last_wins": u1_upsert_last_wins,
     "a5_count_distinct_multi": a5_count_distinct_multi,
     "a7_distinct_on_first_line": a7_distinct_on_first_line,
