@@ -1,0 +1,72 @@
+"""Band (value-proximity) join: |l.v - r.v| <= delta with NO equi key.
+
+The one join shape in the reference's temporal family (operators/asof.py)
+that Spark cannot plan without help: every condition there keeps an
+entity equi-key, but a pure proximity predicate ("events within 5
+seconds of each other", "readings within 0.1 of the same value") has no
+equi component, so Catalyst falls back to BroadcastNestedLoopJoin /
+CartesianProduct — n*m comparisons, dead at any scale.
+
+The rewrite is the classic banding trick (used by every range-join
+implementation, e.g. the published Databricks range-join optimization
+and DuckDB's IEJoin literature): quantize the value into buckets of
+width ``delta``, replicate ONE side into its bucket and both neighbor
+buckets, equi-join on the bucket id, then apply the exact band
+predicate as a residual filter. Each qualifying pair meets in exactly
+one bucket (the left row's own bucket — the right row is replicated to
+all three the pair could land in), so no dedup pass is needed. The
+plan is a plain shuffled equi-join: shuffle both sides on bucket,
+fan-out bounded by 3x the replicated side, residual comparisons
+bounded by per-bucket occupancy instead of n*m.
+
+Scale posture at 100 TB: cost = sum over buckets of |L_b| * |R_[b-1..b+1]|
+— linear in the data for any bounded density (events per delta-window),
+vs the quadratic nested loop. A hot bucket (a thundering-herd second)
+is ordinary join skew: AQE skew-split handles it, or salt the bucket
+key with the standard operators.skew tooling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_val: Column,
+    right_val: Column,
+    delta: int,
+    *,
+    how: str = "inner",
+) -> DataFrame:
+    """Join rows where ``abs(left_val - right_val) <= delta``.
+
+    ``left_val`` / ``right_val`` must be integer-valued expressions
+    (cast timestamps to epoch micros first) so bucket arithmetic is
+    exact; ``delta`` is in the same units. Column names must be
+    disjoint between the two frames (select/alias first, as with any
+    self-join). ``how`` supports 'inner' (matched pairs) and
+    'left_outer' (keep unmatched left rows with nulls).
+    """
+    if how not in ("inner", "left_outer", "left"):
+        raise ValueError(f"band_join supports inner/left_outer, got {how!r}")
+    lb = left.withColumn("__bl", F.floor(left_val / F.lit(delta)))
+    rbase = right.withColumn("__b0", F.floor(right_val / F.lit(delta)))
+    rb = rbase.withColumn(
+        "__br",
+        F.explode(
+            F.array(
+                F.col("__b0") - F.lit(1), F.col("__b0"), F.col("__b0") + F.lit(1)
+            )
+        ),
+    ).drop("__b0")
+    # the residual sits INSIDE the join condition (not a post-filter) so
+    # left_outer null-extends rows whose bucket matched but whose exact
+    # distance didn't; the bucket equality still drives the physical
+    # equi-join, the band predicate plans as the join residual
+    cond = (F.col("__bl") == F.col("__br")) & (
+        F.abs(left_val - right_val) <= F.lit(delta)
+    )
+    return lb.join(rb, cond, how).drop("__bl", "__br")

@@ -430,6 +430,15 @@ ORACLE: dict[str, str] = {
         FROM p ASOF JOIN s
           ON p.user_id = s.user_id AND p.ts >= s.asof_start
     """,
+    "j14_band_join_coincident": """
+        SELECT l.event_id,
+               count(*) AS n_coincident
+        FROM events l
+        JOIN events r
+          ON r.user_id <> l.user_id
+         AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 5000000
+        GROUP BY l.event_id
+    """,
     "j5_multikey_anti": """
         SELECT DISTINCT l_partkey, l_suppkey
         FROM lineitem l

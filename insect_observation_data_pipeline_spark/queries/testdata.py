@@ -501,6 +501,36 @@ def j13_asof_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "user_id", "asof_start")
 
 
+def j14_band_join_coincident(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join WITHOUT an equi key (the proximity shape missing from
+    the J9-J13 temporal family): per event, how many OTHER users
+    produced an event within +-5 seconds — cross-user coincidence
+    density. Natively this predicate has no equi component, so Spark
+    would plan a nested-loop cross join; operators/rangejoin.py
+    rewrites it as a bucketized equi-join (5 s buckets, one side
+    replicated to the 3 candidate buckets, exact band residual) —
+    pair fan-out bounded by per-bucket occupancy, never n*m."""
+    from insect_observation_data_pipeline_spark.operators.rangejoin import band_join
+
+    e = _t(spark, sf_dir, "events")
+    lhs = e.select(
+        F.col("event_id").alias("l_event_id"),
+        F.col("user_id").alias("l_user_id"),
+        F.unix_micros(F.col("ts")).alias("l_us"),
+    )
+    rhs = e.select(
+        F.col("user_id").alias("r_user_id"),
+        F.unix_micros(F.col("ts")).alias("r_us"),
+    )
+    pairs = band_join(
+        lhs, rhs, F.col("l_us"), F.col("r_us"), 5_000_000
+    ).filter(F.col("l_user_id") != F.col("r_user_id"))
+    return (
+        pairs.groupBy(F.col("l_event_id").alias("event_id"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_coincident"))
+    )
+
+
 def j11_priority_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prioritized candidate match (J11, 04_ETL1_part3.sql:396-416):
     1=purchase inside window, 2=before user's first window -> earliest,
@@ -1190,6 +1220,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_priority_attribution": j11_priority_attribution,
     "j12_fallback_active_else_earliest": j12_fallback_active_else_earliest,
     "j13_asof_latest_signup": j13_asof_latest_signup,
+    "j14_band_join_coincident": j14_band_join_coincident,
     "j5_multikey_anti": j5_multikey_anti,
     "j10_join_using": j10_join_using,
     "g3_set_ops": g3_set_ops,

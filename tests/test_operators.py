@@ -324,3 +324,54 @@ def test_read_table_restores_nanos_conf(spark):
     assert df.schema["ts"].dataType.simpleString() == "timestamp"
     assert spark.conf.get(key, None) == before
     assert df.count() > 0  # restore must not break the deferred action
+
+
+def test_band_join_matches_naive(spark):
+    """band_join (bucketized equi-join rewrite) must return EXACTLY the
+    pairs of the naive |l-r| <= delta predicate — including values that
+    straddle bucket boundaries in both directions — and never plan a
+    cartesian/nested-loop join."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.operators.rangejoin import band_join
+
+    lhs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([0, 4, 5, 9, 10, 23, 100])],
+        "lid int, lv long",
+    )
+    rhs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 6, 14, 15, 30, 99, 111])],
+        "rid int, rv long",
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in band_join(
+            lhs, rhs, F.col("lv"), F.col("rv"), 5
+        ).collect()
+    )
+    naive = sorted(
+        (r["lid"], r["rid"])
+        for r in lhs.crossJoin(rhs)
+        .filter(F.abs(F.col("lv") - F.col("rv")) <= 5)
+        .collect()
+    )
+    assert got == naive and len(got) > 0
+
+    outer = band_join(
+        lhs, rhs, F.col("lv"), F.col("rv"), 5, how="left_outer"
+    )
+    rows = outer.collect()
+    # every left row survives; unmatched ones null-extend the right side
+    assert {r["lid"] for r in rows} == {r["lid"] for r in lhs.collect()}
+    unmatched = [r for r in rows if r["rid"] is None]
+    naive_matched = {l for l, _ in naive}
+    assert {r["lid"] for r in unmatched} == (
+        {r["lid"] for r in lhs.collect()} - naive_matched
+    )
+
+    plan = outer._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+    with pytest.raises(ValueError):
+        band_join(lhs, rhs, F.col("lv"), F.col("rv"), 5, how="full")
