@@ -1112,3 +1112,31 @@ LLM_ORACLE["x37_dup_shingle_coverage"] = f"""
     FROM sh s JOIN dfreq d ON s.shingle = d.shingle
     GROUP BY s.doc_id
 """
+
+
+LLM_ORACLE["e6_funnel_steps"] = """
+    -- the 3-join cascade form of the funnel (first view -> first click
+    -- strictly after it -> first purchase strictly after that); the
+    -- Spark side computes the same cascade in one shuffle via running
+    -- window minimums over the per-user event sort
+    WITH t1 AS (
+        SELECT user_id, min(ts) AS ts_view FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ), t2 AS (
+        SELECT e.user_id, min(e.ts) AS ts_click
+        FROM events e JOIN t1 ON e.user_id = t1.user_id
+        WHERE e.event_type = 'click' AND e.ts > t1.ts_view
+        GROUP BY e.user_id
+    ), t3 AS (
+        SELECT e.user_id, min(e.ts) AS ts_purchase
+        FROM events e JOIN t2 ON e.user_id = t2.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > t2.ts_click
+        GROUP BY e.user_id
+    )
+    SELECT t1.user_id, t1.ts_view, t2.ts_click, t3.ts_purchase,
+           CAST(1 + (t2.user_id IS NOT NULL)::int
+                  + (t3.user_id IS NOT NULL)::int AS INTEGER) AS funnel_depth
+    FROM t1
+    LEFT JOIN t2 ON t1.user_id = t2.user_id
+    LEFT JOIN t3 ON t1.user_id = t3.user_id
+"""

@@ -763,6 +763,74 @@ def e5_session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e6_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel (the MATCH_RECOGNIZE-family analytics
+    shape): per user, the first view, the first click strictly AFTER
+    that view, and the first purchase strictly after that click —
+    step timestamps + reached depth.
+
+    Spark-first plan: ONE shuffle. Events sort once per user
+    (window over (user_id, ts, event_id)); the running
+    min-view-so-far / min-qualified-click-so-far columns turn the
+    sequential scan into window expressions sharing that single sort,
+    and the final per-user agg reuses the same hash partitioning (no
+    second exchange). A click qualifies iff its ts beats the running
+    min over STRICTLY PRECEDING rows — equivalent to beating the
+    global first-view ts, because any view with a smaller ts sorts
+    earlier (proof in the window-ordering comment below). The oracle
+    is the 3-join cascade (t1 <- t2 <- t3) a SQL engine would write;
+    at 100 TB the cascade shuffles events three times, this once."""
+    e = _t(spark, sf_dir, "events")
+    ts, typ = F.col("ts").cast("timestamp"), F.col("event_type")
+    # strictly-preceding frame: rows ordered by (ts, event_id); a
+    # candidate at ts T sees exactly the events with ts < T (equal-ts
+    # rows may or may not precede it, but 'strictly after' excludes
+    # them anyway), so running-min-over-preceding == cascade semantics
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(ts.asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    staged = (
+        e.select("user_id", "event_id", ts.alias("ts"), typ.alias("typ"))
+        .withColumn(
+            "t1p", F.min(F.when(F.col("typ") == "view", F.col("ts"))).over(w_prev)
+        )
+        .withColumn(
+            "s2",
+            F.when(
+                (F.col("typ") == "click") & (F.col("ts") > F.col("t1p")),
+                F.col("ts"),
+            ),
+        )
+        .withColumn("t2p", F.min("s2").over(w_prev))
+        .withColumn(
+            "s3",
+            F.when(
+                (F.col("typ") == "purchase") & (F.col("ts") > F.col("t2p")),
+                F.col("ts"),
+            ),
+        )
+    )
+    return (
+        staged.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("typ") == "view", F.col("ts"))).alias("ts_view"),
+            F.min("s2").alias("ts_click"),
+            F.min("s3").alias("ts_purchase"),
+        )
+        .filter(F.col("ts_view").isNotNull())
+        .withColumn(
+            "funnel_depth",
+            (
+                F.lit(1)
+                + F.col("ts_click").isNotNull().cast("int")
+                + F.col("ts_purchase").isNotNull().cast("int")
+            ).cast("int"),
+        )
+    )
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -870,4 +938,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e3_sliding_window_stats": e3_sliding_window_stats,
     "e4_json_props_rollup": e4_json_props_rollup,
     "e5_session_window_stats": e5_session_window_stats,
+    "e6_funnel_steps": e6_funnel_steps,
 }
