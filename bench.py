@@ -93,6 +93,10 @@ EXTENDED_QUERIES = [
     "f_sketch_audit",
     "x38_source_overlap",
     "x39_cm_heavy_hitters",
+    # round 7 (cont.): equi-key-free band join (bucketized rewrite) and
+    # the single-shuffle funnel
+    "j14_band_join_coincident",
+    "e6_funnel_steps",
 ]
 
 

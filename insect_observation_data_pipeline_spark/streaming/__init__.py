@@ -6,8 +6,10 @@ from insect_observation_data_pipeline_spark.streaming.events import (
 )
 from insect_observation_data_pipeline_spark.streaming.joins import attribute_purchases
 from insect_observation_data_pipeline_spark.streaming.stateful import (
+    advance_funnel_state,
     advance_session_state,
     dedup_stream,
+    funnel_stateful,
     sessionize_stateful,
 )
 from insect_observation_data_pipeline_spark.streaming.sink import (
@@ -22,8 +24,10 @@ __all__ = [
     "windowed_event_counts",
     "run_batch_backfill",
     "attribute_purchases",
+    "advance_funnel_state",
     "advance_session_state",
     "dedup_stream",
+    "funnel_stateful",
     "sessionize_stateful",
     "dedup_ingest_sink",
     "keyed_state_sink",

@@ -159,3 +159,139 @@ def dedup_stream(
     return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+FUNNEL_STATE_SCHEMA = StructType(
+    [
+        StructField("t1_us", LongType(), True),
+        StructField("t2_us", LongType(), True),
+        StructField("t3_us", LongType(), True),
+    ]
+)
+
+FUNNEL_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType(), True),
+        StructField("t1_us", LongType(), True),
+        StructField("t2_us", LongType(), True),
+        StructField("t3_us", LongType(), True),
+    ]
+)
+
+
+def advance_funnel_state(
+    t1_us: int | None,
+    t2_us: int | None,
+    t3_us: int | None,
+    events_sorted: list[tuple[int, str]],
+    steps: tuple[str, ...] = FUNNEL_STEPS,
+) -> tuple[int | None, int | None, int | None]:
+    """Fold a ts-sorted batch of (ts_us, event_type) into funnel state.
+
+    The cascade of the batch e6 query (first ``steps[0]``, first
+    ``steps[1]`` STRICTLY after it, first ``steps[2]`` strictly after
+    that) as an incremental left-to-right scan: with events processed
+    in global ts order, each step's slot is set at most once, by the
+    earliest qualifying event. Pure function — cross-micro-batch
+    continuation (a funnel spanning a batch boundary) is unit-testable
+    without a streaming harness. Exact parity with the batch query
+    holds when batches arrive in ts order (the same in-order-replay
+    assumption the sessionizer makes); a strictly-late event could
+    only ever move a step EARLIER, never invalidate a later step's
+    strict ordering.
+    """
+    for ts, typ in events_sorted:
+        if typ == steps[0]:
+            if t1_us is None or ts < t1_us:
+                t1_us = ts
+        elif typ == steps[1]:
+            if t1_us is not None and ts > t1_us and t2_us is None:
+                t2_us = ts
+        elif typ == steps[2]:
+            if t2_us is not None and ts > t2_us and t3_us is None:
+                t3_us = ts
+    return t1_us, t2_us, t3_us
+
+
+def _update_funnel(
+    key: tuple[Any, ...],
+    pdfs: Iterator["pd.DataFrame"],  # noqa: F821
+    state: GroupState,
+) -> Iterator["pd.DataFrame"]:  # noqa: F821
+    import pandas as pd
+
+    t1, t2, t3 = state.get if state.exists else (None, None, None)
+    evs: list[tuple[int, str]] = []
+    for pdf in pdfs:
+        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        evs.extend(zip((int(v) for v in ts_us), pdf["event_type"]))
+    evs.sort(key=lambda p: p[0])
+    t1, t2, t3 = advance_funnel_state(t1, t2, t3, evs)
+    state.update((t1, t2, t3))
+    if t1 is None:  # no funnel entry yet: nothing to report for this key
+        return
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "t1_us": [t1], "t2_us": [t2], "t3_us": [t3]}
+    )
+
+
+def funnel_stateful(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch e6 funnel query as a custom stateful
+    operator: per-user (first view, first click strictly after, first
+    purchase strictly after) with O(1) state per user — three slots,
+    regardless of event volume — emitted in update mode as the funnel
+    progresses. Returns (user_id, ts_view, ts_click, ts_purchase,
+    funnel_depth), only users who entered the funnel.
+
+    Batch DataFrames take the same fold per key (backfill/live parity,
+    asserted against e6 in tests)."""
+    grouped = events.select("user_id", "ts", "event_type").groupBy("user_id")
+    if events.isStreaming:
+        raw = grouped.applyInPandasWithState(
+            _update_funnel,
+            outputStructType=FUNNEL_OUTPUT_SCHEMA,
+            stateStructType=FUNNEL_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    else:
+
+        def run_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
+            import pandas as pd
+
+            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+            evs = sorted(
+                zip((int(v) for v in ts_us), pdf["event_type"]),
+                key=lambda p: p[0],
+            )
+            t1, t2, t3 = advance_funnel_state(None, None, None, evs)
+            if t1 is None:
+                return pd.DataFrame(
+                    {c.name: [] for c in FUNNEL_OUTPUT_SCHEMA}
+                ).astype({"user_id": "int64"})
+            return pd.DataFrame(
+                {
+                    "user_id": [pdf["user_id"].iloc[0]],
+                    "t1_us": [t1],
+                    "t2_us": [t2],
+                    "t3_us": [t3],
+                }
+            )
+
+        raw = grouped.applyInPandas(run_batch, FUNNEL_OUTPUT_SCHEMA)
+
+    from pyspark.sql import functions as F
+
+    return raw.select(
+        "user_id",
+        F.timestamp_micros(F.col("t1_us")).alias("ts_view"),
+        F.timestamp_micros(F.col("t2_us")).alias("ts_click"),
+        F.timestamp_micros(F.col("t3_us")).alias("ts_purchase"),
+        (
+            F.lit(1)
+            + F.col("t2_us").isNotNull().cast("int")
+            + F.col("t3_us").isNotNull().cast("int")
+        ).cast("int").alias("funnel_depth"),
+    )

@@ -962,3 +962,76 @@ def test_session_window_stream_matches_e5_query(spark, tmp_path):
     }
     assert len(got) > 0
     assert got == expected
+
+
+def _funnel_rows(df):
+    return {
+        r["user_id"]: (
+            r["ts_view"], r["ts_click"], r["ts_purchase"], r["funnel_depth"]
+        )
+        for r in df.collect()
+    }
+
+
+def test_stateful_funnel_stream_matches_batch_query(spark, tmp_path):
+    """applyInPandasWithState funnel on a replayed stream == the batch
+    single-shuffle e6 cascade."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import e6_funnel_steps
+    from insect_observation_data_pipeline_spark.streaming import funnel_stateful
+
+    src = _events_us(spark, tmp_path, "events_funnel")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(spark.read.parquet(src).schema)
+        .load(src)
+    )
+    q = (
+        funnel_stateful(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = _funnel_rows(spark.sql(
+        "SELECT * FROM funnel_state"
+    ))
+    expected = _funnel_rows(e6_funnel_steps(spark, "/root/testdata/sf0.001"))
+    assert len(got) > 0
+    assert got == expected
+
+
+def test_stateful_funnel_batch_mode(spark):
+    """Same operator applied to a batch DataFrame (backfill path)."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import e6_funnel_steps
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+    from insect_observation_data_pipeline_spark.streaming import funnel_stateful
+
+    events = read_table(spark, "/root/testdata/sf0.001", "events")
+    got = _funnel_rows(funnel_stateful(events))
+    expected = _funnel_rows(e6_funnel_steps(spark, "/root/testdata/sf0.001"))
+    assert got == expected
+
+
+def test_advance_funnel_state_across_batch_boundary():
+    """A funnel spanning a micro-batch boundary continues, steps fire at
+    most once, strictness and ts-equality rules match the batch query."""
+    from insect_observation_data_pipeline_spark.streaming import advance_funnel_state
+
+    # batch 1: view@10, click@10 (equal ts — strictness rejects it)
+    st = advance_funnel_state(None, None, None, [(10, "click"), (10, "view")])
+    assert st == (10, None, None)
+    # batch 2: click@11 qualifies; purchase@11 equal-ts rejected
+    st = advance_funnel_state(*st, [(11, "click"), (11, "purchase")])
+    assert st == (10, 11, None)
+    # batch 3: a second click@12 must NOT move the step; purchase@12 fires
+    st = advance_funnel_state(*st, [(12, "click"), (12, "purchase")])
+    assert st == (10, 11, 12)
+    # completed funnels are frozen
+    st = advance_funnel_state(*st, [(5, "purchase"), (13, "purchase")])
+    assert st == (10, 11, 12)
+    # a click with no view ever seen stays out of the funnel
+    assert advance_funnel_state(
+        None, None, None, [(3, "click"), (4, "purchase")]
+    ) == (None, None, None)

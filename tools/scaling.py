@@ -68,6 +68,8 @@ SCALING_QUERIES = [
     "x17_tfidf_top_terms",
     "x33_semdedup_keep",
     "x9_ann_bruteforce",
+    "j14_band_join_coincident",
+    "e6_funnel_steps",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
