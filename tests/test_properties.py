@@ -65,3 +65,49 @@ def test_session_counts_bounds(ts):
         assert last == ts[-1]
     else:
         assert (last, n_sessions) == (None, 0)
+
+
+ev_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50),
+        st.sampled_from(["view", "click", "purchase", "error"]),
+    ),
+    max_size=30,
+)
+
+
+def _brute_funnel(evs):
+    """Reference cascade: first view, first click strictly after it,
+    first purchase strictly after that — computed by global minimums,
+    the way the e6 oracle SQL does."""
+    views = [t for t, y in evs if y == "view"]
+    t1 = min(views) if views else None
+    t2 = (
+        min((t for t, y in evs if y == "click" and t > t1), default=None)
+        if t1 is not None
+        else None
+    )
+    t3 = (
+        min((t for t, y in evs if y == "purchase" and t > t2), default=None)
+        if t2 is not None
+        else None
+    )
+    return t1, t2, t3
+
+
+@given(ev_lists, st.integers(min_value=0, max_value=30))
+@settings(max_examples=300, deadline=None)
+def test_funnel_fold_matches_cascade_and_split_invariant(evs, cut):
+    """The incremental funnel fold over ts-sorted events equals the
+    global-minimum cascade, and splitting the sorted stream at ANY
+    point (micro-batch boundary) gives the same final state."""
+    from insect_observation_data_pipeline_spark.streaming import advance_funnel_state
+
+    evs = sorted(evs, key=lambda p: p[0])
+    whole = advance_funnel_state(None, None, None, evs)
+    assert whole == _brute_funnel(evs)
+    cut = min(cut, len(evs))
+    split = advance_funnel_state(
+        *advance_funnel_state(None, None, None, evs[:cut]), evs[cut:]
+    )
+    assert split == whole
