@@ -8,6 +8,7 @@ cartesian products, no Python UDFs in hot paths.
 from __future__ import annotations
 
 from insect_observation_data_pipeline_spark.plans import (
+    executed_plan_string,
     formatted_plan,
     plan_flags,
     pushed_filters,
@@ -226,3 +227,30 @@ def test_dedup_index_joins_read_bucket_aligned(spark, tmp_path):
         if "index" in t and c == "fp"
     ]
     assert fp_scans and all(fp_scans), f"fp scan not bucket-aligned: {scans}"
+
+
+def test_funnel_cascade_is_single_shuffle(spark):
+    """e6's selling point over the 3-join cascade: the whole funnel —
+    two chained window passes + the final per-user agg — rides ONE
+    hash exchange on user_id. A second exchange means the agg stopped
+    reusing the window's partitioning (or a join crept in)."""
+    df = QUERIES["e6_funnel_steps"](spark, SF)
+    plan = executed_plan_string(df)
+    # AQE plan strings carry BOTH the final and the initial plan —
+    # count the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    n_exchanges = sum(
+        1 for line in final.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges == 1, final
+    assert "Join" not in final
+
+
+def test_band_join_plans_as_equi_join(spark):
+    """j14's bucketized rewrite must plan the band predicate as an
+    equi-join residual — never CartesianProduct/BroadcastNestedLoop."""
+    df = QUERIES["j14_band_join_coincident"](spark, SF)
+    plan = executed_plan_string(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
