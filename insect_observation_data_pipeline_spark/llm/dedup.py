@@ -274,6 +274,11 @@ def tf_cosine_pairs_from_tf(
     # every branch; ContextCleaner unpersists when the frame is GC'd.
     from pyspark import StorageLevel
 
+    # Deliberately NOT repartition("term").persist(): pre-keying the
+    # cache by term would let the df count and the term-side joins
+    # read it exchange-free, but term frequency is Zipfian — the
+    # up-front skewed exchange measured slower than the exchanges it
+    # removes (sf0.1: x34 16.9 -> 23.4 s, x34b 1.68 -> 1.86 s).
     tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
     norms = tf.groupBy("doc_id").agg(
         F.sum(F.col("tf") * F.col("tf")).alias("sq")
