@@ -395,9 +395,10 @@ ORACLE: dict[str, str] = {
                END AS flag_bool
         FROM events
     """,
-    "f_name_parse": """
+    "f_array_name_census": """
         WITH base AS (
             SELECT p_partkey,
+                   string_split(p_name, ' ') AS w,
                    CASE WHEN p_partkey % 3 = 0
                           THEN 'A. B. ' || split_part(p_name, ' ', 1)
                         WHEN p_partkey % 3 = 1
@@ -406,7 +407,12 @@ ORACLE: dict[str, str] = {
                    END AS full_name
             FROM part
         )
-        SELECT p_partkey, full_name,
+        SELECT p_partkey,
+               CAST(len(w) AS INTEGER) AS n_words,
+               list_contains(w, 'green') AS has_green,
+               array_to_string(list_sort(list_distinct(w)), ',') AS distinct_sorted,
+               array_to_string(w[1:2], ',') AS first_two,
+               full_name,
                full_name LIKE '%.% %' AS is_initials,
                CASE WHEN full_name LIKE '%.% %' THEN
                    left(full_name,
@@ -417,6 +423,23 @@ ORACLE: dict[str, str] = {
                               ' ', 1)
                ELSE full_name END AS last_name
         FROM base
+    """,
+    "e7_cohort_retention": """
+        WITH firsts AS (
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS DATE) AS w
+            FROM events
+        )
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.w) / 7 AS INTEGER)
+                   AS week_n,
+               CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+        FROM active a JOIN firsts f ON a.user_id = f.user_id
+        GROUP BY 1, 2
     """,
     "j13_asof_latest_signup": """
         WITH s AS (
@@ -603,12 +626,4 @@ ORACLE["f_levenshtein_fuzzy"] = """
     FROM t
 """
 
-ORACLE["f_array_census"] = """
-    WITH t AS (SELECT p_partkey, string_split(p_name, ' ') AS w FROM part)
-    SELECT p_partkey,
-           CAST(len(w) AS INTEGER) AS n_words,
-           list_contains(w, 'green') AS has_green,
-           array_to_string(list_sort(list_distinct(w)), ',') AS distinct_sorted,
-           array_to_string(w[1:2], ',') AS first_two
-    FROM t
-"""
+

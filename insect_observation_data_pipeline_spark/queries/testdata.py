@@ -1063,12 +1063,30 @@ def f_levenshtein_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def f_array_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+def f_array_name_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/list function census (split, size, contains, distinct,
-    sort, slice) — arrays stringified with a joiner so the value hash
-    never depends on engine-specific list rendering."""
+    sort, slice — arrays stringified with a joiner so the value hash
+    never depends on engine-specific list rendering) MERGED with the
+    person-name parsing census (§2h, 03_ETL1_part2.sql:112-121: the
+    LIKE '%.% %' initials detector + first/last split over a
+    synthesized full_name covering all three reference shapes).
+    Both are per-partkey scalar projections over ``part``, so the
+    merge is one SELECT — consolidated round 7 for rotation headroom
+    (formerly f_array_census + f_name_parse)."""
+    from insect_observation_data_pipeline_spark.functions.text import (
+        is_initials_name,
+        parse_first_name,
+        parse_last_name,
+    )
+
     p = _t(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
+    word = words.getItem(0)
+    full_name = (
+        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("A. B. "), word))
+        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("Dr "), word))
+        .otherwise(word)
+    )
     return p.select(
         "p_partkey",
         F.size(words).alias("n_words"),
@@ -1077,34 +1095,45 @@ def f_array_census(spark: SparkSession, sf_dir: str) -> DataFrame:
             "distinct_sorted"
         ),
         F.concat_ws(",", F.slice(words, 1, 2)).alias("first_two"),
-    )
-
-
-def f_name_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Person-name parsing census (§2h, 03_ETL1_part2.sql:112-121): the
-    LIKE '%.% %' initials detector + first/last split, exercised over a
-    synthesized full_name with all three reference shapes — initials+last
-    ("A. B. word"), plain multi-word org name (no dot -> whole string is
-    the last_name), and single word."""
-    p = _t(spark, sf_dir, "part")
-    word = F.split(F.col("p_name"), " ").getItem(0)
-    full_name = (
-        F.when(F.col("p_partkey") % 3 == 0, F.concat(F.lit("A. B. "), word))
-        .when(F.col("p_partkey") % 3 == 1, F.concat(F.lit("Dr "), word))
-        .otherwise(word)
-    )
-    from insect_observation_data_pipeline_spark.functions.text import (
-        is_initials_name,
-        parse_first_name,
-        parse_last_name,
-    )
-
-    return p.select(
-        "p_partkey",
         full_name.alias("full_name"),
         is_initials_name(full_name).alias("is_initials"),
         parse_first_name(full_name).alias("first_name_or_initials"),
         parse_last_name(full_name).alias("last_name"),
+    )
+
+
+def e7_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by the ISO week of their FIRST event; one row per
+    (cohort_week, week_n) with the count of distinct users active
+    exactly week_n weeks after their cohort week. Two narrow
+    aggregates + one join on user_id, all shuffles on user_id until
+    the final tiny rollup — at 100 TB the per-user frames are orders
+    of magnitude smaller than the event log, and the final matrix is
+    (weeks x weeks) rows."""
+    e = _t(spark, sf_dir, "events")
+    firsts = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("first_ts"))
+        .select(
+            "user_id",
+            F.date_trunc("week", F.col("first_ts")).cast("date").alias(
+                "cohort_week"
+            ),
+        )
+    )
+    active = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("w")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("w"), F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_n"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
     )
 
 
@@ -1246,9 +1275,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # exercised through the consolidated plans
     "f_string_date_census": f_string_date_census,
     "f_event_cast_census": f_event_cast_census,
-    "f_name_parse": f_name_parse,
     "f_stats_census": f_stats_census,
     "f_sketch_audit": f_sketch_audit,
     "f_levenshtein_fuzzy": f_levenshtein_fuzzy,
-    "f_array_census": f_array_census,
+    # round 7: f_array_census + f_name_parse merged (same per-partkey
+    # projection grain over part) to fund the e7 cohort entrant
+    "f_array_name_census": f_array_name_census,
+    "e7_cohort_retention": e7_cohort_retention,
 }
