@@ -175,7 +175,16 @@ def _compact_bucketed_table(
     layout to exactly ``num_buckets`` hash partitions (same Murmur3
     hash as the bucket spec, so each task holds one whole bucket)
     and the output at <= ``num_buckets`` files, one index-sized
-    shuffle every ~K epochs.
+    shuffle every ~K epochs. The read goes through
+    ``spark.read.parquet(path)`` — a PLAIN scan — rather than
+    ``spark.table(table)``: over the bucketed table the scan can
+    advertise the bucket HashPartitioning, which lets the planner
+    elide the explicit repartition as redundant, and whether the
+    physical scan then actually coalesces per-bucket is a
+    session-dependent heuristic (auto-bucketed-scan) — the one
+    observed flake left the rewrite at per-file task layout (7 files
+    out of a 6-threshold compaction). A plain scan's partitioning is
+    unknown to the planner, so the repartition always survives.
 
     This is threshold-triggered FULL rewrite — O(index) every ~K
     epochs, the right trade while the index is orders of magnitude
@@ -192,7 +201,9 @@ def _compact_bucketed_table(
         if os.path.exists(stale):
             shutil.rmtree(stale)
     write_bucketed(
-        spark.table(table).repartition(num_buckets, *[F.col(c) for c in bucket_by]),
+        spark.read.parquet(path).repartition(
+            num_buckets, *[F.col(c) for c in bucket_by]
+        ),
         tmp_table,
         bucket_by=bucket_by, num_buckets=num_buckets,
         sort_by=sort_by, mode="append", path=tmp_path,
