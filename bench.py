@@ -97,6 +97,7 @@ EXTENDED_QUERIES = [
     # the single-shuffle funnel
     "j14_band_join_coincident",
     "e6_funnel_steps",
+    "e7_cohort_retention",
 ]
 
 
