@@ -1066,6 +1066,12 @@ def test_stateful_funnel_state_carries_across_real_microbatches(spark, tmp_path)
              for e, t, u, y in rows],
             schema,
         ).coalesce(1).write.parquet(f"{src}/b{i}")
+        # the file source picks batches by modification time: pin
+        # strictly increasing mtimes so b0 is always micro-batch 1
+        # (same-second writes could otherwise tie)
+        for root, _, files in _os.walk(f"{src}/b{i}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (1000 + i, 1000 + i))
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
