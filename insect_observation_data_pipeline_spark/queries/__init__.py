@@ -68,6 +68,29 @@ ROTATION_EXEMPT: dict[str, str] = {
         "JVM-expression twin of rotating m2_media_features (identical "
         "octet_length/sha256 semantics, minus the Arrow boundary m2 checks)"
     ),
+    # Round 7: the documented exact-oracle baselines whose guarded scale
+    # twins rotate. Each pair is ONE kernel function parameterized by the
+    # guard, so the rotating twin executes a strict superset of the
+    # baseline's expressions (the guard only adds a join-side filter /
+    # candidate cut); the baseline form stays oracle-checked locally
+    # every round and pytest-pinned against its twin.
+    "x6_ngram_jaccard": (
+        "exact baseline of rotating x27_jaccard_maxdf — same "
+        "jaccard_pairs kernel (llm/dedup.py), max_df guard off"
+    ),
+    "x34_tf_cosine_pairs": (
+        "exact all-pairs baseline of rotating x34b_tf_cosine_candidates — "
+        "same tf_cosine_pairs kernel, candidate_max_df guard off"
+    ),
+    "h3_containment_keep": (
+        "unguarded twin of rotating h3b_containment_keep_maxdf — same "
+        "containment_keep kernel, max_df guard off"
+    ),
+    "x13_ann_lsh_multiprobe": (
+        "same lsh_topk code path as rotating x12_ann_lsh, widened to "
+        "probe_bits=3 (the x26_ann_ivf_probe4 precedent); recall "
+        "monotonicity pinned by tests/test_llm.py"
+    ),
 }
 
 # Ordering priority (round 7 — fixes the starvation that let e1 miss
