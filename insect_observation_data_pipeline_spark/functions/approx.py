@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -88,3 +88,54 @@ def _cm_bucket_expr(term_col: str, row_col: str, width: int) -> Column:
         F.concat(F.col(row_col).cast("string"), F.lit(":"), F.col(term_col))
     )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+_HLL_REST_MASK = (1 << 52) - 1  # low 52 bits of the 60-bit md5 prefix
+
+
+def hll_bucket_rho(term: Column, *, p: int = 8) -> tuple[Column, Column]:
+    """Deterministic HyperLogLog (bucket, rho) for one value.
+
+    Engine-portable analogue of :func:`cm_bucket`: the hash is the first
+    15 hex chars of md5 (60 bits, fits a signed 64-bit int on any
+    engine), the top ``p`` bits pick the register and rho is the number
+    of leading zeros in the remaining ``52 - (p - 8)`` bits plus one.
+    Bit length comes from the base-2 string render (``conv`` here,
+    ``bin()`` in DuckDB) — pure integer/string ops, no libm, so every
+    engine lands every value in the same register with the same rho.
+    """
+    h60 = F.conv(F.substring(F.md5(term), 1, 15), 16, 10).cast("long")
+    shift = 60 - p
+    mask = (1 << shift) - 1
+    bucket = F.shiftright(h60, shift)
+    rest = h60.bitwiseAND(F.lit(mask))
+    width = shift + 1  # rho when rest == 0: all `shift` bits are zero
+    rho = F.when(rest == 0, F.lit(width)).otherwise(
+        F.lit(width) - F.length(F.conv(rest.cast("string"), 10, 2))
+    )
+    return bucket, rho
+
+
+def hll_registers(
+    rows: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    p: int = 8,
+) -> DataFrame:
+    """HyperLogLog register TABLE: one row per (group, bucket) with the
+    max rho observed — the fixed-size (2^p rows per group) MERGEABLE
+    distinct-count state a 100 TB pipeline keeps instead of exact
+    per-value sets. Merge across shards/epochs is ``max`` per bucket
+    (pinned by tests/test_llm.py::test_hll_registers_merge), the same
+    cellwise property the count-min table (:func:`cm_weights`) has for
+    frequencies. Duplicate values are free: max() absorbs them, so the
+    input needs no pre-distinct shuffle. Estimates read back via the
+    standard harmonic mean; see the x40 query for the exact-arithmetic
+    readback the DuckDB oracle replays bit-identically.
+    """
+    bucket, rho = hll_bucket_rho(F.col(value_col), p=p)
+    keyed = rows.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+    return keyed.groupBy(*group_cols, "bucket").agg(
+        F.max("rho").alias("max_rho")
+    )

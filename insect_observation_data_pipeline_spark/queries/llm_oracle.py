@@ -1140,3 +1140,71 @@ LLM_ORACLE["e6_funnel_steps"] = """
     LEFT JOIN t2 ON t1.user_id = t2.user_id
     LEFT JOIN t3 ON t1.user_id = t3.user_id
 """
+
+
+def _hll_oracle_sql() -> str:
+    """x40: rebuild the identical 256-register md5 HLL and its readback.
+
+    Literals match queries/llm_testdata.py exactly (_HLL_AM2/_HLL_INV53
+    repr round-trips to the same double); everything upstream of the
+    single add+divide (+ ln on the linear-counting branch) is integer-
+    exact, so both engines feed identical doubles into identical
+    expressions.
+    """
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        _HLL_AM2,
+        _HLL_INV53,
+        _HLL_M,
+    )
+
+    h60 = "('0x' || substr(md5(term), 1, 15))::BIGINT"
+    rest = f"({h60} & 4503599627370495)"
+    raw = f"{_HLL_AM2!r} / (({_HLL_M} - regs_used) + sum_scaled * {_HLL_INV53!r})"
+    est = (
+        f"CASE WHEN ({_HLL_M} - regs_used) > 0 AND ({raw}) <= {2.5 * _HLL_M!r} "
+        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - regs_used)) "
+        f"ELSE {raw} END"
+    )
+    return f"""
+    -- deterministic HLL distinct-shingle audit per source (x40)
+    WITH toked AS (
+        SELECT source, {_TOKS} AS tk FROM documents
+    ),
+    toks AS (
+        SELECT source,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 2, 0)),
+                   i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS term
+        FROM toked
+    ),
+    hb AS (
+        SELECT source,
+               {h60} >> 52 AS bucket,
+               CASE WHEN {rest} = 0 THEN 53
+                    ELSE 53 - length(bin({rest})) END AS rho
+        FROM toks
+    ),
+    regs AS (SELECT source, bucket, max(rho) AS max_rho FROM hb GROUP BY 1, 2),
+    per AS (
+        SELECT source, count(*) AS regs_used,
+               sum(CAST(power(2, 53 - max_rho) AS BIGINT)) AS sum_scaled
+        FROM regs GROUP BY 1
+    ),
+    exact AS (SELECT source, count(DISTINCT term) AS n_exact FROM toks GROUP BY 1),
+    readback AS (
+        SELECT p.source, e.n_exact, p.regs_used, p.sum_scaled,
+               {est} AS est
+        FROM per p JOIN exact e USING (source)
+    )
+    SELECT source,
+           CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(regs_used AS BIGINT) AS regs_used,
+           CAST(sum_scaled AS BIGINT) AS sum_scaled,
+           ((floor(abs(est) * 100.0 + 0.5) / 100.0)
+            * (CASE WHEN (est) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS hll_est,
+           (abs(est - n_exact) <= 0.2 * n_exact) AS hll_ok
+    FROM readback
+"""
+
+
+LLM_ORACLE["x40_hll_distinct"] = _hll_oracle_sql()

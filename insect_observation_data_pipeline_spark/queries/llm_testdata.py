@@ -886,6 +886,70 @@ def h2_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_representatives(comps, scored)
 
 
+# HLL readback constants (p=8): m=256 registers over the top 8 of a
+# 60-bit md5 prefix; alpha_m * m^2 for the harmonic estimate. The SAME
+# literals are embedded in the DuckDB oracle so both engines run the
+# identical float expression on identical exact integers.
+_HLL_M = 256
+_HLL_AM2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
+_HLL_INV53 = 2.0**-53
+
+
+def x40_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-shingle audit per source — the fourth sketch
+    next to x39's count-min (frequency) and f_sketch_audit's built-in
+    HLL/GK accuracy battery: a DETERMINISTIC md5-register HLL whose
+    state the DuckDB oracle rebuilds bit-identically. Register table =
+    256 rows per source regardless of vocabulary (the mergeable
+    fixed-size state a 100 TB pipeline ships instead of exact distinct
+    sets; cross-shard merge is max() per bucket, pinned by
+    tests/test_llm.py). Readback keeps everything exact until the last
+    step: sum_scaled = sum(2^(53-max_rho)) is an exact BIGINT (each
+    term a dyadic power, total < 2^63), so the only float ops are one
+    add + one divide (+ ln on the linear-counting branch) from exact
+    integer inputs — deterministic across engines. hll_ok pins the
+    estimate within 20% of the exact count (3 sigma at m=256 is ~19.5%).
+    """
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    d = _t(spark, sf_dir, "documents")
+    toked = d.select(
+        "source", textstats.tokens(F.col("text")).alias("__toks")
+    )
+    toks = toked.select(
+        "source",
+        F.explode(dedup.shingles_from_tokens(F.col("__toks"), 3)).alias(
+            "term"
+        ),
+    )
+    regs = approx.hll_registers(toks, "term", ["source"], p=8)
+    per = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("regs_used"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(53) - F.col("max_rho")).cast("long")
+        ).alias("sum_scaled"),
+    )
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("term").alias("n_exact")
+    )
+    zeros = (F.lit(_HLL_M) - F.col("regs_used")).cast("double")
+    raw = F.lit(_HLL_AM2) / (zeros + F.col("sum_scaled") * F.lit(_HLL_INV53))
+    est = F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * _HLL_M)),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return per.join(exact, "source").select(
+        "source",
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        F.col("regs_used").cast("bigint").alias("regs_used"),
+        F.col("sum_scaled").cast("bigint").alias("sum_scaled"),
+        stable_round(est, 2).alias("hll_est"),
+        (F.abs(est - F.col("n_exact")) <= 0.2 * F.col("n_exact")).alias(
+            "hll_ok"
+        ),
+    )
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_dedup_exact": x1_dedup_exact,
     "x2_token_stats": x2_token_stats,
@@ -908,6 +972,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x37_dup_shingle_coverage": x37_dup_shingle_coverage,
     "x38_source_overlap": x38_source_overlap,
     "x39_cm_heavy_hitters": x39_cm_heavy_hitters,
+    "x40_hll_distinct": x40_hll_distinct,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

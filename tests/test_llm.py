@@ -1569,3 +1569,31 @@ def test_source_overlap_guard_randomized(spark):
     # cap >= #sources admits every shingle: the collect_set machine
     # must equal the self-join machine bit-for-bit (incl. overlap)
     assert matrix(max_df=6) == exact
+
+
+def test_hll_registers_merge(spark):
+    """The property the 100 TB story rests on: HLL registers built per
+    shard then merged with max() per bucket equal the registers built
+    over the whole corpus in one pass — so the sketch can be kept as
+    per-shard/per-epoch state and folded without touching raw data.
+    Also pins duplicate-insensitivity (re-unioning a shard changes
+    nothing) and the register-count bound (<= 2^p rows)."""
+    from insect_observation_data_pipeline_spark.functions.approx import hll_registers
+
+    rows = [(i % 3, f"v{i * 7919 % 501}") for i in range(2000)]
+    df = spark.createDataFrame(rows, "shard int, val string")
+
+    def as_map(regs):
+        return {r["bucket"]: r["max_rho"] for r in regs.collect()}
+
+    whole = as_map(hll_registers(df, "val", p=8))
+    sharded = hll_registers(df, "val", ["shard"], p=8)
+    merged = as_map(
+        sharded.groupBy("bucket").agg(F.max("max_rho").alias("max_rho"))
+    )
+    assert merged == whole
+    assert len(whole) <= 256
+    doubled = as_map(
+        hll_registers(df.union(df.filter("shard = 1")), "val", p=8)
+    )
+    assert doubled == whole
