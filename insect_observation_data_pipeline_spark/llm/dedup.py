@@ -1240,3 +1240,126 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
         term = F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
         sim = term if sim is None else sim + term
     return summed.select("doc_id", sim.cast("int").alias("simhash"))
+
+
+def bloom_bits(
+    keys: DataFrame,
+    key_col: str,
+    *,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Bloom-filter bit set for a key column: the distinct positions lit
+    by ``k`` salted md5 hashes into an ``m``-slot array, one row per lit
+    position (single ``pos`` column, <= m rows no matter how many keys).
+
+    This is the point of the structure at 100 TB: an eval/benchmark
+    shingle set too large to broadcast (billions of strings) compresses
+    to a fixed <= m-row relation that ALWAYS broadcasts, so membership
+    probes never shuffle the corpus side. md5-prefix arithmetic (the
+    cm_bucket idiom) keeps every engine — and the DuckDB oracle —
+    lighting identical bits.
+    """
+    salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")
+    salted = keys.select(F.col(key_col).alias("__key"), salts)
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("salt").cast("string"), F.lit(":"), F.col("__key")
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+    return salted.select(pos.alias("pos")).distinct()
+
+
+def bloom_decontaminate(
+    train: DataFrame,
+    holdout: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    m: int = 8192,
+    k: int = 3,
+    min_hits: int = 2,
+) -> DataFrame:
+    """Benchmark decontamination through a Bloom filter, with the exact
+    overlap alongside to surface the false-positive cost as data.
+
+    x21 (exact decontamination) equi-joins the corpus shingles against
+    the eval shingle SET — correct, but at 100 TB that set itself can be
+    billions of strings, too big to broadcast, forcing a shuffle of the
+    full corpus shingle stream. The Bloom form probes a <= m-row bit
+    relation instead (:func:`bloom_bits`): the corpus side is touched in
+    one broadcast-join pass, and only per-doc counts shuffle afterwards.
+    The price is one-sided: ``n_bloom >= n_true`` per doc (no false
+    negatives, a few false positives from colliding bits), so a Bloom
+    flag is a safe OVER-removal gate for decontamination and the exact
+    join remains the audit path. Emits docs with ``n_bloom >= min_hits``:
+    (doc_id, n_shingles, n_bloom, n_true, n_fp).
+    """
+    bits = bloom_bits(
+        doc_shingles(holdout, text_col, id_col, n).select("shingle").distinct(),
+        "shingle",
+        m=m,
+        k=k,
+    )
+    tr_sh = doc_shingles(train, text_col, id_col, n)
+    salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")
+    probe = tr_sh.select("doc_id", "shingle", salts)
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("salt").cast("string"),
+                        F.lit(":"),
+                        F.col("shingle"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m
+    )
+    hits = (
+        probe.withColumn("pos", pos)
+        .join(F.broadcast(bits), "pos")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("__k_hits"))
+        .filter(F.col("__k_hits") == k)
+    )
+    n_bloom = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom"))
+    ev_sh = doc_shingles(holdout, text_col, id_col, n).select("shingle").distinct()
+    n_true = (
+        tr_sh.join(ev_sh, "shingle")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    n_sh = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        n_bloom.filter(F.col("n_bloom") >= min_hits)
+        .join(n_true, "doc_id", "left")
+        .join(n_sh, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_bloom").cast("bigint").alias("n_bloom"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("bigint").alias("n_true"),
+            (F.col("n_bloom") - F.coalesce(F.col("n_true"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_fp"),
+        )
+    )

@@ -1208,3 +1208,46 @@ def _hll_oracle_sql() -> str:
 
 
 LLM_ORACLE["x40_hll_distinct"] = _hll_oracle_sql()
+
+
+LLM_ORACLE["x41_bloom_decontaminate"] = f"""
+    -- Bloom-filter decontamination (x41): light k=3 salted md5 bits in
+    -- an m=8192 slot array from the held-out shingle set, probe the
+    -- training shingles, and pin the exact overlap alongside
+    WITH {_SHINGLES_CTE},
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 50 <> 0),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0),
+    salts AS (SELECT unnest([0, 1, 2]) AS salt),
+    bits AS (
+        SELECT DISTINCT
+               ('0x' || substr(md5(s.salt::VARCHAR || ':' || e.shingle), 1, 8))::BIGINT
+                   % 8192 AS pos
+        FROM ev e CROSS JOIN salts s
+    ),
+    probe AS (
+        SELECT t.doc_id, t.shingle,
+               ('0x' || substr(md5(s.salt::VARCHAR || ':' || t.shingle), 1, 8))::BIGINT
+                   % 8192 AS pos
+        FROM tr t CROSS JOIN salts s
+    ),
+    hits AS (
+        SELECT p.doc_id, p.shingle
+        FROM probe p JOIN bits b ON p.pos = b.pos
+        GROUP BY 1, 2 HAVING count(*) = 3
+    ),
+    nb AS (SELECT doc_id, count(*) AS n_bloom FROM hits GROUP BY 1),
+    nt AS (
+        SELECT t.doc_id, count(*) AS n_true
+        FROM tr t JOIN ev e ON t.shingle = e.shingle GROUP BY 1
+    ),
+    ns AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY 1)
+    SELECT nb.doc_id,
+           CAST(ns.n_shingles AS BIGINT) AS n_shingles,
+           CAST(nb.n_bloom AS BIGINT) AS n_bloom,
+           CAST(coalesce(nt.n_true, 0) AS BIGINT) AS n_true,
+           CAST(nb.n_bloom - coalesce(nt.n_true, 0) AS BIGINT) AS n_fp
+    FROM nb
+    LEFT JOIN nt ON nb.doc_id = nt.doc_id
+    JOIN ns ON nb.doc_id = ns.doc_id
+    WHERE nb.n_bloom >= 2
+"""

@@ -950,6 +950,22 @@ def x40_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x41_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination — x21's scale twin for the case the
+    EVAL set itself is too big to broadcast: the held-out shingle set
+    (doc_id % 50 == 0, as in x21) compresses to a <= 8192-row bit
+    relation that always broadcasts, so the training-corpus shingle
+    stream is probed in one broadcast-join pass with no shuffle of the
+    big side before the per-doc count. Emits the exact overlap alongside
+    (n_true, via the x21 join) so the one-sided error is pinned as data:
+    n_bloom >= n_true on every row, n_fp = the collision cost."""
+    d = _t(spark, sf_dir, "documents")
+    return dedup.bloom_decontaminate(
+        d.filter(F.col("doc_id") % 50 != 0),
+        d.filter(F.col("doc_id") % 50 == 0),
+    )
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_dedup_exact": x1_dedup_exact,
     "x2_token_stats": x2_token_stats,
@@ -973,6 +989,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x38_source_overlap": x38_source_overlap,
     "x39_cm_heavy_hitters": x39_cm_heavy_hitters,
     "x40_hll_distinct": x40_hll_distinct,
+    "x41_bloom_decontaminate": x41_bloom_decontaminate,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

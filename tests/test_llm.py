@@ -1597,3 +1597,38 @@ def test_hll_registers_merge(spark):
         hll_registers(df.union(df.filter("shard = 1")), "val", p=8)
     )
     assert doubled == whole
+
+
+def test_bloom_decontaminate_one_sided(spark):
+    """Bloom membership has no false negatives: every doc the exact
+    x21-style join flags is flagged by the Bloom probe with
+    n_bloom >= n_true, and shrinking m only ADDS false positives
+    (monotone in filter size), never loses a true hit."""
+    from insect_observation_data_pipeline_spark.llm.dedup import bloom_decontaminate
+
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for i in range(60):
+        toks = [vocab[(i * 3 + j) % 40] for j in range(8)]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    train = df.filter("doc_id % 10 != 0")
+    holdout = df.filter("doc_id % 10 = 0")
+
+    def flags(m):
+        return {
+            r["doc_id"]: (r["n_bloom"], r["n_true"])
+            for r in bloom_decontaminate(
+                train, holdout, m=m, min_hits=1
+            ).collect()
+        }
+
+    big = flags(8192)
+    assert big, "fixture must produce overlap"
+    assert all(nb >= nt for nb, nt in big.values())
+    exact_flagged = {d for d, (_, nt) in big.items() if nt >= 1}
+    assert exact_flagged <= set(big)
+    small = flags(64)  # heavy collisions: strictly more positives
+    assert set(big) <= set(small)
+    assert all(small[d][0] >= big[d][0] for d in big)
+    assert all(small[d][1] == big[d][1] for d in big)  # exact side fixed
