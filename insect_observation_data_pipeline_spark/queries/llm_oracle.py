@@ -1251,3 +1251,69 @@ LLM_ORACLE["x41_bloom_decontaminate"] = f"""
     JOIN ns ON nb.doc_id = ns.doc_id
     WHERE nb.n_bloom >= 2
 """
+
+
+def _pagerank_oracle_sql(*, damping: float = 0.85, iterations: int = 8) -> str:
+    """h4: replay the fixed-iteration weighted PageRank as unrolled CTEs.
+
+    Float literals are the repr() of the SAME Python doubles the Spark
+    operator uses (teleport = 1.0 - damping computed once), so both
+    engines evaluate the identical expression tree; only summation
+    order differs (~1e-15), absorbed by the 6-digit stable round.
+    """
+    tp = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        """edges AS MATERIALIZED (
+        SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+               count(*) AS w
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    nodes AS (
+        SELECT DISTINCT node FROM (
+            SELECT src AS node FROM edges
+            UNION ALL SELECT dst FROM edges
+        )
+    ),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    outw AS (SELECT src, sum(w) AS w_out FROM edges GROUP BY 1),
+    ep AS MATERIALIZED (
+        SELECT e.src, e.dst, e.w / CAST(o.w_out AS DOUBLE) AS p
+        FROM edges e JOIN outw o ON e.src = o.src
+    ),
+    r0 AS MATERIALIZED (SELECT node, 1.0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""d{i - 1} AS MATERIALIZED (
+        SELECT coalesce(sum(r.rank), 0.0) AS dm
+        FROM r{i - 1} r LEFT JOIN outw o ON r.node = o.src
+        WHERE o.src IS NULL
+    ),
+    c{i - 1} AS MATERIALIZED (
+        SELECT ep.dst, sum(r.rank * ep.p) AS c
+        FROM r{i - 1} r JOIN ep ON r.node = ep.src
+        GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT n.node,
+               {tp} / nn.n + {d} * (coalesce(c.c, 0.0) + dd.dm / nn.n) AS rank
+        FROM nodes n
+        CROSS JOIN nn
+        CROSS JOIN d{i - 1} dd
+        LEFT JOIN c{i - 1} c ON n.node = c.dst
+    )""")
+    final = f"""
+    SELECT na.n_name AS nation,
+           ((floor(abs(r.rank) * 1000000.0 + 0.5) / 1000000.0)
+            * (CASE WHEN (r.rank) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)
+               AS pagerank
+    FROM r{iterations} r JOIN nation na ON r.node = na.n_nationkey
+"""
+    return "    WITH " + ",\n    ".join(parts) + final
+
+
+LLM_ORACLE["h4_pagerank_trade"] = _pagerank_oracle_sql()

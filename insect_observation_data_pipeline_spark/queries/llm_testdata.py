@@ -966,6 +966,39 @@ def x41_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def h4_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the nation-level trade graph (customer
+    nation -> supplier nation, weight = lineitem count): the second
+    iterative graph operator next to h1's min-label propagation,
+    ranking nations by stationary visit probability of the trade flow.
+    Edge weights stay exact integers all the way to one double division
+    (w / W_out), and the 8 fixed iterations are the same
+    join+groupBy+localCheckpoint rounds as h1 — the oracle replays them
+    as unrolled CTEs (operators/graph.py)."""
+    from insect_observation_data_pipeline_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(F.count(F.lit(1)).alias("weight"))
+    )
+    pr = pagerank(edges, damping=0.85, iterations=8)
+    return pr.join(F.broadcast(n), pr["node"] == n["n_nationkey"]).select(
+        F.col("n_name").alias("nation"),
+        stable_round(F.col("rank"), 6).alias("pagerank"),
+    )
+
+
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_dedup_exact": x1_dedup_exact,
     "x2_token_stats": x2_token_stats,
@@ -990,6 +1023,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x39_cm_heavy_hitters": x39_cm_heavy_hitters,
     "x40_hll_distinct": x40_hll_distinct,
     "x41_bloom_decontaminate": x41_bloom_decontaminate,
+    "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,
     "x8_simhash": x8_simhash,

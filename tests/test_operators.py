@@ -375,3 +375,22 @@ def test_band_join_matches_naive(spark):
 
     with pytest.raises(ValueError):
         band_join(lhs, rhs, F.col("lv"), F.col("rv"), 5, how="full")
+
+
+def test_pagerank_mass_and_ordering(spark):
+    """Weighted PageRank: total rank mass stays 1.0 through every round
+    even when the top-ranked node is DANGLING (node 0 has no out-edges;
+    without the redistribution term its whole rank would leak each
+    round), and in-link mass orders the nodes as the graph says."""
+    from insect_observation_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(1, 0, 3), (2, 0, 1), (3, 0, 1), (3, 1, 2), (2, 4, 1)],
+        "src int, dst int, weight int",
+    )
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert set(ranks) == {0, 1, 2, 3, 4}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    # hub everyone cites > its best feeder > the half-fed leaf >
+    # the never-cited sources at the teleport+dangling floor
+    assert ranks[2] == ranks[3] < ranks[4] < ranks[1] < ranks[0]
