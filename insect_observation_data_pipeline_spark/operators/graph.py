@@ -44,11 +44,15 @@ def pagerank(
     iteration count keeps the result a pure function of the input (no
     convergence race) and lets an oracle unroll the recurrence.
     """
+    # One persist on the edge relation itself: nodes/outw/ep all derive
+    # from it, and the caller's edge lineage is typically the expensive
+    # part (h4's is a lineitem join chain) — without this it would
+    # recompute once per derived frame (the x34b 6x-recompute lesson).
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         F.col(weight).alias("w"),
-    )
+    ).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
