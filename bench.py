@@ -98,6 +98,14 @@ EXTENDED_QUERIES = [
     "j14_band_join_coincident",
     "e6_funnel_steps",
     "e7_cohort_retention",
+    # round 7 (cont.): deterministic HLL registers and the broadcast-
+    # probe bloom decontamination. h4_pagerank_trade is deliberately
+    # NOT benched: its sf0.1 cost is ~3.4 s of real edge join + ~5 s of
+    # fixed 8-round scheduling overhead that amortizes at scale —
+    # tracked in SCALING_r{N}.json instead, where the growth ratio is
+    # the meaningful number for an iterative operator.
+    "x40_hll_distinct",
+    "x41_bloom_decontaminate",
 ]
 
 

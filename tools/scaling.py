@@ -70,6 +70,12 @@ SCALING_QUERIES = [
     "x9_ann_bruteforce",
     "j14_band_join_coincident",
     "e6_funnel_steps",
+    # round-7 entrants: broadcast-probe bloom, register sketch, and the
+    # iterative pagerank (edge join is the data-dependent part; the 8
+    # rank rounds are fixed overhead that should NOT grow with sf)
+    "x40_hll_distinct",
+    "x41_bloom_decontaminate",
+    "h4_pagerank_trade",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
