@@ -106,6 +106,8 @@ EXTENDED_QUERIES = [
     # the meaningful number for an iterative operator.
     "x40_hll_distinct",
     "x41_bloom_decontaminate",
+    # round 7 (cont.): segment-level exact dedup (repeated-line removal)
+    "x42_segment_dedup",
 ]
 
 

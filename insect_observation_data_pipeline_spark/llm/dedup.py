@@ -40,6 +40,85 @@ def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def segment_dedup(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Segment-level exact dedup — the "repeated line removal" pass of
+    web-corpus pipelines (RefinedWeb/Dolma style), adapted to this
+    newline-free corpus by segmenting on fixed ``seg_words``-word
+    windows instead of lines: split every document into non-overlapping
+    segments, mark each segment whose EXACT text occurs in >=
+    ``min_df`` distinct documents, and strip the marked segments from
+    every document. Corpus-wide boilerplate (headers, navigation,
+    license blurbs) disappears while unique prose stays.
+
+    Scale shape: the explode factor is n_words/seg_words (vs n_words
+    for shingling); one shuffle to count per-segment document
+    frequency, one equi-join back on segment text (the dup side is
+    post-aggregation and min_df-filtered, orders of magnitude smaller
+    than the corpus), one shuffle to reassemble per document. No
+    similarity join, no pair set — in a real pipeline this runs BEFORE
+    MinHash precisely to kill the boilerplate that would otherwise
+    glue unrelated documents into one near-dup cluster.
+
+    Documents with zero tokens produce zero segments and drop out of
+    the result (posexplode of an empty array), matching the oracle's
+    ``unnest(generate_series(0, -1))``. A document whose every segment
+    is duplicated survives with ``kept_text = ''``.
+
+    Returns one row per document: ``n_segments``, ``n_dup_segments``,
+    ``kept_words`` (token count after the strip) and ``kept_text``
+    (the reassembled document, original segment order).
+    """
+    w = seg_words
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    n_seg = F.ceil(F.size("__toks") / F.lit(w)).cast("int")
+    # guard the empty-doc case: sequence(0, -1) would DESCEND in Spark
+    seg_arr = F.when(
+        F.size("__toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice("__toks", i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    segs = toked.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+    dup = (
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("seg", F.lit(True).alias("__dup"))
+    )
+    kept = F.when(F.col("__dup").isNull(), F.struct("pos", "seg"))
+    return (
+        segs.join(dup, "seg", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.count("__dup").alias("n_dup_segments"),
+            F.sum(
+                F.when(
+                    F.col("__dup").isNull(), F.size(F.split("seg", " "))
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("kept_words"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a materialized token array.
 

@@ -1253,6 +1253,47 @@ LLM_ORACLE["x41_bloom_decontaminate"] = f"""
 """
 
 
+LLM_ORACLE["x42_segment_dedup"] = f"""
+    -- Segment-level exact dedup (x42): non-overlapping 8-word windows,
+    -- strip every segment text occurring in >= 2 distinct documents,
+    -- reassemble the survivors in original order
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, tk,
+               unnest(generate_series(
+                   0, CAST(ceil(len(tk) / 8.0) AS BIGINT) - 1)) AS pos
+        FROM toks
+    ),
+    segs AS (
+        SELECT doc_id, pos,
+               array_to_string(list_slice(tk, pos * 8 + 1, pos * 8 + 8), ' ')
+                   AS seg
+        FROM idx
+    ),
+    dup AS (
+        SELECT seg FROM segs GROUP BY seg
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    marked AS (
+        SELECT s.doc_id, s.pos, s.seg, d.seg IS NOT NULL AS is_dup
+        FROM segs s LEFT JOIN dup d ON s.seg = d.seg
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           CAST(count(CASE WHEN is_dup THEN 1 END) AS BIGINT)
+               AS n_dup_segments,
+           CAST(coalesce(sum(len(string_split(seg, ' ')))
+               FILTER (WHERE NOT is_dup), 0) AS BIGINT) AS kept_words,
+           coalesce(string_agg(seg, ' ' ORDER BY pos)
+               FILTER (WHERE NOT is_dup), '') AS kept_text
+    FROM marked
+    GROUP BY doc_id
+    ORDER BY doc_id
+"""
+
+
 def _pagerank_oracle_sql(*, damping: float = 0.85, iterations: int = 8) -> str:
     """h4: replay the fixed-iteration weighted PageRank as unrolled CTEs.
 

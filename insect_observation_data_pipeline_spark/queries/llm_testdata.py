@@ -966,6 +966,18 @@ def x41_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x42_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level exact dedup (RefinedWeb/Dolma "repeated line
+    removal", word-window segmentation): strip every 8-word segment
+    whose exact text occurs in >= 2 distinct documents, and report the
+    per-document damage plus the reassembled cleaned text. Runs before
+    MinHash in a real pipeline — boilerplate removal keeps near-dup
+    clustering honest."""
+    return dedup.segment_dedup(
+        _t(spark, sf_dir, "documents"), seg_words=8, min_df=2
+    ).orderBy("doc_id")
+
+
 def h4_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted PageRank over the nation-level trade graph (customer
     nation -> supplier nation, weight = lineitem count): the second
@@ -1023,6 +1035,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x39_cm_heavy_hitters": x39_cm_heavy_hitters,
     "x40_hll_distinct": x40_hll_distinct,
     "x41_bloom_decontaminate": x41_bloom_decontaminate,
+    "x42_segment_dedup": x42_segment_dedup,
     "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,

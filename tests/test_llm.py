@@ -1632,3 +1632,55 @@ def test_bloom_decontaminate_one_sided(spark):
     assert set(big) <= set(small)
     assert all(small[d][0] >= big[d][0] for d in big)
     assert all(small[d][1] == big[d][1] for d in big)  # exact side fixed
+
+
+def test_segment_dedup_strips_shared_boilerplate(spark):
+    """x42 semantics: a boilerplate segment pasted into several docs is
+    stripped from ALL of them; unique prose survives in original order;
+    an all-boilerplate doc survives with kept_text = ''; an empty doc
+    produces no output row (zero segments). Brute-forced in Python over
+    the same fixed 4-word windows."""
+    from insect_observation_data_pipeline_spark.llm.dedup import segment_dedup
+
+    boiler = "subscribe to our newsletter"  # exactly one 4-word window
+    rows = [
+        (0, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "iota kappa lam mu " + boiler + " nu xi omicron pi"),
+        (2, boiler),
+        (3, "rho sigma tau upsilon phi chi psi omega"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in segment_dedup(docs, seg_words=4, min_df=2).collect()
+    }
+
+    # python brute force over identical segmentation
+    def segs(text):
+        tk = [t for t in text.split(" ") if t]
+        return [
+            " ".join(tk[i : i + 4]) for i in range(0, len(tk), 4)
+        ]
+    all_segs = {i: segs(t) for i, t in rows}
+    from collections import Counter
+    df_count = Counter()
+    for i, ss in all_segs.items():
+        for s in set(ss):
+            df_count[s] += 1
+    dup = {s for s, c in df_count.items() if c >= 2}
+
+    assert 4 not in out, "empty doc must drop out (zero segments)"
+    for i, ss in all_segs.items():
+        if not ss:
+            continue
+        keep = [s for s in ss if s not in dup]
+        r = out[i]
+        assert r["n_segments"] == len(ss)
+        assert r["n_dup_segments"] == len(ss) - len(keep)
+        assert r["kept_text"] == " ".join(keep)
+        assert r["kept_words"] == sum(len(s.split(" ")) for s in keep)
+    # the boilerplate window really was shared and really is gone
+    assert boiler in dup
+    assert all(boiler not in out[i]["kept_text"] for i in (0, 1, 2))
+    assert out[2]["kept_text"] == ""
