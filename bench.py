@@ -106,8 +106,11 @@ EXTENDED_QUERIES = [
     # the meaningful number for an iterative operator.
     "x40_hll_distinct",
     "x41_bloom_decontaminate",
-    # round 7 (cont.): segment-level exact dedup (repeated-line removal)
+    # round 7 (cont.): segment-level exact dedup (repeated-line
+    # removal) and degree-oriented triangle counting over the
+    # min-support co-purchase graph
     "x42_segment_dedup",
+    "h5_triangle_count",
 ]
 
 

@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
 
 def pagerank(
     edges: DataFrame,
@@ -101,3 +103,106 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_counts(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle participation: (node, degree, n_triangles,
+    clustering) over an UNDIRECTED edge relation (either orientation;
+    duplicates and self-loops tolerated — canonicalized here). The
+    third graph operator next to connected_components (membership) and
+    pagerank (importance): triangles measure local cohesion, and
+    2*tri / (deg*(deg-1)) is the local clustering coefficient.
+
+    Join strategy is DEGREE ORIENTATION (Schank/Wagner): every edge is
+    directed from its lower-(degree, node) endpoint to the higher one,
+    so each triangle is enumerated exactly once and the wedge self-join
+    fans out per node only over its ORIENTED out-degree — O(sqrt(m))
+    max out-degree on any graph. That bound is what keeps hub nodes
+    (the whole point of a skewed 100 TB graph) from turning the
+    self-join quadratic; a naive src-grouped wedge join explodes on
+    exactly those hubs. Three shuffles: degree count, wedge self-join
+    on the pivot node, closing-edge join on (x, y).
+
+    The count is a pure integer function of the edge set — orientation
+    changes the enumeration order, never the result — so an oracle can
+    replay it with the simple a<b<c three-way join.
+    """
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # canon feeds the degree count (two scans via the union) and
+        # the orientation join; the caller's edge lineage is typically
+        # the expensive part (h5's is a lineitem self-join + groupBy) —
+        # same persist rationale as pagerank's edge relation
+        .persist()
+    )
+    deg = (
+        canon.select(F.col("a").alias("node"))
+        .union(canon.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    da = deg.select(
+        F.col("node").alias("a"), F.col("degree").alias("deg_a")
+    )
+    db = deg.select(
+        F.col("node").alias("b"), F.col("degree").alias("deg_b")
+    )
+    keyed = canon.join(da, "a").join(db, "b")
+    lo_first = F.struct(F.col("deg_a"), F.col("a")) < F.struct(
+        F.col("deg_b"), F.col("b")
+    )
+    oriented = keyed.select(
+        F.when(lo_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lo_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(
+            lo_first, F.struct(F.col("deg_b").alias("d"), F.col("b").alias("n"))
+        )
+        .otherwise(F.struct(F.col("deg_a").alias("d"), F.col("a").alias("n")))
+        .alias("v_key"),
+    ).persist()
+    w1 = oriented.select(
+        F.col("u"), F.col("v").alias("x"), F.col("v_key").alias("x_key")
+    )
+    w2 = oriented.select(
+        F.col("u"), F.col("v").alias("y"), F.col("v_key").alias("y_key")
+    )
+    wedges = w1.join(w2, "u").filter(F.col("x_key") < F.col("y_key"))
+    closing = oriented.select(
+        F.col("u").alias("x"), F.col("v").alias("y")
+    )
+    tris = wedges.join(closing, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tris.select(F.explode(F.array("u", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    out = deg.join(per_node, "node", "left").select(
+        "node",
+        "degree",
+        F.coalesce(F.col("n_triangles"), F.lit(0))
+        .cast("bigint")
+        .alias("n_triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            stable_round(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+    return out

@@ -82,13 +82,6 @@ LLM_ORACLE: dict[str, str] = {
         FROM documents
         GROUP BY 1
     """,
-    "x2_token_stats": f"""
-        SELECT doc_id,
-               CAST(len({_TOKS}) AS INTEGER) AS n_tokens,
-               CAST(len(regexp_extract_all(lower(text),
-                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens
-        FROM documents
-    """,
     "x3_text_quality": f"""
         WITH base AS (
             SELECT doc_id, text, {_TOKS} AS tk FROM documents
@@ -104,6 +97,8 @@ LLM_ORACLE: dict[str, str] = {
             FROM base
         )
         SELECT doc_id,
+               CAST(len(regexp_extract_all(lower(text),
+                    '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS INTEGER) AS n_bpe_tokens,
                n_tokens,
                ((floor(abs(sum_len / nd) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum_len / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS avg_token_len,
                ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS stopword_ratio,
@@ -1291,6 +1286,57 @@ LLM_ORACLE["x42_segment_dedup"] = f"""
     FROM marked
     GROUP BY doc_id
     ORDER BY doc_id
+"""
+
+
+LLM_ORACLE["h5_triangle_count"] = """
+    -- Triangle counts + clustering coefficient (h5) over the repeat
+    -- co-purchase part graph (pair-instance support >= 2). The Spark
+    -- side enumerates via degree orientation; the count is a pure
+    -- integer function of the edge set, so the simple a<b<c replay
+    -- here must agree exactly.
+    WITH e AS (
+        SELECT least(l1.l_partkey, l2.l_partkey) AS a,
+               greatest(l1.l_partkey, l2.l_partkey) AS b
+        FROM lineitem l1
+        JOIN lineitem l2
+          ON l1.l_orderkey = l2.l_orderkey
+         AND l1.l_partkey < l2.l_partkey
+        GROUP BY 1, 2
+        HAVING count(*) >= 2
+    ),
+    deg AS (
+        SELECT node, count(*) AS degree FROM (
+            SELECT a AS node FROM e UNION ALL SELECT b FROM e
+        ) GROUP BY 1
+    ),
+    tri AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM e e1
+        JOIN e e2 ON e1.b = e2.a
+        JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pn AS (
+        SELECT node, count(*) AS n_triangles FROM (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ) GROUP BY 1
+    )
+    SELECT d.node,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(coalesce(pn.n_triangles, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2 THEN
+               ((floor(abs(2.0 * coalesce(pn.n_triangles, 0)
+                   / (d.degree * (d.degree - 1))) * 1000000.0 + 0.5)
+                 / 1000000.0)
+                * (CASE WHEN (2.0 * coalesce(pn.n_triangles, 0)
+                   / (d.degree * (d.degree - 1))) < 0
+                   THEN -1.0 ELSE 1.0 END) + 0.0)
+           ELSE 0.0 END AS clustering
+    FROM deg d
+    LEFT JOIN pn ON d.node = pn.node
+    ORDER BY d.node
 """
 
 

@@ -24,21 +24,20 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.exact_groups(_t(spark, sf_dir, "documents"))
 
 
-def x2_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish token counting."""
+def x3_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/stopword/char-class signals + score,
+    plus the BPE-ish subword token count (absorbed from the former
+    x2_token_stats — merged round 7 for rotation headroom; the
+    whitespace token count was already emitted here as n_tokens, so
+    the merge costs one extra scalar expression in the same
+    projection, no new scan)."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
     return d.select(
         "doc_id",
-        textstats.token_count(t).alias("n_tokens"),
         textstats.bpe_ish_count(t).alias("n_bpe_tokens"),
+        *textstats.quality_columns(t),
     )
-
-
-def x3_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/stopword/char-class signals + score."""
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", *textstats.quality_columns(F.col("text")))
 
 
 def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -966,6 +965,30 @@ def x41_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def h5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient over the repeat
+    co-purchase graph: parts are linked when they co-occur in the same
+    order at least twice (pair-instance support >= 2 — the classic
+    min-support cut that keeps a co-occurrence graph sparse as data
+    grows: one-off co-occurrences dominate and carry no signal). The
+    third graph operator next to h1 (membership) and h4 (importance);
+    degree-oriented enumeration in operators/graph.py bounds the wedge
+    fan-out per node by O(sqrt(m)) regardless of hub skew."""
+    from insect_observation_data_pipeline_spark.operators.graph import triangle_counts
+
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    l2 = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    edges = (
+        l1.join(l2, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy(F.col("p1").alias("src"), F.col("p2").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+    )
+    return triangle_counts(edges).orderBy("node")
+
+
 def x42_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Segment-level exact dedup (RefinedWeb/Dolma "repeated line
     removal", word-window segmentation): strip every 8-word segment
@@ -1013,7 +1036,6 @@ def h4_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_dedup_exact": x1_dedup_exact,
-    "x2_token_stats": x2_token_stats,
     "x3_text_quality": x3_text_quality,
     "x4_lang_id": x4_lang_id,
     "x5_fingerprint": x5_fingerprint,
@@ -1036,6 +1058,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x40_hll_distinct": x40_hll_distinct,
     "x41_bloom_decontaminate": x41_bloom_decontaminate,
     "x42_segment_dedup": x42_segment_dedup,
+    "h5_triangle_count": h5_triangle_count,
     "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,
     "x7_minhash_lsh": x7_minhash_lsh,

@@ -394,3 +394,55 @@ def test_pagerank_mass_and_ordering(spark):
     # hub everyone cites > its best feeder > the half-fed leaf >
     # the never-cited sources at the teleport+dangling floor
     assert ranks[2] == ranks[3] < ranks[4] < ranks[1] < ranks[0]
+
+
+def test_triangle_counts_vs_bruteforce_random(spark):
+    """Degree-oriented triangle enumeration agrees with an
+    adjacency-set brute force on random graphs — including a hub node
+    wired to everything (the skew case the orientation exists for),
+    duplicate edges, reversed duplicates, and self-loops, which must
+    all be canonicalized away."""
+    import itertools
+    import random
+
+    from insect_observation_data_pipeline_spark.operators.graph import triangle_counts
+
+    rng = random.Random(42)
+    for trial in range(4):
+        n = rng.randint(6, 14)
+        p = rng.choice([0.2, 0.5, 0.8])
+        edges = [
+            (a, b)
+            for a, b in itertools.combinations(range(n), 2)
+            if rng.random() < p
+        ]
+        # hub wired to every node; noise: dupes, reversals, self-loops
+        edges += [(n, v) for v in range(n)]
+        edges += [(b, a) for a, b in edges[: len(edges) // 2]]
+        edges += [(v, v) for v in range(0, n, 3)]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["degree"], r["n_triangles"], r["clustering"])
+            for r in triangle_counts(df).collect()
+        }
+
+        adj: dict[int, set[int]] = {}
+        for a, b in edges:
+            if a == b:
+                continue
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        tri = {v: 0 for v in adj}
+        for a, b, c in itertools.combinations(sorted(adj), 3):
+            if b in adj[a] and c in adj[a] and c in adj[b]:
+                for v in (a, b, c):
+                    tri[v] += 1
+        assert set(got) == set(adj), f"trial {trial}: node set"
+        for v in adj:
+            deg = len(adj[v])
+            assert got[v][0] == deg, f"trial {trial}: degree({v})"
+            assert got[v][1] == tri[v], f"trial {trial}: tri({v})"
+            want_c = (
+                round(2.0 * tri[v] / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+            )
+            assert abs(got[v][2] - want_c) < 1e-9, f"trial {trial}: cc({v})"
