@@ -1684,3 +1684,59 @@ def test_segment_dedup_strips_shared_boilerplate(spark):
     assert boiler in dup
     assert all(boiler not in out[i]["kept_text"] for i in (0, 1, 2))
     assert out[2]["kept_text"] == ""
+
+
+def test_segment_dedup_randomized_vs_bruteforce(spark):
+    """Randomized sweep: segment_dedup agrees with a Python brute
+    force over random corpora across seg_words and min_df settings,
+    with duplicate runs injected at random offsets (so segments
+    straddle window boundaries and genuinely shared windows arise
+    only where alignment permits — exactly the operator's contract)."""
+    import random
+    from collections import Counter
+
+    from insect_observation_data_pipeline_spark.llm.dedup import segment_dedup
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(30)]
+    boiler_pool = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 9)))
+        for _ in range(4)
+    ]
+    for trial, (w, min_df) in enumerate([(4, 2), (5, 3), (3, 2)]):
+        rows = []
+        for i in range(40):
+            words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+            if rng.random() < 0.6:
+                ins = rng.choice(boiler_pool).split(" ")
+                at = rng.randint(0, len(words))
+                words[at:at] = ins
+            rows.append((i, " ".join(words)))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: r
+            for r in segment_dedup(
+                docs, seg_words=w, min_df=min_df
+            ).collect()
+        }
+
+        def segs(text):
+            tk = [t for t in text.split(" ") if t]
+            return [" ".join(tk[j : j + w]) for j in range(0, len(tk), w)]
+
+        all_segs = {i: segs(t) for i, t in rows}
+        df_count = Counter()
+        for ss in all_segs.values():
+            for s in set(ss):
+                df_count[s] += 1
+        dup = {s for s, c in df_count.items() if c >= min_df}
+        for i, ss in all_segs.items():
+            if not ss:
+                assert i not in got, f"trial {trial}: empty doc {i}"
+                continue
+            keep = [s for s in ss if s not in dup]
+            r = got[i]
+            assert r["n_segments"] == len(ss), f"trial {trial} doc {i}"
+            assert r["n_dup_segments"] == len(ss) - len(keep)
+            assert r["kept_text"] == " ".join(keep), f"trial {trial} doc {i}"
+            assert r["kept_words"] == sum(len(s.split(" ")) for s in keep)

@@ -76,6 +76,12 @@ SCALING_QUERIES = [
     "x40_hll_distinct",
     "x41_bloom_decontaminate",
     "h4_pagerank_trade",
+    # segment dedup is linear by construction (explode factor
+    # n_words/8); triangle counting's min-support cut keeps the graph
+    # near-constant as sf grows, so its curve should be dominated by
+    # the linear pair-generation groupBy
+    "x42_segment_dedup",
+    "h5_triangle_count",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
