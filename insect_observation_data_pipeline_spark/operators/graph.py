@@ -131,6 +131,14 @@ def triangle_counts(
     The count is a pure integer function of the edge set — orientation
     changes the enumeration order, never the result — so an oracle can
     replay it with the simple a<b<c three-way join.
+
+    Plan-audit note: the executed-plan text reprints each persisted
+    frame's FULL build lineage at every InMemoryTableScan reuse site,
+    so PLANS_r{N}.json's substring-counted ``exchanges`` for queries
+    using this operator (~60) overstates the real shuffle count (~10:
+    edge build, degree agg, two orientation joins, wedge join, closing
+    join, per-node agg) — the duplication is in the plan *text*, not
+    the execution.
     """
     canon = (
         edges.select(

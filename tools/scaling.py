@@ -23,6 +23,13 @@ query at each scale approximates fixed session/job overhead (scheduler,
 noop commit), which otherwise hides growth at toy scales — before
 taking the ratio, and is the number to read against 10x.
 
+Measurement hygiene: the block-manager cache is cleared after every
+query (operator-persisted frames otherwise compound over the ~25-min
+session and degrade late queries), and ``calib_sec_per_scale_loop``
+records bench.py's fixed codegen probe once per scale loop so host
+drift between the loops is visible next to the growth ratios it would
+otherwise masquerade as.
+
 Usage: python tools/scaling.py [out.json]
 Env: SPARK_GRAFT_SCALING_N (passes per query per scale, default 3).
 """
@@ -103,6 +110,7 @@ def main() -> None:
 
     times: dict[str, dict[str, float]] = {q: {} for q in SCALING_QUERIES}
     errors: dict[str, str] = {}
+    calib: dict[str, float] = {}
     for sf_dir in SF_DIRS:
         key = _sf_key(sf_dir)
         for name in SCALING_QUERIES:
@@ -120,6 +128,24 @@ def main() -> None:
             except Exception as e:  # noqa: BLE001 — isolate per query
                 errors[f"{name}@{key}"] = f"{type(e).__name__}: {e}"[:200]
                 traceback.print_exc(limit=2, file=sys.stderr)
+            finally:
+                # operators persist reused frames (pagerank's edge
+                # relation, triangle_counts' oriented edges, x34b's tf)
+                # and rely on GC+ContextCleaner for cleanup — in this
+                # ~25-min 29x3-query session the leak COMPOUNDS and was
+                # measured to degrade late-running queries 2-5x (q1
+                # 0.39 -> 2.15 s before this was added). Evict eagerly
+                # so each query is timed against a clean block manager.
+                spark.catalog.clearCache()
+        # same fixed probe as bench.py's 'codegen' op, once per scale
+        # loop: scaling ratios compare timings taken ~10 min apart in
+        # one session, so per-loop machine drift must be visible in
+        # the artifact or a host slowdown reads as superlinear growth
+        probe = spark.range(200_000_000).selectExpr("sum(id) AS s")
+        probe.write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        probe.write.format("noop").mode("overwrite").save()
+        calib[key] = round(time.time() - t0, 3)
 
     # per-scale fixed-overhead floor: the cheapest query at that scale
     floors = {
@@ -152,6 +178,7 @@ def main() -> None:
                 "sf_dirs": SF_DIRS,
                 "n": n_runs,
                 "overhead_sec": floors,
+                "calib_sec_per_scale_loop": calib,
                 "errors": errors,
                 "queries": queries,
             },
@@ -165,6 +192,7 @@ def main() -> None:
                 "sf_dirs": SF_DIRS,
                 "n": n_runs,
                 "overhead_sec": floors,
+                "calib_sec_per_scale_loop": calib,
                 "errors": errors,
                 "queries": queries,
             },
