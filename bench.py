@@ -20,6 +20,19 @@ Fault isolation: every query runs under try/except — a red query lands
 in ``errors`` with its exception and the rest of the suite still times
 and reports (a bench artifact with zero timings because one query threw
 is worse than a partial one).
+
+METHODOLOGY CHANGE (round 7): the block-manager cache is evicted after
+every timed run (``methodology: evict-per-run`` in the artifact).
+Queries whose operators persist reused frames internally (x7's
+shingles, x13's bucketed index, x29's signature frames, x34b's tf,
+h1/h4/h5's graph frames) previously had passes 2..n read those frames
+from the pass-1 cache, UNDERSTATING their per-run cost (x7 measured
+1.04 s with reuse vs 2.64 s honest at sf0.1) — a real user runs the
+query once and pays the full plan. Their round-7 ``deltas_vs_prev``
+therefore read high against the flattered r6 numbers; queries without
+internal persists are unaffected (A/B-measured noise-level delta).
+The leak also compounded across the ~30-query session and degraded
+late-running queries — the same hygiene fix as tools/scaling.py.
 """
 
 from __future__ import annotations
@@ -116,6 +129,19 @@ EXTENDED_QUERIES = [
 
 def run_once(df) -> None:
     df.write.format("noop").mode("overwrite").save()
+
+
+def run_once_clean(spark, df) -> None:
+    """run_once + eager cache eviction. Operators persist reused
+    frames (x34b's tf, pagerank's edges, triangle_counts' oriented
+    edges) and leave cleanup to GC+ContextCleaner; across a ~30-query
+    timed session the leak compounds and degrades late-running queries
+    (measured 2-5x in the scaling harness before it gained the same
+    hygiene). Evicting after every timed run keeps each measurement
+    against a clean block manager without touching any query's own
+    within-run cache reuse."""
+    run_once(df)
+    spark.catalog.clearCache()
 
 
 def calibration_battery(spark, n_runs: int = 3) -> dict[str, float]:
@@ -249,7 +275,7 @@ def time_set(
     live = []
     for name in names:
         try:
-            run_once(QUERIES[name](spark, sf_dir))
+            run_once_clean(spark, QUERIES[name](spark, sf_dir))
             live.append(name)
         except Exception as e:  # noqa: BLE001 — isolate per query
             errors[name] = f"{type(e).__name__}: {e}"[:300]
@@ -266,6 +292,7 @@ def time_set(
                 samples.pop(name, None)
                 continue
             samples[name].append(time.time() - t0)
+            spark.catalog.clearCache()  # eviction outside the clock
     return {
         name: round(statistics.median(ts), 3)
         for name, ts in samples.items()
@@ -334,6 +361,7 @@ def main() -> None:
                 "metric": "headline query wall-clock, noop sink",
                 "value": total,
                 "unit": "sec",
+                "methodology": "evict-per-run",
                 "total_delta_vs_prev": total_delta,
                 "total_delta_calib_normalized": total_norm,
                 "prev_src": prev.get("_src"),
