@@ -347,3 +347,59 @@ def redaction_count(text: Column) -> Column:
         total = total + F.regexp_count(out, F.lit(pattern))
         out = F.regexp_replace(out, pattern, token)
     return total.cast("int")
+
+
+def weighted_sample(
+    df: DataFrame,
+    *,
+    weight_col: str,
+    key_col: str,
+    k: int,
+    seed: str = "ws0",
+    strata_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement: the top-k
+    rows by the Efraimidis–Spirakis exponential race — draw
+    e_i = -ln(u_i) / w_i with u_i uniform in (0,1) and keep the k
+    smallest. Inclusion probability of the first pick is exactly
+    w_i / sum(w); the full k-subset follows successive
+    weight-proportional draws. This is the quality-weighted corpus
+    subsample of a training pipeline ("keep 10M docs, favor high
+    quality score") — x14's hash-mod sampler is its unweighted,
+    rate-based sibling.
+
+    Determinism: u_i comes from the first 13 hex chars of
+    md5(seed:key) mapped to (0,1) — a pure function of (seed, key),
+    independent of partitioning, cluster size, or row order, and
+    reproducible bit-for-bit by any engine with md5 (the engine's
+    x35/hash_bucket discipline). Rows with weight <= 0 or NULL never
+    qualify. Ties in the float key are broken by the key column, so
+    the selected SET is stable even across engines whose sorts differ
+    on equal doubles.
+
+    Scale shape: global top-k plans as TakeOrderedAndProject (partial
+    per-partition heaps, no full sort, no shuffle of losers). With
+    ``strata_col``, a per-stratum window rank replaces the global
+    top-k (one hash-partitioned sort per stratum — "k per language"
+    keeps every stratum represented).
+    """
+    # 13 hex chars = 52 bits: fits a double exactly, and +1 over 2^52+1
+    # keeps u strictly inside (0, 1) so ln(u) is finite and != 0
+    u = (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))), 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2**52 + 2))
+    w = F.col(weight_col).cast("double")
+    race = (-F.log(u)) / w
+    keyed = df.filter(w > 0).withColumn("__race", race)
+    if strata_col is None:
+        return (
+            keyed.orderBy(F.col("__race").asc(), F.col(key_col).asc())
+            .limit(k)
+            .drop("__race")
+        )
+    win = Window.partitionBy(strata_col).orderBy(
+        F.col("__race").asc(), F.col(key_col).asc()
+    )
+    return (
+        keyed.withColumn("__rn", F.row_number().over(win))
+        .filter(F.col("__rn") <= k)
+        .drop("__race", "__rn")
+    )

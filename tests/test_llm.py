@@ -1740,3 +1740,78 @@ def test_segment_dedup_randomized_vs_bruteforce(spark):
             assert r["n_dup_segments"] == len(ss) - len(keep)
             assert r["kept_text"] == " ".join(keep), f"trial {trial} doc {i}"
             assert r["kept_words"] == sum(len(s.split(" ")) for s in keep)
+
+
+def test_weighted_sample_deterministic_and_exclusions(spark):
+    """weighted_sample is a pure function of (seed, key, weight): same
+    selection across repartitionings and re-runs; rows with NULL or
+    non-positive weight never appear; stratified mode returns at most
+    k per stratum with the same determinism."""
+    from insect_observation_data_pipeline_spark.llm.curation import weighted_sample
+
+    rows = [
+        (i, float(1 + i % 7) if i % 11 else (0.0 if i % 2 else None), f"s{i % 3}")
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, w double, src string")
+
+    def ids(frame, **kw):
+        return [
+            r["doc_id"]
+            for r in weighted_sample(
+                frame, weight_col="w", key_col="doc_id", **kw
+            ).collect()
+        ]
+
+    a = ids(df, k=20, seed="s1")
+    b = ids(df.repartition(13, "src"), k=20, seed="s1")
+    assert sorted(a) == sorted(b) and len(a) == 20
+    assert ids(df, k=20, seed="s2") != a  # seed actually matters
+    dead = {i for i, w, _ in rows if w is None or w <= 0}
+    assert not dead & set(a)
+
+    per = weighted_sample(
+        df, weight_col="w", key_col="doc_id", k=5, seed="s1",
+        strata_col="src",
+    ).collect()
+    by_src = {}
+    for r in per:
+        by_src.setdefault(r["src"], []).append(r["doc_id"])
+    assert set(by_src) == {"s0", "s1", "s2"}
+    assert all(len(v) == 5 for v in by_src.values())
+    per2 = weighted_sample(
+        df.repartition(7), weight_col="w", key_col="doc_id", k=5,
+        seed="s1", strata_col="src",
+    ).collect()
+    assert sorted(r["doc_id"] for r in per2) == sorted(
+        r["doc_id"] for r in per
+    )
+
+
+def test_weighted_sample_first_pick_tracks_weights(spark):
+    """Statistical contract: with k=1 the inclusion probability is
+    exactly w_i / sum(w), so over many independent seeds the pick
+    frequency must track the weights — the 10x-weight row wins about
+    half the races and strictly more often than any unit-weight row,
+    with each count inside generous 4-sigma binomial bounds."""
+    import math
+
+    from insect_observation_data_pipeline_spark.llm.curation import weighted_sample
+
+    weights = {0: 1.0, 1: 2.0, 2: 3.0, 3: 4.0, 4: 10.0}
+    df = spark.createDataFrame(
+        [(i, w) for i, w in weights.items()], "doc_id long, w double"
+    )
+    n = 120
+    counts = {i: 0 for i in weights}
+    for s in range(n):
+        (pick,) = weighted_sample(
+            df, weight_col="w", key_col="doc_id", k=1, seed=f"seed{s}"
+        ).collect()
+        counts[pick["doc_id"]] += 1
+    total_w = sum(weights.values())
+    for i, w in weights.items():
+        p = w / total_w
+        sigma = math.sqrt(n * p * (1 - p))
+        assert abs(counts[i] - n * p) <= 4 * sigma + 1, (i, counts)
+    assert counts[4] > max(counts[i] for i in (0, 1, 2))

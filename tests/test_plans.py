@@ -254,3 +254,18 @@ def test_band_join_plans_as_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_weighted_sample_topk_is_take_ordered(spark):
+    """weighted_sample's global form must plan as
+    TakeOrderedAndProject (per-partition heaps, no full sort, no
+    shuffle of losers) — the property that makes 'keep k docs,
+    favor quality' viable over a 100 TB corpus."""
+    from insect_observation_data_pipeline_spark.llm.curation import weighted_sample
+    from insect_observation_data_pipeline_spark.plans import simple_plan
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "cast(1 + id % 7 AS double) AS w"
+    )
+    out = weighted_sample(df, weight_col="w", key_col="doc_id", k=10, seed="s")
+    assert "TakeOrderedAndProject" in simple_plan(out)
