@@ -1,0 +1,199 @@
+"""Distributed BPE vocabulary induction (tokenizer training).
+
+The classic byte-pair-encoding merge learner (Sennrich-style, over the
+word-type histogram): start from character symbols, repeatedly find the
+most frequent adjacent symbol pair and fuse it, emitting the merge
+table a tokenizer ships. This is the "train the tokenizer on the
+corpus" step of a training-data pipeline — the one corpus-scale pass is
+the word-frequency histogram (one groupBy over all tokens); every merge
+round then works on the word-TYPE table, which is vocabulary-sized
+(millions of rows at 100 TB, still distributed, never driver-side).
+
+Spark-first iteration, the pagerank/connected-components discipline:
+
+- NO driver-side collect anywhere. Each round's winning pair is a
+  1-row DataFrame cross-joined (broadcast) back into the symbol table —
+  the argmax stays on the cluster.
+- The winner is made TOTAL by unioning a sentinel pair with count -1
+  before the top-1: if a degenerate corpus exhausts its pairs early,
+  the sentinel "wins", matches nothing (NUL bytes can't appear in a
+  symbol), and the fixpoint just idles — no empty-frame collapse, no
+  driver branch. Sentinel rounds are filtered from the output.
+- ``localCheckpoint(eager=True)`` per round cuts the exponentially
+  nesting lineage (12 rounds of fold-within-crossjoin would otherwise
+  blow plan compilation long before data is the problem).
+- The in-word merge is a sequential left-to-right greedy fold —
+  inherently per-row work, expressed with ``F.aggregate`` over the
+  symbol array (codegen'd HOF, no Python, no UDF).
+
+Determinism: integer counts, ties broken by (pair_a, pair_b)
+lexicographically — a pure function of the corpus token multiset,
+independent of partitioning and scheduling (pinned by tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from insect_observation_data_pipeline_spark.llm.textstats import tokens
+
+#: end-of-word marker symbol (standard BPE: lets merges learn suffixes
+#: without bleeding across word boundaries)
+WORD_END = "</w>"
+
+_SENTINEL = "\x00"
+
+
+def _merge_adjacent(syms: Column, a: Column, b: Column) -> Column:
+    """Greedy left-to-right fuse of every non-overlapping (a, b)
+    adjacency in ``syms`` — ``aaa`` under pair (a,a) becomes
+    ``[aa, a]``, exactly the scan a sequential BPE trainer does.
+    Fold state: (out array, one pending symbol)."""
+    nul = F.lit(None).cast("string")
+    init = F.struct(
+        F.array().cast("array<string>").alias("out"), nul.alias("pend")
+    )
+
+    def step(acc: Column, s: Column) -> Column:
+        fused = F.struct(
+            F.concat(acc["out"], F.array(F.concat(a, b))).alias("out"),
+            nul.alias("pend"),
+        )
+        carried = F.struct(
+            F.when(
+                acc["pend"].isNotNull(), F.concat(acc["out"], F.array(acc["pend"]))
+            )
+            .otherwise(acc["out"])
+            .alias("out"),
+            s.alias("pend"),
+        )
+        return F.when(
+            acc["pend"].isNotNull() & (acc["pend"] == a) & (s == b), fused
+        ).otherwise(carried)
+
+    def finish(acc: Column) -> Column:
+        return F.when(
+            acc["pend"].isNotNull(), F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms, init, step, finish)
+
+
+def _pair_counts(words: DataFrame) -> DataFrame:
+    """(pair_a, pair_b, pair_count) over adjacent symbol positions,
+    weighted by word frequency. Counts positions (``aaa`` contributes
+    (a,a) twice) — the Sennrich convention; overlap resolution happens
+    at merge time, not count time."""
+    # guard the fully-merged single-symbol word: sequence(1, 0) would
+    # DESCEND in Spark (the x42 lesson) and index past the array
+    adj = F.when(
+        F.size("syms") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(
+                F.element_at("syms", i).alias("a"),
+                F.element_at("syms", i + 1).alias("b"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
+    pairs = words.select("n", F.explode(adj).alias("p"))
+    return pairs.groupBy(
+        F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
+    ).agg(F.sum("n").alias("pair_count"))
+
+
+def bpe_merges(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    rounds: int = 12,
+) -> DataFrame:
+    """Learn ``rounds`` BPE merges; returns (rank, pair_a, pair_b,
+    merged, pair_count) — the ordered merge table, one row per real
+    merge (degenerate sentinel rounds are filtered out)."""
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "n",
+            F.concat(
+                # Spark split keeps the trailing empty match (limit -1
+                # semantics), so filter it or every word grows a
+                # phantom '' symbol before the end marker
+                F.filter(
+                    F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")
+                ),
+                F.array(F.lit(WORD_END)),
+            ).alias("syms"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sentinel = words.sparkSession.createDataFrame(
+        [(_SENTINEL, _SENTINEL, -1)], "pair_a string, pair_b string, pair_count long"
+    )
+    merge_rows: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        top = (
+            _pair_counts(words)
+            .unionByName(sentinel)
+            .orderBy(
+                F.desc("pair_count"), F.asc("pair_a"), F.asc("pair_b")
+            )
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(top.select(F.lit(r).alias("rank"), "*"))
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                "n",
+                _merge_adjacent(
+                    F.col("syms"), F.col("pair_a"), F.col("pair_b")
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out.filter(F.col("pair_count") > 0).select(
+        "rank",
+        "pair_a",
+        "pair_b",
+        F.concat("pair_a", "pair_b").alias("merged"),
+        "pair_count",
+    )
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply a learned merge list to a corpus: per document, the BPE
+    symbol sequence and its length — the "tokenize with the shipped
+    vocab" half of the pair. ``merges`` is an ORDERED list of
+    (pair_a, pair_b) applied in rank order, each as the same greedy
+    left-to-right fold as training (merge ranks are literals here —
+    applying a trained tokenizer is a pure projection, no join)."""
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    )
+    syms = F.concat(
+        F.filter(F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")),
+        F.array(F.lit(WORD_END)),
+    )
+    for a, b in merges:
+        syms = _merge_adjacent(syms, F.lit(a), F.lit(b))
+    return (
+        toked.select("doc_id", syms.alias("syms"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size("syms")).cast("bigint").alias("n_bpe_symbols"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )

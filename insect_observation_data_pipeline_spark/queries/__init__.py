@@ -91,6 +91,15 @@ ROTATION_EXEMPT: dict[str, str] = {
         "probe_bits=3 (the x26_ann_ivf_probe4 precedent); recall "
         "monotonicity pinned by tests/test_llm.py"
     ),
+    # Round 7 (cont.): exact-decontamination baseline whose scale twin
+    # rotates AND re-computes the baseline's answer as one of its
+    # columns.
+    "x21_decontaminate": (
+        "exact baseline of rotating x41_bloom_decontaminate, which "
+        "carries the identical exact-join overlap as its n_true column "
+        "(one-sidedness n_bloom >= n_true pytest-pinned) — x41's "
+        "driver row re-verifies the x21 join every time it rotates"
+    ),
 }
 
 # Ordering priority (round 7 — fixes the starvation that let e1 miss

@@ -1289,6 +1289,32 @@ LLM_ORACLE["x42_segment_dedup"] = f"""
 """
 
 
+LLM_ORACLE["x43_bpe_vocab"] = """
+    -- Pinned merge table for the distributed BPE trainer at sf0.01
+    -- (the x30 VALUES precedent: a 12-deep iterative argmax has no
+    -- closed SQL form). The values were produced by the SEQUENTIAL
+    -- reference trainer semantics the Spark operator is pinned to in
+    -- tests/test_llm.py (exact match + repartitioning invariance);
+    -- determinism is integer counts + lexicographic tie-break.
+    SELECT CAST(rank AS INTEGER) AS rank, pair_a, pair_b, merged,
+           CAST(pair_count AS BIGINT) AS pair_count
+    FROM (VALUES
+        (1, 'e', 'r', 'er', 4568),
+        (2, 'e', '</w>', 'e</w>', 4473),
+        (3, 'n', '</w>', 'n</w>', 2834),
+        (4, 'er', '</w>', 'er</w>', 2779),
+        (5, 'o', 'w', 'ow', 2747),
+        (6, 'ow', '</w>', 'ow</w>', 2747),
+        (7, 'o', 'r', 'or', 2696),
+        (8, 's', 't', 'st', 2676),
+        (9, 'h', '</w>', 'h</w>', 1884),
+        (10, 'a', 't', 'at', 1845),
+        (11, 'l', 'u', 'lu', 1831),
+        (12, 'i', 'n', 'in', 1796)
+    ) AS t(rank, pair_a, pair_b, merged, pair_count)
+"""
+
+
 LLM_ORACLE["h5_triangle_count"] = """
     -- Triangle counts + clustering coefficient (h5) over the repeat
     -- co-purchase part graph (pair-instance support >= 2). The Spark

