@@ -1937,3 +1937,46 @@ def test_bpe_encode_applies_learned_merges(spark):
         assert n_words == 3
         # raw char symbols: 'low'+marker = 4, 'lower'+marker = 6 -> 14
         assert n_words <= n_sym < 14
+
+
+def test_bpe_merge_fold_matches_python_greedy(spark):
+    """The F.aggregate merge fold is exactly the sequential greedy
+    left-to-right scan, across randomized symbol arrays heavy in
+    overlap traps (aaa, abab, pair at array start/end, pair absent,
+    single-symbol arrays)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.llm.bpe import _merge_adjacent
+
+    rng = random.Random(3)
+    alphabet = ["a", "b", "ab", "</w>"]
+    cases = [["a"], ["a", "b"], ["b", "a"], ["a", "a", "a"],
+             ["a", "b", "a", "b"], ["ab", "a", "b"], ["</w>"]]
+    for _ in range(40):
+        cases.append([rng.choice(alphabet) for _ in range(rng.randint(1, 9))])
+
+    def greedy(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases)], "i long, syms array<string>"
+    )
+    for a, b in [("a", "b"), ("a", "a"), ("ab", "</w>"), ("b", "b")]:
+        got = {
+            r["i"]: r["m"]
+            for r in df.select(
+                "i", _merge_adjacent(F.col("syms"), F.lit(a), F.lit(b)).alias("m")
+            ).collect()
+        }
+        for i, c in enumerate(cases):
+            assert got[i] == greedy(c, a, b), (a, b, c, got[i])
