@@ -40,6 +40,34 @@ def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     )
 
 
+def doc_segments(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, seg): non-overlapping ``seg_words``-word windows
+    per document, in order — the segmentation shared by the batch
+    :func:`segment_dedup` and the streaming segment-scrub sink (one
+    definition, so their outputs compose). Zero-token documents
+    produce zero rows."""
+    w = seg_words
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    n_seg = F.ceil(F.size("__toks") / F.lit(w)).cast("int")
+    # guard the empty-doc case: sequence(0, -1) would DESCEND in Spark
+    seg_arr = F.when(
+        F.size("__toks") > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_seg - 1),
+            lambda i: F.array_join(F.slice("__toks", i * w + 1, w), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return toked.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
+
+
 def segment_dedup(
     docs: DataFrame,
     *,
@@ -83,20 +111,9 @@ def segment_dedup(
     ``kept_words`` (token count after the strip) and ``kept_text``
     (the reassembled document, original segment order).
     """
-    w = seg_words
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    segs = doc_segments(
+        docs, text_col=text_col, id_col=id_col, seg_words=seg_words
     )
-    n_seg = F.ceil(F.size("__toks") / F.lit(w)).cast("int")
-    # guard the empty-doc case: sequence(0, -1) would DESCEND in Spark
-    seg_arr = F.when(
-        F.size("__toks") > 0,
-        F.transform(
-            F.sequence(F.lit(0), n_seg - 1),
-            lambda i: F.array_join(F.slice("__toks", i * w + 1, w), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    segs = toked.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
     dup = (
         segs.groupBy("seg")
         .agg(F.count_distinct("doc_id").alias("df"))

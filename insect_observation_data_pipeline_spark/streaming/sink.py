@@ -484,3 +484,144 @@ def keyed_state_sink(
         os.rename(tmp, path)
 
     return handle
+
+
+def segment_scrub_sink(
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seg_words: int = 8,
+    min_df: int = 2,
+    index_buckets: int = 16,
+    compact_file_threshold: int | None = None,
+):
+    """``foreachBatch`` handler appending a BOILERPLATE-SCRUBBED corpus
+    at ``path`` — the streaming form of x42's repeated-segment removal
+    (llm/dedup.py segment_dedup; same ``doc_segments`` segmentation,
+    so the two compose). Per epoch:
+
+    1. segment the batch into ``seg_words``-word windows and count
+       each distinct segment's batch document frequency;
+    2. cumulative df = batch df + the standing per-segment counts in
+       the index; every segment whose CUMULATIVE df reaches ``min_df``
+       is stripped from the batch's documents before they append
+       (when the whole corpus arrives as one epoch this reduces to
+       exactly segment_dedup's batch answer — pinned by test);
+    3. append the batch's per-segment doc counts to the index.
+
+    Streaming-semantics note (the dedup sink's pairwise-not-transitive
+    analogue): documents appended in EARLIER epochs keep a segment
+    that only later crosses ``min_df`` — an append-only sink cannot
+    retro-edit; what it guarantees is that once a segment is known
+    boilerplate, no future document carries it in.
+
+    The index is the narrow (seg_hash, df) relation as an EXTERNAL
+    BUCKETED table at ``<path>__segdf`` (md5-prefix hash, never the
+    segment text — at 100 TB the index stores 16-byte keys, not
+    boilerplate strings), bucketed on ``seg_hash``: the epoch's
+    df-lookup join and count-append both align to the bucket layout,
+    so the ever-growing index never re-shuffles — only the batch
+    moves, the dedup_ingest_sink discipline. Per-segment totals are
+    SUM over appended rows (one row per (epoch, segment)), compacted
+    back to ~``index_buckets`` files past ``compact_file_threshold``
+    (default ``index_buckets * 16``) via the crash-safe swap. Docs
+    whose every segment is boilerplate append with ``text_col = ''``
+    (they still block future dups by id); zero-token docs append with
+    ``''`` too.
+    """
+    from insect_observation_data_pipeline_spark.llm.dedup import doc_segments
+    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
+
+    index_path = f"{path}__segdf"
+    suffix = hashlib.md5(path.encode()).hexdigest()[:10]
+    index_table = f"segment_df_{suffix}"
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        segs = doc_segments(
+            batch_df, text_col=text_col, id_col=id_col, seg_words=seg_words
+        ).withColumn("seg_hash", F.substring(F.md5(F.col("seg")), 1, 16))
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # one (seg_hash, df) row per distinct batch segment
+        batch_counts = (
+            segs.groupBy("seg_hash")
+            .agg(F.count_distinct("doc_id").alias("df"))
+        )
+        if os.path.exists(index_path) and not spark.catalog.tableExists(
+            index_table
+        ):
+            _register_bucketed_table(
+                spark, index_table, index_path,
+                ("seg_hash",), ("seg_hash",), index_buckets,
+            )
+        if spark.catalog.tableExists(index_table):
+            prior = spark.table(index_table)
+            known = (
+                prior.join(
+                    batch_counts.select("seg_hash"), "seg_hash", "left_semi"
+                )
+                .groupBy("seg_hash")
+                .agg(F.sum("df").alias("prior_df"))
+            )
+            cum = batch_counts.join(known, "seg_hash", "left").select(
+                "seg_hash",
+                (
+                    F.col("df") + F.coalesce(F.col("prior_df"), F.lit(0))
+                ).alias("cum_df"),
+            )
+        else:
+            cum = batch_counts.select(
+                "seg_hash", F.col("df").cast("bigint").alias("cum_df")
+            )
+        boiler = cum.filter(F.col("cum_df") >= min_df).select("seg_hash")
+        kept = F.when(
+            F.col("__boiler").isNull(), F.struct("pos", "seg")
+        )
+        cleaned = (
+            segs.join(
+                boiler.withColumn("__boiler", F.lit(True)), "seg_hash", "left"
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept)),
+                        lambda s: s["seg"],
+                    ),
+                    " ",
+                ).alias("__kept_text")
+            )
+        )
+        out = (
+            batch_df.withColumnRenamed(text_col, "__orig")
+            .join(
+                cleaned.withColumnRenamed("doc_id", id_col), id_col, "left"
+            )
+            .withColumn(
+                text_col, F.coalesce(F.col("__kept_text"), F.lit(""))
+            )
+            .select(*batch_df.columns)
+        )
+        # lineage cut BEFORE the index append below mutates the table
+        # this epoch's scrub was computed against (the dedup_ingest_sink
+        # lesson: a recompute past the append would double-count df)
+        out = out.localCheckpoint(eager=True)
+        out.write.mode("append").parquet(path)
+        write_bucketed(
+            batch_counts, index_table,
+            bucket_by=("seg_hash",), num_buckets=index_buckets,
+            sort_by=("seg_hash",), mode="append", path=index_path,
+        )
+        limit = (
+            compact_file_threshold
+            if compact_file_threshold is not None
+            else index_buckets * 16
+        )
+        if limit and len(_data_files(index_path)) >= limit:
+            _compact_bucketed_table(
+                spark, index_path, index_table,
+                ("seg_hash",), ("seg_hash",), index_buckets,
+            )
+
+    return handle

@@ -1105,3 +1105,105 @@ def test_stateful_funnel_state_carries_across_real_microbatches(spark, tmp_path)
     assert last[7]["ts_click"] is not None and last[7]["ts_purchase"] is not None
     # user 8's click preceded its first view: never a qualified step 2
     assert last[8]["funnel_depth"] == 1 and last[8]["ts_click"] is None
+
+
+def test_segment_scrub_sink_one_epoch_matches_batch_dedup(spark, tmp_path):
+    """Whole corpus in one epoch == x42's batch segment_dedup answer:
+    per doc, the appended text equals the batch operator's kept_text
+    (same segmentation, same min_df rule, boilerplate counted within
+    the epoch)."""
+    from insect_observation_data_pipeline_spark.llm.dedup import segment_dedup
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        segment_scrub_sink,
+    )
+
+    boiler = "subscribe to our newsletter"
+    rows = [
+        (0, boiler + " alpha beta gamma delta"),
+        (1, "iota kappa lam mu " + boiler),
+        (2, boiler),
+        (3, "rho sigma tau upsilon"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "scrubbed")
+    handle = segment_scrub_sink(path, seg_words=4, min_df=2)
+    handle(docs, 0)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["doc_id"]: r["kept_text"]
+        for r in segment_dedup(docs, seg_words=4, min_df=2).collect()
+    }
+    assert len(got) == 4
+    for i, kept in want.items():
+        assert got[i] == kept, i
+    assert got[2] == ""  # all-boilerplate doc appended empty
+
+
+def test_segment_scrub_sink_learns_across_epochs(spark, tmp_path):
+    """A segment that crosses min_df only cumulatively is stripped
+    from every LATER epoch (epoch-1 copies stay as written — the
+    documented append-only boundary); the bucketed df index sums to
+    the true cumulative counts, and a fresh-catalog session reattaches
+    to the index files without rewriting them."""
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _data_files,
+        segment_scrub_sink,
+    )
+
+    boiler = "all rights reserved worldwide"
+    path = str(tmp_path / "scrubbed")
+    handle = segment_scrub_sink(path, seg_words=4, min_df=2)
+
+    e1 = spark.createDataFrame(
+        [(0, boiler + " unique alpha text one")], "doc_id long, text string"
+    )
+    handle(e1, 0)
+    e2 = spark.createDataFrame(
+        [(1, "unrelated beta prose here " + boiler),
+         (2, "gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    handle(e2, 1)
+
+    got = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()
+    }
+    assert boiler in got[0], "epoch-1 copy is immutable (append-only)"
+    assert boiler not in got[1], "cumulative df=2 strips at epoch 2"
+    assert got[2] == "gamma delta epsilon zeta"
+
+    idx = spark.read.parquet(path + "__segdf")
+    import hashlib as _h
+
+    from pyspark.sql import functions as F
+
+    bh = _h.md5(boiler.encode()).hexdigest()[:16]
+    sums = {
+        r["seg_hash"]: r["s"]
+        for r in idx.groupBy("seg_hash").agg(F.sum("df").alias("s")).collect()
+    }
+    assert sums[bh] == 2
+
+    # fresh catalog: drop the table, keep the files -> epoch 3 must
+    # reattach (register, no rewrite) and keep stripping
+    suffix = _h.md5(path.encode()).hexdigest()[:10]
+    files_before = sorted(_data_files(path + "__segdf"))
+    spark.sql(f"DROP TABLE IF EXISTS `segment_df_{suffix}`")
+    e3 = spark.createDataFrame(
+        # 4-word prefix keeps the boilerplate window-aligned (the
+        # operator's documented alignment sensitivity)
+        [(3, "eta theta pi omega " + boiler + " iota")],
+        "doc_id long, text string",
+    )
+    handle(e3, 2)
+    got3 = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()
+    }
+    assert boiler not in got3[3]
+    assert set(files_before) <= set(sorted(_data_files(path + "__segdf"))), (
+        "reattach must not rewrite existing index files"
+    )
