@@ -539,10 +539,14 @@ def segment_scrub_sink(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # cut lineage FIRST: segs feeds both the df count and the
+        # reassembly, and batch_df is joined again for the append — all
+        # of it should read the materialized epoch, not re-drive the
+        # stream source per subtree
+        batch_df = batch_df.localCheckpoint(eager=True)
         segs = doc_segments(
             batch_df, text_col=text_col, id_col=id_col, seg_words=seg_words
         ).withColumn("seg_hash", F.substring(F.md5(F.col("seg")), 1, 16))
-        batch_df = batch_df.localCheckpoint(eager=True)
         # one (seg_hash, df) row per distinct batch segment
         batch_counts = (
             segs.groupBy("seg_hash")
