@@ -1207,3 +1207,70 @@ def test_segment_scrub_sink_learns_across_epochs(spark, tmp_path):
     assert set(files_before) <= set(sorted(_data_files(path + "__segdf"))), (
         "reattach must not rewrite existing index files"
     )
+
+
+def test_segment_scrub_sink_real_microbatches(spark, tmp_path):
+    """The scrub sink under ACTUAL Structured Streaming (the direct-
+    handler tests cover semantics; this pins the foreachBatch plumbing
+    and epoch ordering): boilerplate seen once in micro-batch 1 crosses
+    min_df in micro-batch 2 and is stripped there, while batch 1's copy
+    stays as appended — driven by a file source with pinned mtimes and
+    maxFilesPerTrigger=1 so the batch split is guaranteed."""
+    import hashlib as _h
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        segment_scrub_sink,
+    )
+
+    boiler = "click here to unsubscribe"
+    src = str(tmp_path / "doc_batches")
+    _os.makedirs(src)
+    b1 = [(0, boiler + " alpha beta gamma delta")]
+    b2 = [(1, "epsilon zeta eta theta " + boiler), (2, "iota kappa")]
+    schema = "doc_id long, text string"
+    for i, rows in enumerate((b1, b2)):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            f"{src}/b{i}"
+        )
+        for root, _, files in _os.walk(f"{src}/b{i}"):
+            for f in files:
+                _os.utime(_os.path.join(root, f), (1000 + i, 1000 + i))
+
+    out_path = str(tmp_path / "scrubbed_stream")
+    stream = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .load(f"{src}/b*")
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            segment_scrub_sink(out_path, seg_words=4, min_df=2)
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(out_path).collect()
+    }
+    assert len(got) == 3
+    assert boiler in got[0], "first sighting appends as written"
+    assert boiler not in got[1], "second sighting crosses min_df"
+    assert got[1] == "epsilon zeta eta theta"
+    assert got[2] == "iota kappa"
+    bh = _h.md5(boiler.encode()).hexdigest()[:16]
+    sums = {
+        r["seg_hash"]: r["s"]
+        for r in spark.read.parquet(out_path + "__segdf")
+        .groupBy("seg_hash")
+        .agg(F.sum("df").alias("s"))
+        .collect()
+    }
+    assert sums[bh] == 2, "per-epoch counts must accumulate in the index"
