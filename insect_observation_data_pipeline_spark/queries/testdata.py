@@ -513,14 +513,20 @@ def j14_band_join_coincident(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insect_observation_data_pipeline_spark.operators.rangejoin import band_join
 
     e = _t(spark, sf_dir, "events")
+    # Cast before epoch extraction: a vanilla Spark 4.x session infers the
+    # unannotated parquet timestamps as TIMESTAMP_NTZ, which unix_micros
+    # rejects (DATATYPE_MISMATCH). The cast is tz-invariant here because any
+    # session-offset shift applies to both sides and cancels in the band
+    # predicate |l_us - r_us| <= width (same idiom as e6_funnel_steps).
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
     lhs = e.select(
         F.col("event_id").alias("l_event_id"),
         F.col("user_id").alias("l_user_id"),
-        F.unix_micros(F.col("ts")).alias("l_us"),
+        ts_us.alias("l_us"),
     )
     rhs = e.select(
         F.col("user_id").alias("r_user_id"),
-        F.unix_micros(F.col("ts")).alias("r_us"),
+        ts_us.alias("r_us"),
     )
     pairs = band_join(
         lhs, rhs, F.col("l_us"), F.col("r_us"), 5_000_000

@@ -4,11 +4,20 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 at sf0.01, then compares row count, column names and an order-insensitive
 value hash (columns sorted by name, rows sorted by stringified value).
 
-Usage: python tools/compare.py [--json OUT.json] [sf_dir] [query_name ...]
+Usage: python tools/compare.py [--vanilla] [--json OUT.json] [sf_dir] [query_name ...]
 
 ``--json`` writes a driver-style per-query dict (rows/schema/hash match
 flags) — committed each round as CORRECTNESS_LOCAL_r{N}.json so queries
 rotated past the driver's 50-entry cap still have verifiable evidence.
+
+``--vanilla`` is the driver-environment parity gate: it runs the same
+suite under a bare ``SparkSession.builder.master(...).getOrCreate()``
+with NONE of ``get_spark()``'s config pins — in particular without
+``spark.sql.parquet.inferTimestampNTZ.enabled=false`` — so the parquet
+timestamps come back as TIMESTAMP_NTZ exactly as they do on the driver.
+This is the gate that would have caught j14's ``unix_micros`` failure
+(green locally under the pinned session, DATATYPE_MISMATCH on the
+driver). Committed per round as CORRECTNESS_VANILLA_r{N}.json.
 """
 
 from __future__ import annotations
@@ -54,9 +63,29 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
+def vanilla_spark():
+    """A session shaped like the driver's: no inferTimestampNTZ pin, no
+    session-tz pin, default shuffle partitions. Must be built before any
+    get_spark() call in this process (getOrCreate reuses the first)."""
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("compare-vanilla")
+        .master(f"local[{cpus}]")
+        .getOrCreate()
+    )
+
+
 def main() -> int:
     argv = sys.argv[1:]
     json_out = None
+    vanilla = False
+    if argv and argv[0] == "--vanilla":
+        vanilla = True
+        argv = argv[1:]
     if argv and argv[0] == "--json":
         json_out = argv[1]
         argv = argv[2:]
@@ -77,7 +106,16 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
         )
 
-    spark = get_spark("compare")
+    spark = vanilla_spark() if vanilla else get_spark("compare")
+    if vanilla:
+        print(
+            "VANILLA session: tz=%s inferTimestampNTZ=%s shuffle.partitions=%s"
+            % (
+                spark.conf.get("spark.sql.session.timeZone"),
+                spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled"),
+                spark.conf.get("spark.sql.shuffle.partitions"),
+            )
+        )
     qs, oracles = queries(), oracle_sql()
     n_pass = n_fail = 0
     for name, fn in qs.items():
