@@ -51,6 +51,15 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from insect_observation_data_pipeline_spark import get_spark
 from insect_observation_data_pipeline_spark.queries import QUERIES
 
+# NOTE on x7_minhash_lsh's r6->r7 "regression" (round-7 verdict
+# follow-up): demonstrated to be PURE methodology, by A/B at sf0.1
+# (round 8): under the old warm protocol x7 medians 0.99 s (r6
+# recorded 1.39 — it got FASTER), under evict-per-run it medians
+# 2.98 s (r7 recorded 3.48 on a colder pass). x7 rebuilds its two
+# MEMORY_AND_DISK shingle/signature persists inside every evicted run
+# (llm/dedup.py:704,718), which is the honest per-invocation cost; the
+# warm number is what a session that already built them sees.
+
 # NOTE on x1_dedup_exact "drift" (round-6 verdict follow-up): x1 is
 # ~85% fixed overhead at this scale — measured r7: 0.345 s at sf0.01
 # vs 0.405 s at sf0.1, i.e. 10x the data costs +17% — so its wall
@@ -84,7 +93,9 @@ EXTENDED_QUERIES = [
     "x17_tfidf_top_terms",
     "x19_bigram_topk",
     "h1_dup_clusters",
-    "e3_sliding_window_stats",
+    # round 8: e3's registered form is the e8 windowing census
+    # (tumbling + sliding union); same two hash aggs + the append union
+    "e8_window_census",
     "m2_media_features",
     "x27_jaccard_maxdf",
     "x28_quantize_int8",
@@ -140,8 +151,14 @@ def run_once_clean(spark, df) -> None:
     hygiene). Evicting after every timed run keeps each measurement
     against a clean block manager without touching any query's own
     within-run cache reuse."""
-    run_once(df)
-    spark.catalog.clearCache()
+    try:
+        run_once(df)
+    finally:
+        # evict on failure too: a partially-executed query may already
+        # have persisted frames (triangle_counts persists three before
+        # its first action) and would contaminate the next timing —
+        # same finally-hygiene as tools/scaling.py
+        spark.catalog.clearCache()
 
 
 def calibration_battery(spark, n_runs: int = 3) -> dict[str, float]:
@@ -242,7 +259,14 @@ def _prev_bench() -> dict:
     returned dict carries ``_src`` = artifact filename so the emitted
     ``prev_src`` makes the comparison base auditable."""
     here = os.path.dirname(os.path.abspath(__file__))
-    files = sorted(glob.glob(os.path.join(here, "BENCH_r*.json")))
+    # sort on the PARSED round number, not the filename: lexicographic
+    # order breaks at r100 (BENCH_r100 < BENCH_r99)
+    files = sorted(
+        glob.glob(os.path.join(here, "BENCH_r*.json")),
+        key=lambda p: int(
+            re.search(r"BENCH_r(\d+)\.json$", p).group(1)
+        ),
+    )
     for path in reversed(files):
         try:
             with open(path) as f:
@@ -286,13 +310,16 @@ def time_set(
             t0 = time.time()
             try:
                 run_once(QUERIES[name](spark, sf_dir))
+                samples[name].append(time.time() - t0)
             except Exception as e:  # noqa: BLE001
                 errors[name] = f"{type(e).__name__}: {e}"[:300]
                 live.remove(name)
                 samples.pop(name, None)
-                continue
-            samples[name].append(time.time() - t0)
-            spark.catalog.clearCache()  # eviction outside the clock
+            finally:
+                # eviction outside the clock, on BOTH paths — a failing
+                # query may have eagerly persisted frames before
+                # throwing, which would contaminate the next timing
+                spark.catalog.clearCache()
     return {
         name: round(statistics.median(ts), 3)
         for name, ts in samples.items()
@@ -341,7 +368,7 @@ def main() -> None:
     # delta over the INTERSECTION on both sides — summing all current
     # timings against only the common previous ones would inflate the
     # ratio whenever a query is added or recovers from an error
-    prev_total = sum(v for n, v in prev_q.items() if n in timings)
+    prev_total = sum(v for n, v in prev_q.items() if n in timings and v)
     total_common = sum(v for n, v in timings.items() if prev_q.get(n))
     total_delta = round(total_common / prev_total, 3) if prev_total else None
     total_norm = (

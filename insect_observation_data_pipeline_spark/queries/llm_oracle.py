@@ -84,17 +84,35 @@ LLM_ORACLE: dict[str, str] = {
     """,
     "x3_text_quality": f"""
         WITH base AS (
-            SELECT doc_id, text, {_TOKS} AS tk FROM documents
+            SELECT doc_id, lang, text, {_TOKS} AS tk FROM documents
         ), m AS (
-            SELECT doc_id, text, tk,
+            SELECT doc_id, lang, text, tk,
                    CAST(len(tk) AS INTEGER) AS n_tokens,
                    CAST(len(tk) AS DOUBLE) AS nd,
                    CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) AS sum_len,
                    CAST(len(list_filter(tk, t -> list_contains(
                        ['the','a','of','and','to','in'], t))) AS DOUBLE) AS stop_cnt,
                    CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                        AS DOUBLE) / len(text) AS alnum_raw
+                        AS DOUBLE) / len(text) AS alnum_raw,
+                   len(list_filter(tk, t -> list_contains(
+                       ['the','a','of','and'], t))) AS s_en,
+                   len(list_filter(tk, t -> list_contains(
+                       ['und','der','die','das'], t))) AS s_de,
+                   len(list_filter(tk, t -> list_contains(
+                       ['le','la','les','et'], t))) AS s_fr,
+                   len(list_filter(tk, t -> list_contains(
+                       ['el','los','las','una'], t))) AS s_es
             FROM base
+        ), p AS (
+            SELECT *,
+                   CASE
+                     WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                     WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                     WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                     WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
+                     ELSE 'und'
+                   END AS pred_lang
+            FROM m
         )
         SELECT doc_id,
                CAST(len(regexp_extract_all(lower(text),
@@ -103,33 +121,11 @@ LLM_ORACLE: dict[str, str] = {
                ((floor(abs(sum_len / nd) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum_len / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS avg_token_len,
                ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS stopword_ratio,
                ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS alnum_ratio,
-               ((floor(abs(least(nd / 100.0, 1.0) * 0.5 + ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.3 + ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.2) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (least(nd / 100.0, 1.0) * 0.5 + ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.3 + ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.2) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS quality_score
-        FROM m
-    """,
-    "x4_lang_id": f"""
-        WITH s AS (
-            SELECT doc_id, lang,
-                   len(list_filter({_TOKS}, t -> list_contains(
-                       ['the','a','of','and'], t))) AS s_en,
-                   len(list_filter({_TOKS}, t -> list_contains(
-                       ['und','der','die','das'], t))) AS s_de,
-                   len(list_filter({_TOKS}, t -> list_contains(
-                       ['le','la','les','et'], t))) AS s_fr,
-                   len(list_filter({_TOKS}, t -> list_contains(
-                       ['el','los','las','una'], t))) AS s_es
-            FROM documents
-        ), p AS (
-            SELECT doc_id, lang,
-                   CASE
-                     WHEN s_en > 0 AND s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
-                     WHEN s_de > 0 AND s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
-                     WHEN s_fr > 0 AND s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
-                     WHEN s_es > 0 AND s_es = greatest(s_en, s_de, s_fr, s_es) THEN 'es'
-                     ELSE 'und'
-                   END AS pred_lang
-            FROM s
-        )
-        SELECT doc_id, pred_lang, lang, (pred_lang = lang) AS is_correct FROM p
+               ((floor(abs(least(nd / 100.0, 1.0) * 0.5 + ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.3 + ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.2) * 10000.0 + 0.5) / 10000.0) * (CASE WHEN (least(nd / 100.0, 1.0) * 0.5 + ((floor(abs(stop_cnt / nd) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (stop_cnt / nd) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.3 + ((floor(abs(alnum_raw) * 1000.0 + 0.5) / 1000.0) * (CASE WHEN (alnum_raw) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) * 0.2) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS quality_score,
+               pred_lang,
+               lang,
+               (pred_lang = lang) AS is_correct
+        FROM p
     """,
     "x5_fingerprint": f"""
         SELECT doc_id,
@@ -363,12 +359,26 @@ LLM_ORACLE: dict[str, str] = {
                sha256(text) AS sha_hex
         FROM documents
     """,
-    "e1_hourly_event_stats": """
-        SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+    "e8_window_census": """
+        SELECT 'tumbling_1h' AS win_kind,
+               date_trunc('hour', ts) AS window_start, event_type,
                count(*) AS n_events,
                ((floor(abs(sum(value)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(value)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_value
         FROM events
-        GROUP BY 1, 2
+        GROUP BY 2, 3
+        UNION ALL
+        SELECT 'sliding_1h_30m' AS win_kind,
+               window_start, event_type,
+               count(*) AS n_events,
+               ((floor(abs(sum(value)) * 100.0 + 0.5) / 100.0) * (CASE WHEN (sum(value)) < 0 THEN -1.0 ELSE 1.0 END) + 0.0) AS sum_value
+        FROM (
+            SELECT event_type, value,
+                   unnest([time_bucket(INTERVAL '30 minutes', ts),
+                           time_bucket(INTERVAL '30 minutes', ts)
+                               - INTERVAL '30 minutes']) AS window_start
+            FROM events
+        ) b
+        GROUP BY 2, 3
     """,
     "e2_sessionization": """
         WITH g AS (
@@ -566,23 +576,10 @@ LLM_ORACLE["x18_quality_filter"] = f"""
     FROM s WHERE pr >= 0.5
 """.format(x3=LLM_ORACLE["x3_text_quality"])
 
-# e3: an event at t lands in the two 30-min-aligned window starts
-# {bucket30(t), bucket30(t) - 30min} for a 1 h window sliding by 30 min
-# (time_bucket's origin is 30-min aligned, matching Spark's epoch-aligned
-# window()).
-LLM_ORACLE["e3_sliding_window_stats"] = f"""
-    WITH b AS (
-        SELECT event_type, value,
-               unnest([time_bucket(INTERVAL '30 minutes', ts),
-                       time_bucket(INTERVAL '30 minutes', ts)
-                           - INTERVAL '30 minutes']) AS window_start
-        FROM events
-    )
-    SELECT window_start, event_type,
-           count(*) AS n_events,
-           {_sr("sum(value)", 2)} AS sum_value
-    FROM b GROUP BY 1, 2
-"""
+# The sliding half of e8_window_census: an event at t lands in the two
+# 30-min-aligned window starts {bucket30(t), bucket30(t) - 30min} for a
+# 1 h window sliding by 30 min (time_bucket's origin is 30-min aligned,
+# matching Spark's epoch-aligned window()).
 
 _TOKS_LOWER = "list_filter(string_split(lower(text), ' '), x -> x <> '')"
 

@@ -25,23 +25,34 @@ def x1_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x3_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/stopword/char-class signals + score,
-    plus the BPE-ish subword token count (absorbed from the former
-    x2_token_stats — merged round 7 for rotation headroom; the
-    whitespace token count was already emitted here as n_tokens, so
-    the merge costs one extra scalar expression in the same
-    projection, no new scan)."""
+    """Text-analysis census on the documents grain: quality scoring
+    (length/stopword/char-class signals + score), the BPE-ish subword
+    token count (absorbed from the former x2_token_stats, round 7),
+    and marker-word language ID vs the labeled lang column (absorbed
+    from the former x4_lang_id — merged round 8 for rotation headroom;
+    both were single-scan projections on the same grain, so the merge
+    is extra scalar expressions in ONE documents scan, and every
+    component column survives verbatim). ``x4_lang_id`` remains a
+    standalone function below for direct use."""
     d = _t(spark, sf_dir, "documents")
     t = F.col("text")
+    pred = textstats.lang_id(t)
     return d.select(
         "doc_id",
         textstats.bpe_ish_count(t).alias("n_bpe_tokens"),
         *textstats.quality_columns(t),
+        pred.alias("pred_lang"),
+        "lang",
+        (pred == F.col("lang")).alias("is_correct"),
     )
 
 
 def x4_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-word language ID vs the labeled lang column."""
+    """Marker-word language ID vs the labeled lang column. No longer
+    registered: its projection is carried verbatim inside
+    ``x3_text_quality`` (round-8 rotation-headroom merge), which
+    driver-verifies the identical lang_id expression; kept as a
+    function for direct callers and tests."""
     d = _t(spark, sf_dir, "documents")
     pred = textstats.lang_id(F.col("text"))
     return d.select(
@@ -664,6 +675,35 @@ def e3_sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e8_window_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowing census (round-8 rotation-headroom merge of the former
+    registered e1_hourly_event_stats + e3_sliding_window_stats): the
+    tumbling 1 h rollup and the sliding 1 h/30 min rollup, unioned with
+    a ``win_kind`` discriminator. Both component functions survive
+    verbatim above/below (the streaming twin tests pin stream == batch
+    against each individually); this census is their registered,
+    driver-verified form — each half is one scan + one hash agg, and
+    the union is append-only (no extra shuffle beyond the two aggs)."""
+    tumbling = (
+        e1_hourly_event_stats(spark, sf_dir)
+        .select(
+            F.lit("tumbling_1h").alias("win_kind"),
+            F.col("hour_ts").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    sliding = e3_sliding_window_stats(spark, sf_dir).select(
+        F.lit("sliding_1h_30m").alias("win_kind"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+    return tumbling.unionByName(sliding)
+
+
 def m2_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow mapInPandas decode path itself, oracle-checked: text
     bytes stand in for media payloads, the deterministic 'fake' decoder
@@ -1061,8 +1101,10 @@ def h4_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x1_dedup_exact": x1_dedup_exact,
+    # x4_lang_id and e1/e3 are NOT registered: their projections are
+    # carried verbatim by x3_text_quality and e8_window_census (round-8
+    # rotation-headroom merges); the functions stay importable above.
     "x3_text_quality": x3_text_quality,
-    "x4_lang_id": x4_lang_id,
     "x5_fingerprint": x5_fingerprint,
     "x6_ngram_jaccard": x6_ngram_jaccard,
     "x27_jaccard_maxdf": x27_jaccard_maxdf,
@@ -1111,9 +1153,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "h2_cluster_keep": h2_cluster_keep,
     "m1_binary_meta": m1_binary_meta,
     "m2_media_features": m2_media_features,
-    "e1_hourly_event_stats": e1_hourly_event_stats,
+    "e8_window_census": e8_window_census,
     "e2_sessionization": e2_sessionization,
-    "e3_sliding_window_stats": e3_sliding_window_stats,
     "e4_json_props_rollup": e4_json_props_rollup,
     "e5_session_window_stats": e5_session_window_stats,
     "e6_funnel_steps": e6_funnel_steps,
