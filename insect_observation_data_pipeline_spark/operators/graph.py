@@ -26,6 +26,22 @@ from pyspark.sql import functions as F
 from insect_observation_data_pipeline_spark.functions.numeric import stable_round
 
 
+def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> None:
+    """Release the internal persisted frames backing an operator result.
+
+    Both operators in this module persist intermediate frames (edge
+    relation, degrees, oriented edges) that the RETURNED DataFrame's
+    plan references; the persists stay pinned for the session after the
+    caller materializes the result. Harnesses that time many queries
+    call ``spark.catalog.clearCache()`` between runs (bench.py,
+    tools/scaling.py — measured 2-5x late-query degradation without
+    it); a library caller that wants surgical release instead calls
+    this AFTER materializing (collect/write) the result. No-op on
+    DataFrames that did not come from this module."""
+    for frame in getattr(df, "_graph_intermediates", ()):
+        frame.unpersist(blocking=blocking)
+
+
 def pagerank(
     edges: DataFrame,
     *,
@@ -45,6 +61,12 @@ def pagerank(
     dangling nodes leak mass and ranks no longer sum to 1). Fixed
     iteration count keeps the result a pure function of the input (no
     convergence race) and lets an oracle unroll the recurrence.
+
+    Memory contract: four internal persists (edges, nodes, out-weights,
+    transition probabilities) back the returned plan and stay pinned
+    until the caller releases them — ``unpersist_intermediates(result)``
+    after materializing, or ``spark.catalog.clearCache()`` in a
+    multi-query harness.
     """
     # One persist on the edge relation itself: nodes/outw/ep all derive
     # from it, and the caller's edge lineage is typically the expensive
@@ -102,6 +124,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
+    ranks._graph_intermediates = (e, nodes, outw, ep)
     return ranks
 
 
@@ -139,6 +162,12 @@ def triangle_counts(
     edge build, degree agg, two orientation joins, wedge join, closing
     join, per-node agg) — the duplication is in the plan *text*, not
     the execution.
+
+    Memory contract: three internal persists (canonical edges, degrees,
+    oriented edges) back the returned plan and stay pinned until the
+    caller releases them — ``unpersist_intermediates(result)`` after
+    materializing, or ``spark.catalog.clearCache()`` in a multi-query
+    harness (what bench.py / tools/scaling.py do).
     """
     canon = (
         edges.select(
@@ -213,4 +242,5 @@ def triangle_counts(
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
+    out._graph_intermediates = (canon, deg, oriented)
     return out

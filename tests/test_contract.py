@@ -101,18 +101,29 @@ def test_prev_bench_reads_latest_artifact():
     surviving only front-truncated in ``tail``; _prev_bench must
     recover the LATEST round's numbers from it (not silently walk back
     to round 3) and report which artifact it used."""
-    import glob
     import os
+    import re
+    import subprocess
 
     import bench
 
     prev = bench._prev_bench()
-    latest = sorted(
-        os.path.basename(p)
-        for p in glob.glob(os.path.join(os.path.dirname(bench.__file__), "BENCH_r*.json"))
-    )[-1]
-    assert prev.get("_src") == latest, (
-        "_prev_bench walked past the newest committed artifact"
+    # anchor on GIT-TRACKED artifacts, sorted on the PARSED round
+    # number: lexicographic filename order breaks at r100, and an
+    # untracked working-tree BENCH_rNN.json (e.g. a local bench run)
+    # must not change what this test asserts against — _prev_bench
+    # itself may legitimately pick such a file up, so the assertion is
+    # "did not walk PAST the newest tracked round", not equality.
+    here = os.path.dirname(bench.__file__)
+    rnum = lambda name: int(re.search(r"BENCH_r(\d+)\.json$", name).group(1))  # noqa: E731
+    tracked = subprocess.run(
+        ["git", "ls-files", "BENCH_r*.json"],
+        cwd=here, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    latest = max(tracked, key=rnum)
+    assert prev.get("_src") and rnum(prev["_src"]) >= rnum(latest), (
+        "_prev_bench walked past the newest committed artifact "
+        f"(got {prev.get('_src')}, latest tracked {latest})"
     )
     assert prev.get("queries") and prev.get("calib_sec"), prev.get("_src")
     if latest == "BENCH_r06.json":
