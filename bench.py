@@ -135,6 +135,9 @@ EXTENDED_QUERIES = [
     # min-support co-purchase graph
     "x42_segment_dedup",
     "h5_triangle_count",
+    # round 8: bigram-LM perplexity gate (one corpus-sized shuffle,
+    # model + scoring derive from the persisted doc-bigram aggregate)
+    "x44_bigram_lm_score",
 ]
 
 

@@ -277,6 +277,119 @@ def token_prob_score(
     )
 
 
+def bigram_lm_scores(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: float = 0.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Bigram-LM fluency score (the CCNet/KenLM-style perplexity gate,
+    one context order up from :func:`token_prob_score`'s unigram
+    stand-in): train an add-k-smoothed bigram model ON THE CORPUS
+    ITSELF, then score each doc by its mean per-bigram negative log
+    likelihood (nats/bigram — the perplexity exponent). Word-salad
+    junk whose tokens are individually common but never co-occur
+    scores high (bad); natural running text scores low.
+
+        p(v|u) = (c(u,v) + k) / (c(u) + k*V)
+
+    with c(u) = count of u AS A CONTEXT (= sum_v c(u,v)) and V = the
+    distinct tokens observed in bigram positions — both derived from
+    the bigram relation so the model is self-consistent (sums of p
+    over the V continuations of u are exactly 1).
+
+    Spark-first shape, linear at 100 TB: bigrams come from ONE
+    JVM-side transform over the token array (no self-join, no window);
+    the per-(doc,bigram) multiplicity aggregate is the only
+    corpus-sized shuffle, and everything model-sized (bigram counts,
+    context counts, vocabulary) derives from it — Catalyst reuses that
+    exchange, and the scoring join keys the distinct doc-bigram rows
+    against the model on (u, v) with map-side combine. The ln() is the
+    one libm call (the pagerank float-determinism precedent: both
+    engines run IEEE doubles and differ only in summation order,
+    absorbed by stable_round at ``round_digits``); everything inside
+    it is a ratio of exact BIGINT counts.
+
+    Docs with < 2 tokens carry no bigram evidence: n_bigrams = 0,
+    avg_nll = NULL (left join back to the full doc set).
+    """
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+    tk = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
+    )
+    pairs = df.select(F.col(id_col), tk.alias("__tk")).filter(
+        F.size("__tk") >= 2
+    )
+    bg = pairs.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(__tk) - 1), "
+                "i -> struct(__tk[i-1] AS u, __tk[i] AS v))"
+            )
+        ).alias("__bg"),
+    ).select(id_col, F.col("__bg.u").alias("u"), F.col("__bg.v").alias("v"))
+    # dbg feeds the model (cbg -> cu/vocab/p) AND the scoring join;
+    # cbg feeds three derivations. Without persists Catalyst re-derives
+    # each from its own corpus scan (observed: 6 FileScans) — the x34b
+    # tf lesson. Memory contract as operators/graph.py: released by
+    # clearCache in multi-query harnesses.
+    from pyspark import StorageLevel
+
+    dbg = (
+        bg.groupBy(id_col, "u", "v")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cbg = (
+        dbg.groupBy("u", "v")
+        .agg(F.sum("m").alias("cuv"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cu = cbg.groupBy("u").agg(F.sum("cuv").alias("cu"))
+    vocab = (
+        cbg.select(F.col("u").alias("tok"))
+        .union(cbg.select(F.col("v").alias("tok")))
+        .agg(F.count_distinct("tok").alias("vsize"))
+    )
+    p = (
+        cbg.join(cu, "u")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "u",
+            "v",
+            (
+                (F.col("cuv") + F.lit(k))
+                / (F.col("cu") + F.lit(k) * F.col("vsize")).cast("double")
+            ).alias("p"),
+        )
+    )
+    scored = (
+        dbg.join(p, ["u", "v"])
+        .groupBy(id_col)
+        .agg(
+            F.sum("m").cast("bigint").alias("n_bigrams"),
+            (F.sum(F.col("m") * -F.log("p")) / F.sum("m")).alias("__nll"),
+        )
+    )
+    out = (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias(
+                "n_bigrams"
+            ),
+            stable_round(F.col("__nll"), round_digits).alias("avg_nll"),
+        )
+    )
+    out._graph_intermediates = (dbg, cbg)  # operators.graph.unpersist_intermediates
+    return out
+
+
 def temperature_mix(
     df: DataFrame,
     *,

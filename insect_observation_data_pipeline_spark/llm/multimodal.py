@@ -11,12 +11,13 @@ scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs, with
 ``png_encode_pixels`` as the re-encode half — so ``resize_images`` with
 ``decoder='image'`` is a genuine resample, stdlib+numpy only. The audio
 path likewise goes to CONTENT: ``wav_decode_samples`` decodes
-8/16/24-bit integer PCM, float32, and IMA ADPCM frames (the
-``wav_encode_*`` family are the round-trip partners) and the feature
-decoder emits exact-integer peak/RMS amplitudes. Richer codecs (JPEG,
-interlaced PNG, non-IMA ADPCM, video) are where an imaging/audio
-library would slot in — swap the registry entry without touching the
-pipeline.
+8/16/24-bit integer PCM, float32, and IMA ADPCM frames — in classic or
+WAVE_FORMAT_EXTENSIBLE (0xFFFE) containers, resolved via the SubFormat
+GUID — (the ``wav_encode_*`` family are the round-trip partners) and
+the feature decoder emits exact-integer peak/RMS amplitudes. Richer
+codecs (JPEG, interlaced PNG, MS ADPCM, a-law, video) are where an
+imaging/audio library would slot in — swap the registry entry without
+touching the pipeline.
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -100,10 +101,28 @@ def _decode_image_png(payload: bytes) -> dict:
     }
 
 
+# GUID bytes 4..16 of every KSDATAFORMAT_SUBTYPE_* audio subformat
+# ({tag:08x}-0000-0010-8000-00AA00389B71, public Microsoft media-type
+# constant): Data2=0x0000, Data3=0x0010, Data4=80 00 00 AA 00 38 9B 71.
+# Data1 (the first 4 little-endian bytes) carries the classic format tag.
+_WAVE_SUBFORMAT_TAIL = bytes.fromhex("000010008000" "00aa00389b71")
+
+
 def _wav_chunks(b: bytes) -> tuple[tuple, bytes]:
     """RIFF/WAVE container walk: (fmt tuple, data-chunk bytes). The
     shared parse under both the structural decode and the PCM sample
-    decode — the header layer every WAV tool agrees on."""
+    decode — the header layer every WAV tool agrees on.
+
+    WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, the required container for >2
+    channels or >16 valid bits since WinME) is resolved HERE: the
+    effective codec is the classic tag carried in the SubFormat GUID's
+    Data1 field, so both callers (feature decode, sample decode) gain
+    extensible support through the one shared parse. The returned fmt
+    tuple carries the effective tag; an extensible header whose
+    SubFormat is not a KSDATAFORMAT audio GUID keeps 0xFFFE and falls
+    through to the callers' unsupported-encoding path. Container bits
+    stay as-is — samples are stored at the container width regardless
+    of wValidBitsPerSample, which every decoder reads this way."""
     import struct
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -114,6 +133,12 @@ def _wav_chunks(b: bytes) -> tuple[tuple, bytes]:
         body = b[pos + 8 : pos + 8 + csize]
         if cid == b"fmt " and csize >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
+            if fmt[0] == 0xFFFE and csize >= 40:
+                cb = struct.unpack("<H", body[16:18])[0]
+                sub = body[24:40]
+                if cb >= 22 and sub[4:16] == _WAVE_SUBFORMAT_TAIL:
+                    eff = struct.unpack("<I", sub[:4])[0]
+                    fmt = (eff, *fmt[1:])
         elif cid == b"data":
             data = body
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
@@ -132,8 +157,11 @@ def wav_decode_samples(payload: bytes):
     (round-half-even of x*32767, clipped to [-32768, 32767]) so every
     downstream amplitude feature stays exact integer arithmetic — and
     IMA/DVI ADPCM (format tag 17, the common 4-bit lossy WAV codec)
-    via :func:`_ima_adpcm_decode`. WAVE_FORMAT_EXTENSIBLE (tag
-    0xFFFE) and the non-IMA ADPCM variants remain out of scope — that
+    via :func:`_ima_adpcm_decode`. WAVE_FORMAT_EXTENSIBLE containers
+    (tag 0xFFFE) are resolved to their effective codec by
+    :func:`_wav_chunks` before dispatch, so extensible PCM/float/ADPCM
+    decode identically to their classic-tag forms. Non-IMA ADPCM
+    variants (MS ADPCM tag 2, a-law/mu-law) remain out of scope — that
     is where a real audio library would slot in."""
     import numpy as np
 
@@ -208,6 +236,36 @@ def _wav_container(fmt_tag: int, sample_rate: int, n_channels: int,
         return cid + struct.pack("<I", len(body)) + padded
 
     body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def wav_encode_extensible_pcm16(
+    samples, sample_rate: int, *, channel_mask: int = 0
+) -> bytes:
+    """16-bit PCM wrapped in a WAVE_FORMAT_EXTENSIBLE container (fmt
+    tag 0xFFFE + KSDATAFORMAT_SUBTYPE_PCM SubFormat GUID) — the
+    round-trip partner pinning `_wav_chunks`' extensible resolution:
+    decode(extensible(x)) must equal decode(plain_pcm16(x)) exactly."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    sub = struct.pack("<I", 1) + _WAVE_SUBFORMAT_TAIL
+    fmt_body = struct.pack(
+        "<HHIIHHHHI", 0xFFFE, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+        22, 16, channel_mask,
+    ) + sub
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        padded = body + (b"\x00" if len(body) & 1 else b"")
+        return cid + struct.pack("<I", len(body)) + padded
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", arr.tobytes())
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -399,10 +457,10 @@ def _decode_audio_wav(payload: bytes) -> dict:
     the fmt and data chunks) plus CONTENT-dependent amplitude features
     for integer-PCM payloads — peak (max |sample|) and RMS (integer
     isqrt of the mean square: exact arithmetic, engine-portable) for
-    8/16/24-bit integer PCM, float32, and IMA ADPCM payloads. A
-    structurally-valid WAV in a remaining unsupported encoding
-    (extensible, non-IMA ADPCM) still gets the header features with
-    null amplitudes. ``n_frames`` comes from the decoded sample count
+    8/16/24-bit integer PCM, float32, and IMA ADPCM payloads (each in
+    classic or WAVE_FORMAT_EXTENSIBLE containers). A structurally-valid
+    WAV in a remaining unsupported encoding (non-IMA ADPCM, a-law)
+    still gets the header features with null amplitudes. ``n_frames`` comes from the decoded sample count
     when decode succeeds (for ADPCM the header-derived
     ``len(data)//block_align`` would be the BLOCK count); the header
     estimate is kept only on the header-only path."""

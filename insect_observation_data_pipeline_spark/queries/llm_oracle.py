@@ -1427,3 +1427,48 @@ def _pagerank_oracle_sql(*, damping: float = 0.85, iterations: int = 8) -> str:
 
 
 LLM_ORACLE["h4_pagerank_trade"] = _pagerank_oracle_sql()
+
+
+LLM_ORACLE["x44_bigram_lm_score"] = f"""
+    -- Bigram-LM fluency (x44): add-0.5-smoothed bigram model trained
+    -- on the corpus itself; score = mean -ln p(v|u) over each doc's
+    -- bigrams. Context count c(u) = sum_v c(u,v) and vocabulary V =
+    -- distinct tokens in bigram positions, both derived from the
+    -- bigram relation (model probabilities sum to 1 per context).
+    -- ln() is the one libm call (pagerank float precedent); all its
+    -- inputs are exact BIGINT count ratios.
+    WITH tk AS (
+        SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+        FROM documents
+    ), bgidx AS (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - 1)) AS i
+        FROM tk WHERE len(t) >= 2
+    ), bg AS (
+        SELECT doc_id, t[i] AS u, t[i + 1] AS v FROM bgidx
+    ), dbg AS (
+        SELECT doc_id, u, v, count(*) AS m FROM bg GROUP BY 1, 2, 3
+    ), cbg AS (
+        SELECT u, v, sum(m) AS cuv FROM dbg GROUP BY 1, 2
+    ), cu AS (
+        SELECT u, sum(cuv) AS cu FROM cbg GROUP BY 1
+    ), vv AS (
+        SELECT count(DISTINCT tok) AS vsize
+        FROM (SELECT u AS tok FROM cbg UNION SELECT v FROM cbg)
+    ), p AS (
+        SELECT cbg.u, cbg.v,
+               (cuv + 0.5) / CAST(cu + 0.5 * vsize AS DOUBLE) AS p
+        FROM cbg JOIN cu USING (u) CROSS JOIN vv
+    ), sc AS (
+        SELECT dbg.doc_id,
+               CAST(sum(m) AS BIGINT) AS n_bigrams,
+               sum(m * -ln(p)) / sum(m) AS nll
+        FROM dbg JOIN p ON dbg.u = p.u AND dbg.v = p.v
+        GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+           {_sr("nll", 6)} AS avg_nll
+    FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""

@@ -1026,6 +1026,19 @@ def x43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), rounds=12)
 
 
+def x44_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency score (llm/curation.py bigram_lm_scores): the
+    CCNet/KenLM-style perplexity gate — train an add-0.5-smoothed
+    bigram model on the corpus itself, score every doc by mean
+    negative log likelihood per bigram. One context order up from
+    x25's unigram mean-probability: catches word-salad junk whose
+    tokens are individually common but never co-occur. Bigrams are a
+    single JVM transform over the token array (no self-join); the only
+    corpus-sized shuffle is the (doc, bigram) multiplicity aggregate,
+    which the model counts and the scoring join both derive from."""
+    return curation.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
 def h5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the repeat
     co-purchase graph: parts are linked when they co-occur in the same
@@ -1126,6 +1139,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x41_bloom_decontaminate": x41_bloom_decontaminate,
     "x42_segment_dedup": x42_segment_dedup,
     "x43_bpe_vocab": x43_bpe_vocab,
+    "x44_bigram_lm_score": x44_bigram_lm_score,
     "h5_triangle_count": h5_triangle_count,
     "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,

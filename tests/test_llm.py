@@ -1980,3 +1980,86 @@ def test_bpe_merge_fold_matches_python_greedy(spark):
         }
         for i, c in enumerate(cases):
             assert got[i] == greedy(c, a, b), (a, b, c, got[i])
+
+
+def test_wav_extensible_container_decode(spark):
+    """Round-7 stretch goal: WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE — the
+    required container for >2 channels / >16 valid bits) resolves to
+    its effective codec via the SubFormat GUID's Data1 field, so
+    extensible PCM decodes bit-identically to its classic-tag twin —
+    including through the executor-side mapInPandas feature path. A
+    non-audio SubFormat GUID keeps 0xFFFE and falls back to
+    header-only features instead of mis-decoding."""
+    import struct
+
+    import numpy as np
+
+    sq = np.tile(np.array([[700, -700, 300]], dtype=np.int16), (40, 1))
+    plain = multimodal.wav_encode_pcm16(sq, 16000)
+    ext = multimodal.wav_encode_extensible_pcm16(sq, 16000, channel_mask=0x7)
+
+    fmt, _ = multimodal._wav_chunks(ext)
+    assert fmt[0] == 1 and fmt[1] == 3 and fmt[5] == 16
+    assert (
+        multimodal.wav_decode_samples(ext)
+        == multimodal.wav_decode_samples(plain)
+    ).all()
+
+    df = spark.createDataFrame(
+        [("plain", "audio", bytearray(plain)), ("ext", "audio", bytearray(ext))],
+        "media_id string, media_type string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(df, "audio").collect()
+    }
+    assert (out["ext"]["peak_amp"], out["ext"]["rms_amp"]) == (
+        out["plain"]["peak_amp"],
+        out["plain"]["rms_amp"],
+    )
+    assert out["ext"]["n_frames"] == out["plain"]["n_frames"] == 40
+
+    # corrupt the SubFormat tail -> not a KSDATAFORMAT audio GUID ->
+    # stays 0xFFFE -> header-only features, never a wrong decode
+    bad = bytearray(ext)
+    off = bad.index(b"fmt ") + 8 + 24  # SubFormat GUID start
+    bad[off + 6] ^= 0xFF
+    fmt_bad, _ = multimodal._wav_chunks(bytes(bad))
+    assert fmt_bad[0] == 0xFFFE
+    feats = multimodal._decode_audio_wav(bytes(bad))
+    assert feats["feature_kind"] == "wav"
+    assert "peak_amp" not in feats
+
+    # guard: the encoder's fmt body is the documented 40-byte layout
+    fbody_len = struct.unpack(
+        "<I", ext[ext.index(b"fmt ") + 4 : ext.index(b"fmt ") + 8]
+    )[0]
+    assert fbody_len == 40
+
+
+def test_bigram_lm_scores_hand_corpus(spark):
+    """Hand-computable add-k bigram model: corpus {a b a b, a b, c}.
+    c(a,b)=3, c(b,a)=1; contexts c(a)=3, c(b)=1; V={a,b}=2; k=0.5:
+    p(b|a) = 3.5/4, p(a|b) = 1.5/2. Also pins the smoothing
+    normalization (sum of p over the V continuations of a context is
+    exactly 1) and the no-bigram-doc contract (n_bigrams 0, NULL)."""
+    import math
+
+    from insect_observation_data_pipeline_spark.llm.curation import (
+        bigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b"), (3, "c")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs).collect()}
+    p_ab, p_ba = 3.5 / 4.0, 1.5 / 2.0
+    exp1 = (2 * -math.log(p_ab) + 1 * -math.log(p_ba)) / 3
+    assert got[1]["n_bigrams"] == 3
+    assert abs(got[1]["avg_nll"] - exp1) < 1e-6
+    assert got[2]["n_bigrams"] == 1
+    assert abs(got[2]["avg_nll"] - -math.log(p_ab)) < 1e-6
+    assert got[3]["n_bigrams"] == 0 and got[3]["avg_nll"] is None
+    # normalization: p(b|a) + p(a|a) = 3.5/4 + 0.5/4 = 1
+    assert abs((3 + 0.5) / 4.0 + 0.5 / 4.0 - 1.0) < 1e-15
