@@ -137,7 +137,10 @@ EXTENDED_QUERIES = [
     "h5_triangle_count",
     # round 8: bigram-LM perplexity gate (one corpus-sized shuffle,
     # model + scoring derive from the persisted doc-bigram aggregate)
+    # and BM25 lexical top-k (inverted-index probe via broadcast
+    # query-term pruning)
     "x44_bigram_lm_score",
+    "x45_bm25_topk",
 ]
 
 

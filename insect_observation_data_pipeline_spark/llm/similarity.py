@@ -787,3 +787,118 @@ def lsh_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "cosine_sim", F.col("rn").alias("rank"))
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Lexical top-k retrieval: Okapi BM25 with the Lucene-style
+    non-negative idf — the keyword complement to the embedding ANN
+    family (brute_force_topk / ivf_topk / lsh_topk).
+
+        score(q, d) = sum over query terms t of
+            ln(1 + (N - df + 0.5)/(df + 0.5))
+            * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len_d / avgdl))
+
+    N = total docs, avgdl = total corpus tokens / N (zero-token docs
+    count in N — the convention is documented, not load-bearing).
+
+    Spark-first shape, linear at 100 TB: ONE corpus-sized shuffle (the
+    per-(doc, term) tf aggregate; persisted because doc lengths, df,
+    and the scoring join all derive from it); the query-term relation
+    broadcasts into the tf scan so only candidate postings survive to
+    the scoring join, exactly an inverted-index probe — Catalyst
+    prunes every non-query term at the join instead of a full-corpus
+    score. Final per-query top-k is one window over (typically) a few
+    thousand candidates.
+
+    Cross-engine determinism: every input to ln() and the score ratio
+    is an exact BIGINT count (tf, df, N, total tokens); ln is the one
+    libm call (the pagerank precedent). The top-k ORDERING is computed
+    on the ROUNDED score with id tie-break — ranking on the raw double
+    would let a last-ulp summation difference flip two near-equal
+    scores across engines at the k boundary.
+    """
+    tf_src = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    from pyspark import StorageLevel
+
+    tf = (
+        tf_src.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).crossJoin(
+        tf.agg(F.sum("tf").alias("total_tokens"))
+    )
+    qt = queries.select(
+        F.col(query_id_col),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(query_text_col)), " "),
+                lambda x: x != F.lit(""),
+            )
+        ).alias("term"),
+    ).distinct()
+    cand = tf.join(F.broadcast(qt), "term")
+    scored = (
+        cand.join(F.broadcast(df_t.join(F.broadcast(qt.select("term").distinct()), "term")), "term")
+        .join(doclen, id_col)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            query_id_col,
+            id_col,
+            (
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0 - b)
+                        + F.lit(b)
+                        * F.col("dl")
+                        / (
+                            F.col("total_tokens")
+                            / F.col("n_docs").cast("double")
+                        )
+                    )
+                )
+            ).alias("__s"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg(stable_round(F.sum("__s"), round_digits).alias("score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    out = (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, "rank", id_col, "score")
+    )
+    out._graph_intermediates = (tf,)  # operators.graph.unpersist_intermediates
+    return out

@@ -91,6 +91,14 @@ ROTATION_EXEMPT: dict[str, str] = {
         "probe_bits=3 (the x26_ann_ivf_probe4 precedent); recall "
         "monotonicity pinned by tests/test_llm.py"
     ),
+    # Round 8: the ANN family's exact baseline joins the keeper set
+    # (same pattern as x6/x34/h3): the guarded scale forms rotate.
+    "x9_ann_bruteforce": (
+        "exact all-cells baseline of rotating x10_ann_ivf — same "
+        "cosine/top-k kernel (llm/similarity.py dot/brute_force_topk), "
+        "cell-probe pruning off; IVF recall vs this baseline pinned by "
+        "tests/test_llm.py; stays in the bench headline set"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

@@ -1472,3 +1472,56 @@ LLM_ORACLE["x44_bigram_lm_score"] = f"""
            {_sr("nll", 6)} AS avg_nll
     FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
 """
+
+
+LLM_ORACLE["x45_bm25_topk"] = f"""
+    -- BM25 top-10 per probe query (x45), Lucene-style idf. Same
+    -- arithmetic shape as the Spark operator: every ln()/ratio input
+    -- is an exact BIGINT count; ranking is on the ROUNDED score with
+    -- doc_id tie-break (cross-engine k-boundary stability).
+    WITH probes(query_id, query_text) AS (
+        VALUES ('q1', 'fast hash join'),
+               ('q2', 'window agg merge'),
+               ('q3', 'stream batch data')
+    ), tf AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split(lower(text), ' '), x -> x <> '')) AS term
+        FROM documents
+    ), tfa AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tf GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tfa GROUP BY 1
+    ), dft AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfa GROUP BY 1
+    ), stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+               (SELECT sum(tf) FROM tfa) AS total_tokens
+    ), qt AS (
+        SELECT DISTINCT query_id, unnest(list_filter(
+                   string_split(lower(query_text), ' '), x -> x <> '')) AS term
+        FROM probes
+    ), scored AS (
+        SELECT qt.query_id, tfa.doc_id,
+               {_sr(
+                   "sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+                   " * (tf * 2.2)"
+                   " / (tf + 1.2 * (0.25 + 0.75 * dl"
+                   "    / (total_tokens / CAST(n_docs AS DOUBLE)))))",
+                   4,
+               )} AS score
+        FROM tfa
+        JOIN qt USING (term)
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    ), ranked AS (
+        SELECT query_id, doc_id, score,
+               CAST(row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS INTEGER) AS rank
+        FROM scored
+    )
+    SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
+"""

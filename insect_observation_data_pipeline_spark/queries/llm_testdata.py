@@ -1039,6 +1039,28 @@ def x44_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curation.bigram_lm_scores(_t(spark, sf_dir, "documents"))
 
 
+def x45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical top-k retrieval (llm/similarity.py bm25_topk): Okapi
+    BM25 with Lucene-style non-negative idf over the documents table,
+    three fixed probe queries — the keyword complement to the
+    embedding ANN family (x9/x10/x12/x13). One corpus-sized shuffle
+    (the persisted (doc, term) tf aggregate feeds doc lengths, df, and
+    the scoring join); the query-term relation broadcasts into the tf
+    probe, so only candidate postings reach the scorer — an
+    inverted-index probe, not a full-corpus score. Ranking runs on the
+    ROUNDED score with doc_id tie-break so a last-ulp float difference
+    can never flip the k boundary across engines."""
+    probes = spark.createDataFrame(
+        [
+            ("q1", "fast hash join"),
+            ("q2", "window agg merge"),
+            ("q3", "stream batch data"),
+        ],
+        "query_id string, query_text string",
+    )
+    return similarity.bm25_topk(_t(spark, sf_dir, "documents"), probes)
+
+
 def h5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the repeat
     co-purchase graph: parts are linked when they co-occur in the same
@@ -1140,6 +1162,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x42_segment_dedup": x42_segment_dedup,
     "x43_bpe_vocab": x43_bpe_vocab,
     "x44_bigram_lm_score": x44_bigram_lm_score,
+    "x45_bm25_topk": x45_bm25_topk,
     "h5_triangle_count": h5_triangle_count,
     "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,

@@ -2063,3 +2063,39 @@ def test_bigram_lm_scores_hand_corpus(spark):
     assert got[3]["n_bigrams"] == 0 and got[3]["avg_nll"] is None
     # normalization: p(b|a) + p(a|a) = 3.5/4 + 0.5/4 = 1
     assert abs((3 + 0.5) / 4.0 + 0.5 / 4.0 - 1.0) < 1e-15
+
+
+def test_bm25_topk_hand_corpus(spark):
+    """Hand-checkable BM25: 3 docs, query 'cat'. c appears in d1 (tf 2,
+    len 4) and d2 (tf 1, len 2); df=2, N=3, total tokens 10, avgdl =
+    10/3. idf = ln(1 + 1.5/2.5). Verifies the exact Lucene-BM25
+    arithmetic, the ranking (higher tf but longer doc vs shorter doc),
+    and that docs without query terms never appear."""
+    import math
+
+    from insect_observation_data_pipeline_spark.llm.similarity import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(1, "cat cat dog fish"), (2, "cat bird"), (3, "dog dog fish lake")],
+        "doc_id long, text string",
+    )
+    qs = spark.createDataFrame(
+        [("q", "cat")], "query_id string, query_text string"
+    )
+    rows = bm25_topk(docs, qs, k=10).collect()
+    got = {r["doc_id"]: (r["rank"], r["score"]) for r in rows}
+    assert set(got) == {1, 2}, "doc 3 has no query terms"
+
+    k1, b, avgdl = 1.2, 0.75, 10 / 3
+    idf = math.log(1 + (3 - 2 + 0.5) / (2 + 0.5))
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert abs(got[1][1] - round(s(2, 4), 4)) < 1e-9
+    assert abs(got[2][1] - round(s(1, 2), 4)) < 1e-9
+    # ranks follow the rounded-score ordering
+    order = sorted(got.items(), key=lambda kv: kv[1][0])
+    assert [d for d, _ in order] == sorted(
+        got, key=lambda d: (-got[d][1], d)
+    )
