@@ -55,6 +55,24 @@ def read_events_stream(
     )
 
 
+def as_event_time(df: DataFrame, col: str) -> DataFrame:
+    """Pin an event-time column to TIMESTAMP at the operator boundary.
+
+    ``withWatermark`` (like ``unix_micros`` — the j14 driver failure)
+    rejects TIMESTAMP_NTZ, which a vanilla Spark 4.x session infers from
+    parquet files written without the UTC-adjusted flag. Streams built
+    by ``read_events_stream`` carry an explicit TimestampType schema and
+    are unaffected; this guard is for caller-supplied frames (their own
+    ``spark.read.parquet`` on an unpinned session). NTZ -> TIMESTAMP
+    reinterprets the wall clock in the session tz — an identity on the
+    instant when the session runs UTC (this engine's documented
+    assumption, session.py), and a fixed offset that cancels in every
+    window/gap/horizon comparison otherwise."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,
@@ -72,7 +90,8 @@ def windowed_event_counts(
         else F.window("ts", window_duration)
     )
     return (
-        events.withWatermark("ts", watermark_delay)
+        as_event_time(events, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy(w.alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
@@ -101,7 +120,8 @@ def sessionized_event_counts(
     only until watermark + gap — bounded, unlike the unbounded
     lag()-rewrite which streaming cannot express."""
     return (
-        events.withWatermark("ts", watermark_delay)
+        as_event_time(events, "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy(F.session_window(F.col("ts"), gap).alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(

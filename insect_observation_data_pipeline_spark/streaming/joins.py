@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.streaming.events import as_event_time
+
 
 def attribute_purchases(
     purchases: DataFrame,
@@ -42,8 +44,12 @@ def attribute_purchases(
         F.col("ts").alias("signup_ts"),
     )
     if purchases.isStreaming:
-        p = p.withWatermark("purchase_ts", watermark_delay)
-        s = s.withWatermark("signup_ts", watermark_delay)
+        p = as_event_time(p, "purchase_ts").withWatermark(
+            "purchase_ts", watermark_delay
+        )
+        s = as_event_time(s, "signup_ts").withWatermark(
+            "signup_ts", watermark_delay
+        )
     cond = (
         (F.col("p_user_id") == F.col("s_user_id"))
         & (F.col("purchase_ts") >= F.col("signup_ts"))

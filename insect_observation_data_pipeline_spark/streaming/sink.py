@@ -517,9 +517,15 @@ def segment_scrub_sink(
     boilerplate, no future document carries it in.
 
     The index is the narrow (seg_hash, df) relation as an EXTERNAL
-    BUCKETED table at ``<path>__segdf`` (md5-prefix hash, never the
-    segment text — at 100 TB the index stores 16-byte keys, not
-    boilerplate strings), bucketed on ``seg_hash``: the epoch's
+    BUCKETED table at ``<path>__segdf`` (the FULL 128-bit md5 as 32 hex
+    chars, never the segment text — at 100 TB the index stores
+    fixed-width 16-byte digests, not boilerplate strings), bucketed on
+    ``seg_hash``. 128 bits, not a 64-bit prefix: at billions of
+    distinct segments a 64-bit key has birthday-plausible collisions,
+    and a collision here silently strips an innocent segment — so the
+    "one-epoch run == batch ``segment_dedup``" equivalence (which joins
+    on exact segment text) holds only modulo hash collisions; at 128
+    bits that probability is ~2^-60 even at 10^12 segments. The epoch's
     df-lookup join and count-append both align to the bucket layout,
     so the ever-growing index never re-shuffles — only the batch
     moves, the dedup_ingest_sink discipline. Per-segment totals are
@@ -546,7 +552,7 @@ def segment_scrub_sink(
         batch_df = batch_df.localCheckpoint(eager=True)
         segs = doc_segments(
             batch_df, text_col=text_col, id_col=id_col, seg_words=seg_words
-        ).withColumn("seg_hash", F.substring(F.md5(F.col("seg")), 1, 16))
+        ).withColumn("seg_hash", F.md5(F.col("seg")))
         # one (seg_hash, df) row per distinct batch segment
         batch_counts = (
             segs.groupBy("seg_hash")

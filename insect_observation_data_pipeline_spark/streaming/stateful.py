@@ -156,8 +156,12 @@ def dedup_stream(
     """
     if not events.isStreaming:
         return events.dropDuplicates(list(key_cols))
-    return events.withWatermark("ts", watermark_delay).dropDuplicatesWithinWatermark(
-        list(key_cols)
+    from insect_observation_data_pipeline_spark.streaming.events import as_event_time
+
+    return (
+        as_event_time(events, "ts")
+        .withWatermark("ts", watermark_delay)
+        .dropDuplicatesWithinWatermark(list(key_cols))
     )
 
 

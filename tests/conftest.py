@@ -13,12 +13,40 @@ from insect_observation_data_pipeline_spark import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark(
-        "tests",
-        master="local[4]",
-        shuffle_partitions=4,
-        extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
-    )
+    import os
+
+    if os.environ.get("SPARK_GRAFT_TEST_VANILLA"):
+        # driver-environment parity sweep: a bare session with NONE of
+        # get_spark()'s pins (no UTC tz, no inferTimestampNTZ=false) —
+        # parquet timestamps come back TIMESTAMP_NTZ exactly as on the
+        # driver. Used to prove the streaming/batch surface survives an
+        # unpinned session (the j14 failure class); the machine tz is
+        # UTC, so value assertions still hold.
+        from pyspark.sql import SparkSession
+
+        s = (
+            SparkSession.builder.appName("tests-vanilla")
+            .master("local[4]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.ui.showConsoleProgress", "false")
+            # JVM heap is an infra sizing knob, not a semantic pin — the
+            # sweep targets config-coupled SEMANTICS (NTZ inference, tz,
+            # shuffle-partition-sensitive plans); without this the
+            # broadcast-heavy sink tests OOM a default 1g driver, which
+            # says nothing about driver-session parity
+            .config(
+                "spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+            )
+            .getOrCreate()
+        )
+    else:
+        s = get_spark(
+            "tests",
+            master="local[4]",
+            shuffle_partitions=4,
+            extra_conf={"spark.ui.showConsoleProgress": "false", "spark.ui.enabled": "false"},
+        )
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

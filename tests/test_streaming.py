@@ -1181,7 +1181,7 @@ def test_segment_scrub_sink_learns_across_epochs(spark, tmp_path):
 
     from pyspark.sql import functions as F
 
-    bh = _h.md5(boiler.encode()).hexdigest()[:16]
+    bh = _h.md5(boiler.encode()).hexdigest()
     sums = {
         r["seg_hash"]: r["s"]
         for r in idx.groupBy("seg_hash").agg(F.sum("df").alias("s")).collect()
@@ -1265,7 +1265,7 @@ def test_segment_scrub_sink_real_microbatches(spark, tmp_path):
     assert boiler not in got[1], "second sighting crosses min_df"
     assert got[1] == "epsilon zeta eta theta"
     assert got[2] == "iota kappa"
-    bh = _h.md5(boiler.encode()).hexdigest()[:16]
+    bh = _h.md5(boiler.encode()).hexdigest()
     sums = {
         r["seg_hash"]: r["s"]
         for r in spark.read.parquet(out_path + "__segdf")
@@ -1274,3 +1274,81 @@ def test_segment_scrub_sink_real_microbatches(spark, tmp_path):
         .collect()
     }
     assert sums[bh] == 2, "per-epoch counts must accumulate in the index"
+
+
+def test_event_time_guard_accepts_ntz_frames(spark, tmp_path):
+    """j14-class guard for the streaming surface (round-8 sweep):
+    ``withWatermark`` rejects TIMESTAMP_NTZ exactly like ``unix_micros``
+    did in j14, and a vanilla driver session infers NTZ from unannotated
+    parquet — so every watermarked transform pins its event-time column
+    via ``as_event_time`` first. This feeds NTZ frames through the
+    whole watermarked family; without the guard each start()/plan
+    analysis dies with DATATYPE_MISMATCH.UNEXPECTED_INPUT_TYPE."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.streaming.events import (
+        as_event_time,
+        windowed_event_counts,
+    )
+    from insect_observation_data_pipeline_spark.streaming.joins import (
+        attribute_purchases,
+    )
+    from insect_observation_data_pipeline_spark.streaming.stateful import (
+        dedup_stream,
+    )
+
+    def ntz_events(stream):
+        return stream.select(
+            F.col("value").alias("event_id"),
+            F.col("timestamp").cast("timestamp_ntz").alias("ts"),
+            (F.col("value") % 3).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.col("value").cast("double").alias("value"),
+        )
+
+    # unit: the cast is dtype-only, never the instant (session tz UTC)
+    batch = ntz_events(
+        spark.range(3).select(
+            F.col("id").alias("value"),
+            F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias(
+                "timestamp"
+            ),
+        )
+    )
+    pinned = as_event_time(batch, "ts")
+    assert dict(pinned.dtypes)["ts"] == "timestamp"
+    raw = [r["ts"] for r in batch.select("ts").collect()]
+    got = [r["ts"] for r in pinned.select("ts").collect()]
+    assert raw == got
+
+    # streaming: analysis of every watermarked transform must succeed
+    # on an NTZ event-time column (rate source -> cast to NTZ)
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", "5").load()
+    )
+    ev = ntz_events(rate)
+    queries = [
+        windowed_event_counts(ev)
+        .writeStream.format("noop")
+        .outputMode("update"),
+        dedup_stream(ev).writeStream.format("noop").outputMode("append"),
+        attribute_purchases(ev, ev)
+        .writeStream.format("noop")
+        .outputMode("append"),
+    ]
+    for i, w in enumerate(queries):
+        q = w.option(
+            "checkpointLocation", str(tmp_path / f"ntz_ckpt_{i}")
+        ).start()  # raises AnalysisException here without the guard
+        try:
+            # rate never drains, so no processAllAvailable (it can't
+            # catch up under a 200-partition vanilla session) — the
+            # DATATYPE_MISMATCH fires at start()/first-batch planning,
+            # so one progress tick with no exception is the assertion
+            deadline = __import__("time").time() + 60
+            while not q.recentProgress and __import__("time").time() < deadline:
+                __import__("time").sleep(0.5)
+            assert q.exception() is None
+            assert q.recentProgress, "no micro-batch planned within 60s"
+        finally:
+            q.stop()
