@@ -902,3 +902,56 @@ def bm25_topk(
     )
     out._graph_intermediates = (tf,)  # operators.graph.unpersist_intermediates
     return out
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    *,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    c: int = 60,
+    k: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N retrieval rankings (Cormack et al.:
+    score(q, d) = sum over systems of 1/(c + rank)) — the standard
+    hybrid-retrieval combiner: rank positions, not raw scores, so a
+    BM25 ranking and a cosine ranking fuse without calibration.
+
+    Spark shape: each ranking projects to (query, id, 1/(c+rank));
+    union + one hash aggregate fuses them — no N-way outer join, one
+    shuffle regardless of system count. Determinism: ranks are exact
+    ints, each contribution is one double division, and the fused
+    ordering uses the ROUNDED score with id tie-break (the bm25_topk
+    k-boundary discipline). Output: (query, rank, id, rrf_score,
+    n_systems) with rank <= k.
+    """
+    from functools import reduce
+
+    parts = [
+        r.select(
+            F.col(query_col),
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col).cast("double"))
+            ).alias("__contrib"),
+        )
+        for r in rankings
+    ]
+    fused = (
+        reduce(lambda a, b: a.unionByName(b), parts)
+        .groupBy(query_col, id_col)
+        .agg(
+            stable_round(F.sum("__contrib"), round_digits).alias("rrf_score"),
+            F.count(F.lit(1)).cast("int").alias("n_systems"),
+        )
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_score").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+        .select(query_col, "rank", id_col, "rrf_score", "n_systems")
+    )

@@ -99,6 +99,17 @@ ROTATION_EXEMPT: dict[str, str] = {
         "cell-probe pruning off; IVF recall vs this baseline pinned by "
         "tests/test_llm.py; stays in the bench headline set"
     ),
+    # Round 8 (cont.): rotating x46_hybrid_rrf executes the bm25_topk
+    # kernel verbatim (query-by-document probes, depth 50) plus the
+    # cosine kernel and the RRF combiner — a strict superset of x45's
+    # expressions, so x45's fixed-probe form keeps local oracle + bench
+    # coverage while x46 carries the driver evidence.
+    "x45_bm25_topk": (
+        "bm25_topk kernel driver-verified via rotating x46_hybrid_rrf "
+        "(same code path, query-by-document probes at depth 50); the "
+        "fixed-probe form stays oracle-checked locally every round, "
+        "pytest-pinned, and in the bench extended set"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

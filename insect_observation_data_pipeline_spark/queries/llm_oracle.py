@@ -1525,3 +1525,92 @@ LLM_ORACLE["x45_bm25_topk"] = f"""
     )
     SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10
 """
+
+
+LLM_ORACLE["x46_hybrid_rrf"] = f"""
+    -- Hybrid RRF (x46): BM25 query-by-document (held-out docs < 5 as
+    -- queries, corpus = docs >= 5) fused with exact cosine over the
+    -- doc-aligned embeddings (same held-out split as x9), both at
+    -- depth 50, RRF c=60, top-10. Rank parity with the Spark side:
+    -- each system ranks on its ROUNDED score with id tie-break, and
+    -- the fused ordering on the rounded RRF sum.
+    WITH corpus AS (
+        SELECT doc_id, text FROM documents WHERE doc_id >= 5
+    ), probes AS (
+        SELECT doc_id AS query_id, text AS query_text
+        FROM documents WHERE doc_id < 5
+    ), tf AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split(lower(text), ' '), x -> x <> '')) AS term
+        FROM corpus
+    ), tfa AS (
+        SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        FROM tf GROUP BY 1, 2
+    ), dl AS (
+        SELECT doc_id, sum(tf) AS dl FROM tfa GROUP BY 1
+    ), dft AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfa GROUP BY 1
+    ), stats AS (
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM corpus) AS n_docs,
+               (SELECT sum(tf) FROM tfa) AS total_tokens
+    ), qt AS (
+        SELECT DISTINCT query_id, unnest(list_filter(
+                   string_split(lower(query_text), ' '), x -> x <> '')) AS term
+        FROM probes
+    ), lex_scored AS (
+        SELECT qt.query_id, tfa.doc_id,
+               {_sr(
+                   "sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))"
+                   " * (tf * 2.2)"
+                   " / (tf + 1.2 * (0.25 + 0.75 * dl"
+                   "    / (total_tokens / CAST(n_docs AS DOUBLE)))))",
+                   4,
+               )} AS score
+        FROM tfa
+        JOIN qt USING (term)
+        JOIN dft USING (term)
+        JOIN dl USING (doc_id)
+        CROSS JOIN stats
+        GROUP BY 1, 2
+    ), lex AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+               ) AS rank
+        FROM lex_scored
+        QUALIFY rank <= 50
+    ), qv AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id < 5
+    ), cv AS (
+        SELECT vec_id AS doc_id, embedding::DOUBLE[] AS cv
+        FROM embeddings WHERE vec_id >= 5
+    ), dense_scored AS (
+        SELECT query_id, doc_id,
+               {_sr("list_cosine_similarity(qv, cv)", 4)} AS cosine_sim
+        FROM qv, cv
+    ), dense AS (
+        SELECT query_id, doc_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine_sim DESC, doc_id ASC
+               ) AS rank
+        FROM dense_scored
+        QUALIFY rank <= 50
+    ), contribs AS (
+        SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM lex
+        UNION ALL
+        SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM dense
+    ), fused AS (
+        SELECT query_id, doc_id,
+               {_sr("sum(contrib)", 6)} AS rrf_score,
+               CAST(count(*) AS INTEGER) AS n_systems
+        FROM contribs GROUP BY 1, 2
+    )
+    SELECT query_id,
+           CAST(row_number() OVER (
+               PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC
+           ) AS INTEGER) AS rank,
+           doc_id, rrf_score, n_systems
+    FROM fused
+    QUALIFY rank <= 10
+"""

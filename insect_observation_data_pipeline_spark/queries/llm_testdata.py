@@ -1061,6 +1061,31 @@ def x45_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.bm25_topk(_t(spark, sf_dir, "documents"), probes)
 
 
+def x46_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval (llm/similarity.py rrf_fuse): reciprocal-rank
+    fusion of a LEXICAL ranking (BM25, query = the held-out doc's own
+    text — query-by-document) and a DENSE ranking (exact cosine over
+    the doc-aligned embeddings, same vec_id == doc_id held-out split
+    as x9) for the 5 held-out query docs, top-10 fused. The RAG-stack
+    retrieval shape: two uncalibrated rankers combine on rank
+    positions (1/(60+r)), union + one hash agg — no outer join, one
+    shuffle however many systems fuse."""
+    q_vec, c_vec = _emb_split(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents")
+    lex = similarity.bm25_topk(
+        docs.filter(F.col("doc_id") >= 5),
+        docs.filter(F.col("doc_id") < 5).select(
+            F.col("doc_id").alias("query_id"),
+            F.col("text").alias("query_text"),
+        ),
+        k=50,
+    ).select("query_id", F.col("doc_id"), "rank")
+    dense = similarity.brute_force_topk(q_vec, c_vec, k=50).select(
+        "query_id", F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return similarity.rrf_fuse([lex, dense], k=10)
+
+
 def h5_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counting + local clustering coefficient over the repeat
     co-purchase graph: parts are linked when they co-occur in the same
@@ -1163,6 +1188,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x43_bpe_vocab": x43_bpe_vocab,
     "x44_bigram_lm_score": x44_bigram_lm_score,
     "x45_bm25_topk": x45_bm25_topk,
+    "x46_hybrid_rrf": x46_hybrid_rrf,
     "h5_triangle_count": h5_triangle_count,
     "h4_pagerank_trade": h4_pagerank_trade,
     "f_tokens_percentile": f_tokens_percentile,

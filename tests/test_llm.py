@@ -2099,3 +2099,24 @@ def test_bm25_topk_hand_corpus(spark):
     assert [d for d, _ in order] == sorted(
         got, key=lambda d: (-got[d][1], d)
     )
+
+
+def test_rrf_fuse_hand_case(spark):
+    """RRF hand-check: system A ranks {d1:1, d2:2}, system B ranks
+    {d2:1, d3:2}; c=60. d2 = 1/62 + 1/61 wins over d1 = 1/61 (the
+    consensus-beats-single-top property RRF exists for); d3 = 1/62.
+    n_systems counts contributing rankers."""
+    from insect_observation_data_pipeline_spark.llm.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id long, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], "query_id string, doc_id long, rank int"
+    )
+    rows = {r["doc_id"]: r for r in rrf_fuse([a, b], k=10).collect()}
+    assert rows[2]["rank"] == 1 and rows[2]["n_systems"] == 2
+    assert rows[1]["rank"] == 2 and rows[1]["n_systems"] == 1
+    assert rows[3]["rank"] == 3
+    assert abs(rows[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    assert abs(rows[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
