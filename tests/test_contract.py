@@ -224,3 +224,37 @@ def test_write_partitioned_prunes(spark, tmp_path):
     pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert pf and "o_status" in pf.group(1)
     assert df.count() == orders.filter("o_orderstatus = 'F'").count()
+
+
+def test_vanilla_parity_artifact_green():
+    """The driver-environment parity gate (round-8, j14 class fix):
+    CORRECTNESS_VANILLA_r{N}.json — the full oracle suite run under a
+    BARE session with none of get_spark()'s pins — must exist and be
+    all-green in its latest committed round. Regenerate per round with
+    `python tools/compare.py --vanilla --json CORRECTNESS_VANILLA_r{N}.json`.
+    Guards the failure mode where a config-coupled expression
+    (unix_micros/withWatermark on TIMESTAMP_NTZ, ANSI arithmetic) is
+    green under the pinned session and red on the driver."""
+    import json
+    import os
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tracked = subprocess.run(
+        ["git", "ls-files", "CORRECTNESS_VANILLA_r*.json"],
+        cwd=here, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    assert tracked, "no committed vanilla parity artifact"
+    latest = max(
+        tracked,
+        key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+    )
+    rows = json.load(open(os.path.join(here, latest)))
+    assert len(rows) >= 100, f"{latest} covers only {len(rows)} queries"
+    bad = {
+        name: r.get("err")
+        for name, r in rows.items()
+        if not (r.get("hash_match") or r.get("note"))
+    }
+    assert not bad, f"vanilla-session failures in {latest}: {bad}"

@@ -93,6 +93,13 @@ SCALING_QUERIES = [
     # 12 merge rounds are fixed overhead over the word-TYPE table, so
     # the curve should be h4-shaped (flat-ish, amortizing at scale)
     "x43_bpe_vocab",
+    # round-8 entrants: bigram-LM (one corpus-sized bigram aggregate,
+    # model joins are vocabulary-sized) and the BM25/hybrid retrieval
+    # pair (inverted-index probe — the query side is fixed, so growth
+    # tracks the posting lists of the probed terms, linear in sf)
+    "x44_bigram_lm_score",
+    "x45_bm25_topk",
+    "x46_hybrid_rrf",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
