@@ -13,6 +13,12 @@ from insect_observation_data_pipeline_spark.operators.skew import (
     salted_count_distinct,
     salted_join,
 )
+from insect_observation_data_pipeline_spark.operators.graph import (
+    pagerank,
+    triangle_counts,
+    unpersist_intermediates,
+)
+from insect_observation_data_pipeline_spark.operators.rangejoin import band_join
 
 __all__ = [
     "merge_upsert",
@@ -27,4 +33,8 @@ __all__ = [
     "priority_match",
     "fallback_coalesce_join",
     "top_k",
+    "pagerank",
+    "triangle_counts",
+    "unpersist_intermediates",
+    "band_join",
 ]
