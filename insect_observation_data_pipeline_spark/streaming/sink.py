@@ -71,6 +71,40 @@ def _has_legacy_files(path: str) -> bool:
     return bool(files) and not all(_BUCKET_SUFFIX.search(f) for f in files)
 
 
+def _recover_crashed_swap(path: str) -> bool:
+    """Restore a bucketed dir whose crash window left it missing.
+
+    Both swap idioms in this module (``_migrate_legacy_index``,
+    ``_compact_bucketed_table``) write the full replacement to a
+    sibling temp dir, then ``rename(live -> parked)`` +
+    ``rename(temp -> live)``. A crash BETWEEN the two renames leaves
+    the live dir absent while the COMPLETE replacement still sits in
+    the temp dir (and the original in the parked dir) — so recovery is
+    one rename, never a rebuild. Preference order: the temp dir (the
+    newer, fully-written copy — it was complete before the first
+    rename started), else the parked original. Returns True if a copy
+    was restored. For the dedup sink this is strictly cheaper than its
+    rebuild-from-corpus fallback; for the segment-scrub sink it is the
+    ONLY lossless path — stripped boilerplate cannot be recounted from
+    the scrubbed corpus, so without this a crashed compaction silently
+    forgot every learned segment."""
+    if os.path.isdir(path):
+        return False
+    restored = False
+    for suffix in (".compacting", ".migrating", ".compacted-old", ".legacy"):
+        cand = path + suffix
+        if not restored and os.path.isdir(cand) and _data_files(cand):
+            os.rename(cand, path)
+            restored = True
+    # drop any remaining stale siblings once a copy is live again
+    if restored:
+        for suffix in (".compacting", ".migrating", ".compacted-old", ".legacy"):
+            cand = path + suffix
+            if os.path.isdir(cand):
+                shutil.rmtree(cand)
+    return restored
+
+
 def _register_bucketed_table(
     spark,
     table: str,
@@ -245,6 +279,11 @@ def _ensure_index_tables(
     )
     from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
 
+    # crashed swap (rename window of a migration/compaction): the
+    # complete replacement survives in a sibling dir — one rename beats
+    # the rebuild-from-corpus fallback below
+    _recover_crashed_swap(index_path)
+    _recover_crashed_swap(bands_path)
     if not _data_files(index_path):
         for stale in (
             index_path,
@@ -558,6 +597,14 @@ def segment_scrub_sink(
             segs.groupBy("seg_hash")
             .agg(F.count_distinct("doc_id").alias("df"))
         )
+        # a crashed compaction swap leaves the live index dir missing
+        # with the complete replacement stranded in `.compacting` —
+        # restore it BEFORE the exists-check: for this sink a lost
+        # index is unrecoverable (stripped boilerplate can't be
+        # recounted from the scrubbed corpus), so the rename is the
+        # only lossless path
+        if _recover_crashed_swap(index_path):
+            spark.sql(f"DROP TABLE IF EXISTS `{index_table}`")
         if os.path.exists(index_path) and not spark.catalog.tableExists(
             index_table
         ):

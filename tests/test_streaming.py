@@ -1352,3 +1352,135 @@ def test_event_time_guard_accepts_ntz_frames(spark, tmp_path):
             assert q.recentProgress, "no micro-batch planned within 60s"
         finally:
             q.stop()
+
+
+def test_segment_scrub_sink_recovers_crashed_compaction_swap(spark, tmp_path):
+    """Crash-window recovery for the scrub index (round 8): a crash
+    BETWEEN _compact_bucketed_table's two renames leaves the live
+    index dir missing with the complete replacement stranded in
+    `.compacting`. For this sink that state is otherwise
+    unrecoverable — stripped boilerplate can't be recounted from the
+    scrubbed corpus — so the next epoch must restore the stranded copy
+    by rename (file-identical, no rebuild) and keep both the
+    cumulative df counts and the stripping behavior."""
+    import hashlib as _h
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _data_files,
+        segment_scrub_sink,
+    )
+
+    boiler = "all rights reserved worldwide"
+    path = str(tmp_path / "scrub_crash")
+    idx = path + "__segdf"
+    handle = segment_scrub_sink(path, seg_words=4, min_df=2)
+    handle(
+        spark.createDataFrame(
+            [(0, boiler + " alpha beta gamma delta")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    handle(
+        spark.createDataFrame(
+            [(1, boiler + " epsilon zeta eta theta")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    files_before = sorted(_data_files(idx))
+
+    # crash mid-swap: live dir gone, complete copy stranded in
+    # `.compacting`, junk parked in `.compacted-old`; session restarts
+    # (catalog forgets the table)
+    os.rename(idx, idx + ".compacting")
+    os.makedirs(idx + ".compacted-old")
+    with open(idx + ".compacted-old/junk", "w") as f:
+        f.write("x")
+    suffix = _h.md5(path.encode()).hexdigest()[:10]
+    spark.sql(f"DROP TABLE IF EXISTS `segment_df_{suffix}`")
+
+    handle(
+        spark.createDataFrame(
+            [(2, "iota kappa mu nu " + boiler)],
+            "doc_id long, text string",
+        ),
+        2,
+    )
+    got = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()
+    }
+    assert boiler not in got[2], "learned boilerplate survived the crash"
+    assert got[2] == "iota kappa mu nu"
+    # restored by rename: the pre-crash files are back verbatim (plus
+    # epoch 3's append), never a from-scratch rewrite
+    files_after = sorted(_data_files(idx))
+    assert set(files_before) <= set(files_after)
+    assert not os.path.exists(idx + ".compacting")
+    assert not os.path.exists(idx + ".compacted-old")
+    bh = _h.md5(boiler.encode()).hexdigest()
+    sums = {
+        r["seg_hash"]: r["s"]
+        for r in spark.read.parquet(idx)
+        .groupBy("seg_hash")
+        .agg(F.sum("df").alias("s"))
+        .collect()
+    }
+    assert sums[bh] == 3, "cumulative df must survive the crash"
+    shutil.rmtree(path, ignore_errors=True)
+
+
+def test_dedup_ingest_sink_recovers_swap_without_rebuild(spark, tmp_path):
+    """The dedup sink prefers the one-rename recovery over its
+    rebuild-from-corpus fallback when a crashed swap strands the
+    complete index in `.compacting`: the pre-crash index files come
+    back verbatim (a rebuild would write fresh part files) and dedup
+    state is intact — an exact dup of a pre-crash doc is still
+    dropped."""
+    import os
+    import shutil
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _data_files,
+        dedup_ingest_sink,
+    )
+
+    path = str(tmp_path / "dedup_crash")
+    idx = path + "__index"
+    handle = dedup_ingest_sink(path, threshold=0.2)
+    handle(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "an entirely different second document body")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    files_before = sorted(_data_files(idx))
+    os.rename(idx, idx + ".compacting")
+    import hashlib as _h
+
+    suffix = _h.md5(path.encode()).hexdigest()[:10]
+    for t in (f"dedup_index_{suffix}", f"dedup_bands_{suffix}"):
+        spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+
+    handle(
+        spark.createDataFrame(
+            [(3, "the quick brown fox jumps over the lazy dog"),
+             (4, "a genuinely novel third document appears here")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    ids = sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    )
+    assert ids == [1, 2, 4], "pre-crash dedup state must survive"
+    assert set(files_before) <= set(sorted(_data_files(idx))), (
+        "recovery must be the rename, not a rebuild"
+    )
+    shutil.rmtree(path, ignore_errors=True)
