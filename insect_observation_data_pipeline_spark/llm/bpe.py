@@ -180,6 +180,27 @@ def bpe_encode(
     (pair_a, pair_b) applied in rank order, each as the same greedy
     left-to-right fold as training (merge ranks are literals here —
     applying a trained tokenizer is a pure projection, no join)."""
+    return (
+        _encoded_words(docs, merges, text_col=text_col, id_col=id_col)
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.size("syms")).cast("bigint").alias("n_bpe_symbols"),
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+        )
+    )
+
+
+def _encoded_words(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, syms) — one row per word occurrence, ``syms`` the BPE
+    symbol array after applying ``merges`` in rank order. The shared
+    encode core under :func:`bpe_encode` (per-doc stats) and
+    :func:`bpe_symbol_topk` (corpus histogram)."""
     toked = docs.select(
         F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
     )
@@ -189,11 +210,30 @@ def bpe_encode(
     )
     for a, b in merges:
         syms = _merge_adjacent(syms, F.lit(a), F.lit(b))
-    return (
-        toked.select("doc_id", syms.alias("syms"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.size("syms")).cast("bigint").alias("n_bpe_symbols"),
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
-        )
+    return toked.select("doc_id", syms.alias("syms"))
+
+
+def bpe_symbol_topk(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Top-k corpus symbol histogram AFTER encoding: (symbol, n) —
+    the vocabulary-usage profile a tokenizer report shows. Encode is a
+    pure projection (merge ranks are literals), so the whole thing is
+    one explode + one hash aggregate + a TakeOrderedAndProject head
+    via operators.top_k (count DESC, symbol ASC: integer counts +
+    unique symbols = a total order, engine-stable — and no global
+    window, which the plan audit would rightly flag)."""
+    from insect_observation_data_pipeline_spark.operators.topk import top_k
+
+    hist = (
+        _encoded_words(docs, merges, text_col=text_col, id_col=id_col)
+        .select(F.explode("syms").alias("symbol"))
+        .groupBy("symbol")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )
+    return top_k(hist, [F.col("n").desc(), F.col("symbol").asc()], k)

@@ -110,6 +110,17 @@ ROTATION_EXEMPT: dict[str, str] = {
         "fixed-probe form stays oracle-checked locally every round, "
         "pytest-pinned, and in the bench extended set"
     ),
+    # Round 8 (cont.): rotating x47_bpe_tokenize runs bpe_merges
+    # verbatim (same rounds=12) and then encodes with its output — a
+    # strict superset of x43's expressions, so the train-only form
+    # keeps local oracle + scaling coverage while x47 carries the
+    # driver evidence for the whole train+apply path.
+    "x43_bpe_vocab": (
+        "bpe_merges kernel driver-verified via rotating x47_bpe_tokenize "
+        "(train + encode, same rounds); merge-table oracle stays "
+        "pinned locally every round and the trainer is pytest-pinned "
+        "against a sequential reference"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

@@ -1026,6 +1026,31 @@ def x43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(_t(spark, sf_dir, "documents"), rounds=12)
 
 
+def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer TRAIN + APPLY (llm/bpe.py): learn the first 12 BPE
+    merges from the corpus (bpe_merges — executed verbatim, the x43
+    kernel), encode the corpus with them, and report the top-20
+    post-encode symbol histogram — the vocabulary-usage profile. The
+    12-row merge table is collected driver-side BY DESIGN: a shipped
+    tokenizer's merge list is driver/file-resident (vocabulary-sized,
+    never corpus-sized); encode itself is a pure projection with merge
+    ranks as literals, and the histogram is one explode + hash agg +
+    TakeOrderedAndProject. Oracle = pinned sf0.01 VALUES (the x43/x30
+    precedent: 12 greedy folds have no closed SQL form); the encode is
+    pinned against a sequential reference in tests/test_llm.py."""
+    from insect_observation_data_pipeline_spark.llm.bpe import (
+        bpe_merges,
+        bpe_symbol_topk,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    merges = [
+        (r["pair_a"], r["pair_b"])
+        for r in bpe_merges(docs, rounds=12).orderBy("rank").collect()
+    ]
+    return bpe_symbol_topk(docs, merges, k=20)
+
+
 def x44_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM fluency score (llm/curation.py bigram_lm_scores): the
     CCNet/KenLM-style perplexity gate — train an add-0.5-smoothed
@@ -1186,6 +1211,7 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x41_bloom_decontaminate": x41_bloom_decontaminate,
     "x42_segment_dedup": x42_segment_dedup,
     "x43_bpe_vocab": x43_bpe_vocab,
+    "x47_bpe_tokenize": x47_bpe_tokenize,
     "x44_bigram_lm_score": x44_bigram_lm_score,
     "x45_bm25_topk": x45_bm25_topk,
     "x46_hybrid_rrf": x46_hybrid_rrf,

@@ -2120,3 +2120,71 @@ def test_rrf_fuse_hand_case(spark):
     assert rows[3]["rank"] == 3
     assert abs(rows[2]["rrf_score"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
     assert abs(rows[1]["rrf_score"] - round(1 / 61, 6)) < 1e-9
+
+
+def test_bpe_symbol_topk_matches_sequential_reference(spark):
+    """Train (2 merges) + encode + histogram on a hand corpus must
+    equal a from-scratch sequential BPE implemented inline: trains on
+    the word-TYPE histogram with greedy non-overlapping pair counts
+    and lexicographic tie-break, encodes by rank-ordered greedy fusing
+    — the full x47 path, independently re-derived."""
+    import collections
+
+    from insect_observation_data_pipeline_spark.llm.bpe import (
+        WORD_END,
+        bpe_merges,
+        bpe_symbol_topk,
+    )
+
+    texts = ["low low lower", "lowest low slow", "slow slower low"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    # sequential reference
+    words = collections.Counter(
+        w for t in texts for w in t.split(" ") if w
+    )
+    vocab = {w: tuple(list(w) + [WORD_END]) for w in words}
+
+    def fuse(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    ref_merges = []
+    for _ in range(2):
+        pc = collections.Counter()
+        for w, c in words.items():
+            syms, i = vocab[w], 0
+            while i + 1 < len(vocab[w]):
+                pc[(vocab[w][i], vocab[w][i + 1])] += c
+                i += 1
+        mx = max(pc.values())
+        a, b = min(p for p, n in pc.items() if n == mx)
+        ref_merges.append((a, b))
+        vocab = {w: fuse(s, a, b) for w, s in vocab.items()}
+    hist = collections.Counter()
+    for w, c in words.items():
+        for s in vocab[w]:
+            hist[s] += c
+    expected = sorted(hist.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+
+    got_merges = [
+        (r["pair_a"], r["pair_b"])
+        for r in bpe_merges(docs, rounds=2).orderBy("rank").collect()
+    ]
+    assert got_merges == ref_merges
+    got = [
+        (r["symbol"], r["n"])
+        for r in bpe_symbol_topk(docs, got_merges, k=20)
+        .orderBy(__import__("pyspark").sql.functions.desc("n"), "symbol")
+        .collect()
+    ]
+    assert got == expected

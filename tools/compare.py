@@ -97,7 +97,7 @@ def main() -> int:
     # output (iterative algorithms DuckDB can't replay). Valid ONLY at
     # sf0.01 — at any other scale factor fall back to a rows-only check
     # instead of reporting a spurious hash mismatch.
-    pinned_sf001 = {"x30_ann_ivf_kmeans"}
+    pinned_sf001 = {"x30_ann_ivf_kmeans", "x43_bpe_vocab", "x47_bpe_tokenize"}
     at_sf001 = sf_dir.rstrip("/").endswith("sf0.01")
 
     con = duckdb.connect()
