@@ -49,7 +49,7 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     path = f"{base_dir}/{name}.parquet"
     nanos_cols = _nanos_timestamp_columns(path)
     if not nanos_cols:
-        return spark.read.parquet(path)
+        return _normalize_ntz(spark.read.parquet(path))
     # The legacy conf is consumed at schema-inference time (verified: the
     # relation keeps its long-typed columns and executes fine after the
     # conf is restored), so scope it to this read instead of leaking a
@@ -69,6 +69,27 @@ def read_table(spark: SparkSession, base_dir: str, name: str) -> DataFrame:
     for col in nanos_cols:
         if df.schema[col].dataType.simpleString() == "bigint":
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return _normalize_ntz(df)
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Pin every TIMESTAMP_NTZ column to TIMESTAMP — read_table's dtype
+    contract on ANY session. Parquet files written without the
+    UTC-adjusted flag (all the testdata timestamps) are inferred as NTZ
+    by any session with Spark 4.x's default
+    ``spark.sql.parquet.inferTimestampNTZ=true`` — the driver's shape;
+    our own session factory pins that conf off (session.py), which is
+    why the drift only ever showed on the driver (the j14 failure:
+    ``unix_micros``/``withWatermark`` reject NTZ). Normalizing at the
+    read boundary closes the whole class for every query that loads
+    data through read_table. The cast reinterprets the wall clock in
+    the session tz — the identity on the instant for the UTC sessions
+    this engine documents (session.py)."""
+    from pyspark.sql import functions as F
+
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "timestamp_ntz":
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
