@@ -141,6 +141,12 @@ EXTENDED_QUERIES = [
     # query-term pruning)
     "x44_bigram_lm_score",
     "x45_bm25_topk",
+    # round 8 (cont.): histogram-sketch quantiles (the mergeable scale
+    # twin of f_tokens_percentile — fixed bin state, integer readback)
+    # and within-day journey trigram mining (one window sort + hash agg
+    # + TakeOrderedAndProject)
+    "x48_histogram_quantiles",
+    "e9_path_trigrams",
 ]
 
 

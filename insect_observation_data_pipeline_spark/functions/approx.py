@@ -21,7 +21,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -88,6 +88,95 @@ def _cm_bucket_expr(term_col: str, row_col: str, width: int) -> Column:
         F.concat(F.col(row_col).cast("string"), F.lit(":"), F.col(term_col))
     )
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
+
+
+def binned_quantiles(
+    rows: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    width: int = 8,
+    pcts: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """Mergeable fixed-width-histogram quantile sketch with an
+    engine-portable (oracle-checkable) readback.
+
+    The third member of the deterministic sketch family (count-min
+    :func:`cm_weights` for frequencies, :func:`hll_registers` for
+    distincts): per group the state is one row per OCCUPIED bin of
+    width ``width`` — bounded by the value range, independent of row
+    count — and cross-shard/epoch merge is cellwise ``cnt`` addition
+    (pinned by tests/test_llm.py::test_binned_quantiles_merge), exactly
+    the property a 100 TB pipeline needs where the EXACT interpolated
+    percentile (``f_tokens_percentile``) would buffer whole groups and
+    Spark's own GK sketch (:func:`approx_quantiles`) has no
+    engine-portable readback for hash comparison.
+
+    Readback: for each integer percentile ``p`` the estimate is the
+    UPPER edge ``(bin + 1) * width`` of the first bin whose cumulative
+    count reaches rank ``ceil(p * total / 100)`` — the inverse-CDF rank
+    quantile coarsened to bin resolution, so the true rank value lies
+    in ``(est - width, est]``. Rank arithmetic is pure integer
+    (``(p * total + 99) DIV 100``): no float literal whose binary
+    rounding could differ between engines at exact-integer boundaries.
+    """
+    hist = binned_histogram(rows, value_col, group_cols, width=width)
+    return histogram_quantiles_readback(hist, group_cols, width=width, pcts=pcts)
+
+
+def binned_histogram(
+    rows: DataFrame,
+    value_col: str,
+    group_cols: Sequence[str] = (),
+    *,
+    width: int = 8,
+) -> DataFrame:
+    """The sketch STATE: one (group, bin, cnt) row per occupied
+    fixed-width bin. This is what a multi-epoch pipeline persists —
+    merge across shards/epochs by summing ``cnt`` per (group, bin)
+    (cellwise addition, like cm_weights; pinned by
+    tests/test_llm.py::test_binned_quantiles_merge)."""
+    binned = rows.select(
+        *group_cols,
+        F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
+    )
+    return binned.groupBy(*group_cols, "bin").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_quantiles_readback(
+    hist: DataFrame,
+    group_cols: Sequence[str] = (),
+    *,
+    width: int = 8,
+    pcts: Sequence[int] = (50, 90, 99),
+) -> DataFrame:
+    """Quantile readback over a (group, bin, cnt) histogram (see
+    :func:`binned_quantiles` for the rank semantics)."""
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    cdf = hist.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_all)
+    )
+    ests = [
+        F.min(
+            F.when(
+                F.col("cum") >= F.expr(f"({p} * total + 99) DIV 100"),
+                (F.col("bin") + 1) * width,
+            )
+        ).alias(f"p{p}_hi")
+        for p in pcts
+    ]
+    return cdf.groupBy(*group_cols).agg(
+        F.max("total").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_bins"),
+        *ests,
+    )
 
 
 _HLL_REST_MASK = (1 << 52) - 1  # low 52 bits of the 60-bit md5 prefix

@@ -121,6 +121,22 @@ ROTATION_EXEMPT: dict[str, str] = {
         "pinned locally every round and the trainer is pytest-pinned "
         "against a sequential reference"
     ),
+    # Round 8 (cont.): the sessionization pair folds into the rotating
+    # e25_session_census, which CALLS both component functions verbatim
+    # (the e8_window_census precedent) — one driver row re-verifies the
+    # lag/cumsum rewrite and the native session_window operator; both
+    # stay individually oracle-checked locally every round and their
+    # exact-gap boundary agreement is pytest-pinned.
+    "e2_sessionization": (
+        "per_user half of rotating e25_session_census (function called "
+        "verbatim); boundary agreement with e5 pinned by "
+        "tests/test_llm.py::test_session_boundary_exact_gap_agreement"
+    ),
+    "e5_session_window_stats": (
+        "per_session half of rotating e25_session_census (function "
+        "called verbatim); native session_window vs lag-rewrite "
+        "agreement pytest-pinned"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

@@ -1631,3 +1631,82 @@ LLM_ORACLE["x47_bpe_tokenize"] = """
         ('b', 2721), ('u', 2709), ('e', 2696), ('or', 2696)
     ) AS t(symbol, n)
 """
+
+
+LLM_ORACLE["e25_session_census"] = f"""
+    -- union of the e2 (per-user) and e5 (per-session) oracles verbatim,
+    -- NULL-padded to the census schema — mirrors the Spark census
+    -- calling both component functions verbatim
+    WITH per_user AS ({LLM_ORACLE["e2_sessionization"]}),
+    per_session AS ({LLM_ORACLE["e5_session_window_stats"]})
+    SELECT 'per_user' AS grain, user_id,
+           CAST(NULL AS TIMESTAMP) AS session_start,
+           CAST(NULL AS TIMESTAMP) AS session_end,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_sessions AS BIGINT) AS n_sessions
+    FROM per_user
+    UNION ALL
+    SELECT 'per_session' AS grain, user_id, session_start, session_end,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(NULL AS BIGINT) AS n_sessions
+    FROM per_session
+"""
+
+
+LLM_ORACLE["e9_path_trigrams"] = """
+    -- within-DAY event-type trigram paths (journey boundary = calendar
+    -- day; see the Spark docstring for why 10-min sessions are
+    -- degenerate at this density), trigram rows cut when either led
+    -- row crosses the day edge, deterministic (count desc, path asc)
+    -- top-20 boundary
+    WITH t AS (
+        SELECT user_id, event_id, event_type, ts,
+               CAST(ts AS DATE) AS d
+        FROM events
+    ), tri AS (
+        SELECT event_type || '>'
+                   || lead(event_type, 1) OVER w || '>'
+                   || lead(event_type, 2) OVER w AS path,
+               d AS d0,
+               lead(d, 1) OVER w AS d1,
+               lead(d, 2) OVER w AS d2
+        FROM t
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_paths
+    FROM tri
+    WHERE d1 = d0 AND d2 = d0
+    GROUP BY path
+    ORDER BY n_paths DESC, path ASC
+    LIMIT 20
+"""
+
+
+LLM_ORACLE["x48_histogram_quantiles"] = f"""
+    -- fixed-width-8 histogram quantile readback: pure integer rank
+    -- arithmetic ((p*total+99)//100) and upper-bin-edge estimates, so
+    -- both engines reproduce the sketch readback bit-identically
+    WITH v AS (
+        SELECT lang, CAST(len({_TOKS}) AS BIGINT) AS n_toks FROM documents
+    ), h AS (
+        SELECT lang, n_toks // 8 AS bin, count(*) AS cnt
+        FROM v GROUP BY 1, 2
+    ), c AS (
+        SELECT lang, bin, cnt,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               sum(cnt) OVER (PARTITION BY lang) AS total
+        FROM h
+    )
+    SELECT lang,
+           CAST(max(total) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_bins,
+           CAST(min(CASE WHEN cum >= (50 * total + 99) // 100
+                         THEN (bin + 1) * 8 END) AS BIGINT) AS p50_hi,
+           CAST(min(CASE WHEN cum >= (90 * total + 99) // 100
+                         THEN (bin + 1) * 8 END) AS BIGINT) AS p90_hi,
+           CAST(min(CASE WHEN cum >= (99 * total + 99) // 100
+                         THEN (bin + 1) * 8 END) AS BIGINT) AS p99_hi
+    FROM c
+    GROUP BY lang
+"""

@@ -870,6 +870,113 @@ def e6_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def e25_session_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization census (round-8 rotation-headroom merge, the
+    e8_window_census precedent): the per-USER lag/cumsum rewrite
+    (e2_sessionization) and the per-SESSION native ``session_window``
+    intervals (e5_session_window_stats), unioned under a ``grain``
+    discriminator with NULL-padded off-grain columns. Both component
+    functions execute VERBATIM (called directly below) so one driver
+    row re-verifies the manual gaps-and-islands rewrite AND the
+    engine's own stateful session operator; each remains individually
+    registered as ROTATION_EXEMPT with every-round local oracle + the
+    exact-gap boundary-agreement pytest pin. Cost is the two component
+    plans plus an append-only union — no extra shuffle."""
+    per_user = e2_sessionization(spark, sf_dir).select(
+        F.lit("per_user").alias("grain"),
+        "user_id",
+        F.lit(None).cast("timestamp").alias("session_start"),
+        F.lit(None).cast("timestamp").alias("session_end"),
+        "n_events",
+        "n_sessions",
+    )
+    per_session = e5_session_window_stats(spark, sf_dir).select(
+        F.lit("per_session").alias("grain"),
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.lit(None).cast("long").alias("n_sessions"),
+    )
+    return per_user.unionByName(per_session)
+
+
+def e9_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the top-20 within-day event-type TRIGRAM
+    paths (``view>click>purchase``-style) across the corpus — the
+    frequent-path / clickstream-motif discovery behind funnel design
+    (e6 checks ONE fixed path; this finds which paths dominate). The
+    journey boundary is the calendar DAY, not the e2/e5 10-minute
+    session: at this corpus's event density (~2 events/user/day)
+    10-minute sessions are almost all singletons, so the day is the
+    grain where consecutive-action motifs actually exist; the operator
+    shape is identical for any boundary expression.
+
+    Spark-first plan: ONE shuffle. Events sort once per user (window
+    over (ts, event_id)); both ``lead`` columns and the day comparison
+    share that single Window operator (same partition+order spec), so
+    trigram assembly adds no second exchange. Cross-day phantom paths
+    are cut by requiring both led rows to carry the same day. The
+    final count is one hash agg + TakeOrderedAndProject(20) with a
+    total (n desc, path asc) order so the k boundary is deterministic
+    across engines. NTZ-safe via the same ts cast as e2/e5/e6."""
+    e = _t(spark, sf_dir, "events")
+    ts = F.col("ts").cast("timestamp")
+    w = Window.partitionBy("user_id").orderBy(ts.asc(), F.col("event_id").asc())
+    tri = (
+        e.select(
+            "user_id",
+            "event_id",
+            "event_type",
+            ts.alias("ts"),
+            F.to_date(ts).alias("d"),
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                "event_type",
+                F.lead("event_type", 1).over(w),
+                F.lead("event_type", 2).over(w),
+            ).alias("path"),
+            F.col("d").alias("d0"),
+            F.lead("d", 1).over(w).alias("d1"),
+            F.lead("d", 2).over(w).alias("d2"),
+        )
+        .filter((F.col("d1") == F.col("d0")) & (F.col("d2") == F.col("d0")))
+    )
+    return (
+        tri.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_paths"))
+        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
+        .limit(20)
+    )
+
+
+def x48_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (functions/approx.py
+    binned_quantiles): per-language p50/p90/p99 token-count estimates
+    from a fixed-width-8 bin histogram — the scale twin of the EXACT
+    interpolated ``f_tokens_percentile``. At 100 TB the exact form
+    buffers every group's values to sort; the sketch's state is one
+    row per occupied bin (bounded by the value range, not the corpus),
+    merges across shards/epochs by cellwise count addition (pinned by
+    tests/test_llm.py::test_binned_quantiles_merge), and reads back
+    with pure integer rank arithmetic both engines reproduce exactly —
+    the quantile member of the deterministic sketch family (x39
+    count-min, x40 HLL). Upper-edge semantics: the true rank value
+    lies in (p_hi - 8, p_hi], asserted against the exact percentile in
+    tests."""
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    d = _t(spark, sf_dir, "documents")
+    vals = d.select(
+        "lang", textstats.token_count(F.col("text")).alias("n_toks")
+    )
+    return approx.binned_quantiles(
+        vals, "n_toks", ["lang"], width=8, pcts=(50, 90, 99)
+    )
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -1246,5 +1353,8 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e2_sessionization": e2_sessionization,
     "e4_json_props_rollup": e4_json_props_rollup,
     "e5_session_window_stats": e5_session_window_stats,
+    "e25_session_census": e25_session_census,
     "e6_funnel_steps": e6_funnel_steps,
+    "e9_path_trigrams": e9_path_trigrams,
+    "x48_histogram_quantiles": x48_histogram_quantiles,
 }

@@ -2188,3 +2188,136 @@ def test_bpe_symbol_topk_matches_sequential_reference(spark):
         .collect()
     ]
     assert got == expected
+
+
+def test_binned_quantiles_matches_exact_rank(spark):
+    """Upper-edge semantics: for every group and percentile, the sketch
+    estimate is the upper edge of the exact rank-quantile's bin —
+    est - width <= x_rank < est — plus exact n_rows / occupied-bin
+    counts."""
+    import random
+
+    from insect_observation_data_pipeline_spark.functions.approx import (
+        binned_quantiles,
+    )
+
+    rng = random.Random(42)
+    rows = [(f"g{i % 3}", rng.randrange(0, 500)) for i in range(600)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {
+        r["g"]: r
+        for r in binned_quantiles(df, "v", ["g"], width=8, pcts=(50, 90, 99)).collect()
+    }
+    by_g: dict[str, list[int]] = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, vals in by_g.items():
+        vals.sort()
+        n = len(vals)
+        assert out[g]["n_rows"] == n
+        assert out[g]["n_bins"] == len({v // 8 for v in vals})
+        for p in (50, 90, 99):
+            rank = -(-(p * n) // 100)  # ceil(p*n/100)
+            x = vals[rank - 1]
+            est = out[g][f"p{p}_hi"]
+            assert x // 8 == est // 8 - 1, (g, p, x, est)
+
+
+def test_binned_quantiles_merge(spark):
+    """The sketch state merges across shards by cellwise cnt addition:
+    summing two halves' histograms and reading back equals the sketch
+    of the full input — the property that lets a 100 TB pipeline keep
+    per-epoch histograms and combine them without re-scanning."""
+    import random
+
+    from insect_observation_data_pipeline_spark.functions.approx import (
+        binned_histogram,
+        binned_quantiles,
+        histogram_quantiles_readback,
+    )
+
+    rng = random.Random(7)
+    rows = [(f"g{i % 2}", rng.randrange(0, 300)) for i in range(400)]
+    df_a = spark.createDataFrame(rows[:150], "g string, v long")
+    df_b = spark.createDataFrame(rows[150:], "g string, v long")
+    df_full = spark.createDataFrame(rows, "g string, v long")
+
+    merged_hist = (
+        binned_histogram(df_a, "v", ["g"], width=8)
+        .unionByName(binned_histogram(df_b, "v", ["g"], width=8))
+        .groupBy("g", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    merged = histogram_quantiles_readback(
+        merged_hist, ["g"], width=8, pcts=(50, 90, 99)
+    )
+    direct = binned_quantiles(df_full, "v", ["g"], width=8, pcts=(50, 90, 99))
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_path_trigrams_hand_corpus(spark, tmp_path):
+    """e9 on a hand corpus: trigrams counted within (user, day) only —
+    the day boundary cuts phantom paths, multiple users' identical
+    paths accumulate, tie-break is (count desc, path asc)."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e9_path_trigrams,
+    )
+
+    rows = [
+        # user 7, day 1: view click purchase view -> 2 trigrams
+        (1, "2024-01-01 10:00:00", 7, "view"),
+        (2, "2024-01-01 10:05:00", 7, "click"),
+        (3, "2024-01-01 10:10:00", 7, "purchase"),
+        (4, "2024-01-01 10:15:00", 7, "view"),
+        # user 7, day 2: only two events -> no trigram
+        (5, "2024-01-02 09:00:00", 7, "click"),
+        (6, "2024-01-02 09:01:00", 7, "signup"),
+        # user 8, one day: view click purchase -> 1 trigram
+        (7, "2024-01-03 20:00:00", 8, "view"),
+        (8, "2024-01-03 20:30:00", 8, "click"),
+        (9, "2024-01-03 23:59:00", 8, "purchase"),
+        # user 8 next day 00:01 -> must NOT extend the path
+        (10, "2024-01-04 00:01:00", 8, "view"),
+    ]
+    df = spark.createDataFrame(
+        [(i, ts, u, et, 1.0, "{}") for i, ts, u, et in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    sf = str(tmp_path / "paths")
+    df.write.parquet(f"{sf}/events.parquet")
+
+    got = [(r["path"], r["n_paths"]) for r in e9_path_trigrams(spark, sf).collect()]
+    assert got == [
+        ("view>click>purchase", 2),
+        ("click>purchase>view", 1),
+    ]
+
+
+def test_session_census_unions_components(spark):
+    """e25 = e2 rows (grain per_user, NULL interval) + e5 rows (grain
+    per_session, NULL n_sessions), both component functions verbatim."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e2_sessionization,
+        e5_session_window_stats,
+        e25_session_census,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    census = e25_session_census(spark, sf).collect()
+    n_e2 = e2_sessionization(spark, sf).count()
+    n_e5 = e5_session_window_stats(spark, sf).count()
+    per_user = [r for r in census if r["grain"] == "per_user"]
+    per_session = [r for r in census if r["grain"] == "per_session"]
+    assert len(per_user) == n_e2 and len(per_session) == n_e5
+    assert len(census) == n_e2 + n_e5
+    assert all(
+        r["session_start"] is None and r["n_sessions"] is not None
+        for r in per_user
+    )
+    assert all(
+        r["n_sessions"] is None and r["session_start"] is not None
+        for r in per_session
+    )

@@ -93,6 +93,9 @@ SCALING_QUERIES = [
     # 12 merge rounds are fixed overhead over the word-TYPE table, so
     # the curve should be h4-shaped (flat-ish, amortizing at scale)
     "x43_bpe_vocab",
+    # train+apply: adds the encode projection + histogram over x43's
+    # rounds — the delta over x43's curve is the (linear) encode cost
+    "x47_bpe_tokenize",
     # round-8 entrants: bigram-LM (one corpus-sized bigram aggregate,
     # model joins are vocabulary-sized) and the BM25/hybrid retrieval
     # pair (inverted-index probe — the query side is fixed, so growth
@@ -100,6 +103,12 @@ SCALING_QUERIES = [
     "x44_bigram_lm_score",
     "x45_bm25_topk",
     "x46_hybrid_rrf",
+    # histogram-sketch quantiles: state is (group, occupied-bin) rows —
+    # bounded by the value range, not the corpus — so the curve should
+    # track the linear scan+agg, with the readback window flat
+    "x48_histogram_quantiles",
+    # journey trigrams: one per-user window sort + hash agg; linear
+    "e9_path_trigrams",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
