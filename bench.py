@@ -272,13 +272,15 @@ def _prev_bench() -> dict:
     ``prev_src`` makes the comparison base auditable."""
     here = os.path.dirname(os.path.abspath(__file__))
     # sort on the PARSED round number, not the filename: lexicographic
-    # order breaks at r100 (BENCH_r100 < BENCH_r99)
-    files = sorted(
-        glob.glob(os.path.join(here, "BENCH_r*.json")),
-        key=lambda p: int(
-            re.search(r"BENCH_r(\d+)\.json$", p).group(1)
-        ),
-    )
+    # order breaks at r100 (BENCH_r100 < BENCH_r99). Skip glob hits
+    # whose suffix is not numeric (e.g. a stray BENCH_rtest.json)
+    # instead of crashing on .group(None).
+    numbered = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            numbered.append((int(m.group(1)), p))
+    files = [p for _, p in sorted(numbered)]
     for path in reversed(files):
         try:
             with open(path) as f:

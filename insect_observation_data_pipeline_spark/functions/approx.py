@@ -135,8 +135,15 @@ def binned_histogram(
     fixed-width bin. This is what a multi-epoch pipeline persists —
     merge across shards/epochs by summing ``cnt`` per (group, bin)
     (cellwise addition, like cm_weights; pinned by
-    tests/test_llm.py::test_binned_quantiles_merge)."""
-    binned = rows.select(
+    tests/test_llm.py::test_binned_quantiles_merge).
+
+    NULL values are excluded before bucketing: a NULL bin would count
+    toward ``total`` in the rank readback yet never be selectable as an
+    estimate (biasing quantiles upward), and engines disagree on NULL
+    ordering in the cumulative window (Spark NULLS FIRST vs DuckDB
+    NULLS LAST), so the readback would not be engine-portable on
+    nullable inputs."""
+    binned = rows.where(F.col(value_col).isNotNull()).select(
         *group_cols,
         F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
     )

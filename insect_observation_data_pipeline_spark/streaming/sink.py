@@ -581,6 +581,38 @@ def segment_scrub_sink(
     index_path = f"{path}__segdf"
     suffix = hashlib.md5(path.encode()).hexdigest()[:10]
     index_table = f"segment_df_{suffix}"
+    # one legacy-key audit per handler lifetime: the index key changed
+    # from a 16-hex md5 PREFIX to the full 32-hex digest, and a prefix
+    # cannot be extended back to the full hash (the segment text is —
+    # by design — not stored), so a pre-change index can never match
+    # new batch hashes: its learned df counts would be silently
+    # orphaned and stripping would regress. Detect and fail loudly —
+    # the one lossless repair is re-counting from a raw (unscrubbed)
+    # corpus copy, which only the operator can point at.
+    key_audited = False
+
+    def _audit_index_key(spark) -> None:
+        nonlocal key_audited
+        if key_audited or not os.path.exists(index_path):
+            key_audited = True
+            return
+        row = (
+            spark.read.parquet(index_path)
+            .select(F.length("seg_hash").alias("n"))
+            .first()
+        )
+        if row is not None and row["n"] != 32:
+            raise ValueError(
+                f"segment index at {index_path} carries "
+                f"{row['n']}-char seg_hash keys, but this sink writes "
+                "full 32-hex md5 digests: the index predates the "
+                "128-bit key change and its counts can never match new "
+                "batches (a hash prefix is not recoverable to the full "
+                "digest). Rebuild the index by re-counting segments "
+                "from a raw corpus copy, or move the legacy index "
+                "aside explicitly if losing its counts is acceptable."
+            )
+        key_audited = True
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -605,6 +637,7 @@ def segment_scrub_sink(
         # only lossless path
         if _recover_crashed_swap(index_path):
             spark.sql(f"DROP TABLE IF EXISTS `{index_table}`")
+        _audit_index_key(spark)
         if os.path.exists(index_path) and not spark.catalog.tableExists(
             index_table
         ):

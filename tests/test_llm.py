@@ -2223,6 +2223,37 @@ def test_binned_quantiles_matches_exact_rank(spark):
             assert x // 8 == est // 8 - 1, (g, p, x, est)
 
 
+def test_binned_quantiles_ignore_nulls(spark):
+    """NULL values are excluded before bucketing (round-8 ADVICE): a
+    NULL bin would inflate ``total`` without ever being selectable as
+    an estimate (upward-biased quantiles), and Spark/DuckDB disagree on
+    NULL ordering in the cumulative window, breaking the
+    engine-portable readback. Quantiles over a nullable column must
+    equal quantiles over the same column with NULLs dropped."""
+    import random
+
+    from insect_observation_data_pipeline_spark.functions.approx import (
+        binned_quantiles,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (f"g{i % 2}", rng.randrange(0, 200) if i % 5 else None)
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    with_nulls = binned_quantiles(df, "v", ["g"], width=8, pcts=(50, 90))
+    dropped = binned_quantiles(
+        df.where(F.col("v").isNotNull()), "v", ["g"], width=8, pcts=(50, 90)
+    )
+    assert sorted(map(tuple, with_nulls.collect())) == sorted(
+        map(tuple, dropped.collect())
+    )
+    # n_rows counts only non-null values
+    n_nonnull = sum(1 for _, v in rows if v is not None)
+    assert sum(r["n_rows"] for r in with_nulls.collect()) == n_nonnull
+
+
 def test_binned_quantiles_merge(spark):
     """The sketch state merges across shards by cellwise cnt addition:
     summing two halves' histograms and reading back equals the sketch

@@ -1484,3 +1484,37 @@ def test_dedup_ingest_sink_recovers_swap_without_rebuild(spark, tmp_path):
         "recovery must be the rename, not a rebuild"
     )
     shutil.rmtree(path, ignore_errors=True)
+
+
+def test_segment_scrub_sink_rejects_legacy_16char_index(spark, tmp_path):
+    """An index written before the 128-bit key change (16-hex md5
+    PREFIX keys) can never match new 32-hex batch hashes — its learned
+    df counts would be silently orphaned. The sink must detect the
+    legacy key width on attach and fail loudly instead of quietly
+    regressing the scrub (round-8 ADVICE)."""
+    import os
+
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        segment_scrub_sink,
+    )
+
+    path = str(tmp_path / "scrubbed_legacy")
+    # fabricate a legacy index: plausible (seg_hash, df) rows with
+    # 16-char prefix keys, laid down before the sink ever runs
+    legacy = spark.createDataFrame(
+        [("0123456789abcdef", 3), ("fedcba9876543210", 2)],
+        "seg_hash string, df long",
+    )
+    legacy.write.parquet(f"{path}__segdf")
+
+    handle = segment_scrub_sink(path, seg_words=4, min_df=2)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(ValueError, match="16-char seg_hash"):
+        handle(docs, 0)
+    # nothing may have appended past the failed audit
+    assert not os.path.exists(path)
