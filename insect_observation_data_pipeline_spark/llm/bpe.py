@@ -130,31 +130,61 @@ def bpe_merges(
         )
         .localCheckpoint(eager=True)
     )
-    sentinel = words.sparkSession.createDataFrame(
+    # Size the ITERATION's partition count to the word-TYPE table, not
+    # the corpus: AQE's parallelism-first coalescing keeps ~32 shuffle
+    # partitions however small the vocabulary is, so every one of the
+    # 12 rounds' checkpoint/argmax stages would run ~33 near-empty
+    # tasks — pure scheduling overhead that dominates the trainer's
+    # wall clock at bench scale. The histogram is already materialized,
+    # so the count is a cached-read job; ~50k word types per partition
+    # keeps millions-of-types corpora distributed (the 100 TB posture)
+    # while a toy vocabulary iterates in one task. coalesce() is
+    # narrow — no extra shuffle.
+    sess = words.sparkSession
+    n_types = words.count()
+    parallelism = sess.sparkContext.defaultParallelism
+    p = max(1, min(parallelism, n_types // 50_000 + 1))
+    words = words.coalesce(p)
+    sentinel = sess.createDataFrame(
         [(_SENTINEL, _SENTINEL, -1)], "pair_a string, pair_b string, pair_count long"
     )
     merge_rows: list[DataFrame] = []
-    for r in range(1, rounds + 1):
-        top = (
-            _pair_counts(words)
-            .unionByName(sentinel)
-            .orderBy(
-                F.desc("pair_count"), F.asc("pair_a"), F.asc("pair_b")
+    # scope the shuffle-partition bound to the iteration: every shuffle
+    # in the loop is over vocabulary-sized data, and the session-wide
+    # 32-partition floor makes each of the ~24 round jobs a ~33-task
+    # stage of near-empty tasks (restored in the finally — the merge
+    # table rows are eagerly checkpointed inside the loop, so nothing
+    # lazy escapes the scope)
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(p))
+    try:
+        for r in range(1, rounds + 1):
+            top = (
+                _pair_counts(words)
+                .unionByName(sentinel)
+                .orderBy(
+                    F.desc("pair_count"), F.asc("pair_a"), F.asc("pair_b")
+                )
+                .limit(1)
+                .localCheckpoint(eager=True)
             )
-            .limit(1)
-            .localCheckpoint(eager=True)
-        )
-        merge_rows.append(top.select(F.lit(r).alias("rank"), "*"))
-        words = (
-            words.crossJoin(F.broadcast(top))
-            .select(
-                "n",
-                _merge_adjacent(
-                    F.col("syms"), F.col("pair_a"), F.col("pair_b")
-                ).alias("syms"),
+            merge_rows.append(top.select(F.lit(r).alias("rank"), "*"))
+            if r == rounds:
+                # the final round's fuse has no reader — skip it
+                # (one fold + one checkpoint job saved per call)
+                break
+            words = (
+                words.crossJoin(F.broadcast(top))
+                .select(
+                    "n",
+                    _merge_adjacent(
+                        F.col("syms"), F.col("pair_a"), F.col("pair_b")
+                    ).alias("syms"),
+                )
+                .localCheckpoint(eager=True)
             )
-            .localCheckpoint(eager=True)
-        )
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)
@@ -175,34 +205,57 @@ def bpe_encode(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Apply a learned merge list to a corpus: per document, the BPE
-    symbol sequence and its length — the "tokenize with the shipped
+    symbol count and word count — the "tokenize with the shipped
     vocab" half of the pair. ``merges`` is an ORDERED list of
-    (pair_a, pair_b) applied in rank order, each as the same greedy
-    left-to-right fold as training (merge ranks are literals here —
-    applying a trained tokenizer is a pure projection, no join)."""
+    (pair_a, pair_b) applied in rank order as the same greedy
+    left-to-right fold as training, but the fold runs once per word
+    TYPE (:func:`_encoded_word_types`) and per-document totals come
+    from a (doc, word)-grain count joined to the type table — the
+    Sennrich-trainer caching trick. At corpus scale this trades the
+    per-occurrence fold (rounds x corpus tokens of codegen'd scan
+    work) for one narrow (doc_id, w, n) shuffle plus a vocab-sized
+    fold; Zipf-hot words are map-side combined before they move."""
+    per_doc_word = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    types = _encoded_word_types(docs, merges, text_col=text_col).select(
+        "w", F.size("syms").alias("n_syms")
+    )
     return (
-        _encoded_words(docs, merges, text_col=text_col, id_col=id_col)
+        per_doc_word.join(types, "w")
         .groupBy("doc_id")
         .agg(
-            F.sum(F.size("syms")).cast("bigint").alias("n_bpe_symbols"),
-            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum(F.col("n_occ") * F.col("n_syms"))
+            .cast("bigint")
+            .alias("n_bpe_symbols"),
+            F.sum("n_occ").cast("bigint").alias("n_words"),
         )
     )
 
 
-def _encoded_words(
+def _encoded_word_types(
     docs: DataFrame,
     merges: list[tuple[str, str]],
     *,
     text_col: str = "text",
-    id_col: str = "doc_id",
 ) -> DataFrame:
-    """(doc_id, syms) — one row per word occurrence, ``syms`` the BPE
-    symbol array after applying ``merges`` in rank order. The shared
-    encode core under :func:`bpe_encode` (per-doc stats) and
-    :func:`bpe_symbol_topk` (corpus histogram)."""
-    toked = docs.select(
-        F.col(id_col).alias("doc_id"), F.explode(tokens(F.col(text_col))).alias("w")
+    """(w, n, syms) — one row per word TYPE with its corpus occurrence
+    count and the BPE symbol array after applying ``merges`` in rank
+    order. The shared encode core under :func:`bpe_encode` (per-doc
+    stats) and :func:`bpe_symbol_topk` (corpus histogram): running the
+    greedy fold once per distinct word instead of once per occurrence
+    is exactly the word-histogram caching a sequential BPE trainer
+    does, and at 100 TB it turns the encode from corpus-sized fold
+    compute into one token groupBy plus vocabulary-sized compute."""
+    types = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     syms = F.concat(
         F.filter(F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")),
@@ -210,7 +263,7 @@ def _encoded_words(
     )
     for a, b in merges:
         syms = _merge_adjacent(syms, F.lit(a), F.lit(b))
-    return toked.select("doc_id", syms.alias("syms"))
+    return types.select("w", "n", syms.alias("syms"))
 
 
 def bpe_symbol_topk(
@@ -222,18 +275,21 @@ def bpe_symbol_topk(
     k: int = 20,
 ) -> DataFrame:
     """Top-k corpus symbol histogram AFTER encoding: (symbol, n) —
-    the vocabulary-usage profile a tokenizer report shows. Encode is a
-    pure projection (merge ranks are literals), so the whole thing is
-    one explode + one hash aggregate + a TakeOrderedAndProject head
+    the vocabulary-usage profile a tokenizer report shows. The encode
+    fold runs once per word TYPE with the occurrence count as the
+    histogram weight (identical counts to the per-occurrence form:
+    every occurrence of a word contributes its type's symbols once),
+    so past the token groupBy everything is vocabulary-sized. Readback
+    is one explode + one hash aggregate + a TakeOrderedAndProject head
     via operators.top_k (count DESC, symbol ASC: integer counts +
     unique symbols = a total order, engine-stable — and no global
     window, which the plan audit would rightly flag)."""
     from insect_observation_data_pipeline_spark.operators.topk import top_k
 
     hist = (
-        _encoded_words(docs, merges, text_col=text_col, id_col=id_col)
-        .select(F.explode("syms").alias("symbol"))
+        _encoded_word_types(docs, merges, text_col=text_col)
+        .select("n", F.explode("syms").alias("symbol"))
         .groupBy("symbol")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .agg(F.sum("n").cast("bigint").alias("n"))
     )
     return top_k(hist, [F.col("n").desc(), F.col("symbol").asc()], k)

@@ -111,15 +111,19 @@ ROTATION_EXEMPT: dict[str, str] = {
         "pytest-pinned, and in the bench extended set"
     ),
     # Round 8 (cont.): rotating x47_bpe_tokenize runs bpe_merges
-    # verbatim (same rounds=12) and then encodes with its output — a
-    # strict superset of x43's expressions, so the train-only form
+    # verbatim and then encodes with its output, so the train-only form
     # keeps local oracle + scaling coverage while x47 carries the
-    # driver evidence for the whole train+apply path.
+    # driver evidence for the whole train+apply path. Round 9: x47's
+    # registered form trains 6 rounds (12 rounds of fixed job-cascade
+    # cost dominated its driver windows); x43 keeps the deeper
+    # 12-round form — the x12/x13 shallower-rotating precedent, where
+    # the exempt query is the widened variant of the driver-verified
+    # kernel.
     "x43_bpe_vocab": (
         "bpe_merges kernel driver-verified via rotating x47_bpe_tokenize "
-        "(train + encode, same rounds); merge-table oracle stays "
-        "pinned locally every round and the trainer is pytest-pinned "
-        "against a sequential reference"
+        "(train + encode, rounds=6 of the same trainer); the 12-round "
+        "merge-table oracle stays pinned locally every round and the "
+        "trainer is pytest-pinned against a sequential reference"
     ),
     # Round 8 (cont.): the sessionization pair folds into the rotating
     # e25_session_census, which CALLS both component functions verbatim
@@ -136,6 +140,36 @@ ROTATION_EXEMPT: dict[str, str] = {
         "per_session half of rotating e25_session_census (function "
         "called verbatim); native session_window vs lag-rewrite "
         "agreement pytest-pinned"
+    ),
+    # Round 9: the last exact all-pairs baseline still rotating joins
+    # its siblings (x6/x34/h3/x9/x21) in the keeper set — it was the
+    # worst-scaling rotating query (SCALING_r08: 9.79x per 10x data)
+    # burning a slot the exempt mechanism exists for.
+    "x32_containment": (
+        "exact unguarded baseline of the containment kernel — rotating "
+        "h3b_containment_keep_maxdf calls containment_pairs verbatim "
+        "(llm/dedup.py containment_keep -> containment_pairs), guard "
+        "on; the unguarded form stays oracle-checked locally every "
+        "round and pytest-pinned against h3's policy layer"
+    ),
+    # Round 9 (cont.): rotating h2_cluster_keep executes the full
+    # MinHash-pair + connected-components pipeline verbatim
+    # (minhash_lsh_dedup at the same threshold, then
+    # connected_components, then the representative policy) — a strict
+    # superset of both x7's and h1's expressions, so one driver row
+    # re-verifies the whole chain (the x45->x46 / x43->x47 precedent).
+    # Both stay in the bench sets and oracle-checked locally.
+    "x7_minhash_lsh": (
+        "minhash_lsh_dedup kernel driver-verified via rotating "
+        "h2_cluster_keep (same call, same threshold); banded-LSH "
+        "recall/threshold behavior pytest-pinned; stays in the bench "
+        "headline set"
+    ),
+    "h1_dup_clusters": (
+        "pairs -> connected_components chain driver-verified via "
+        "rotating h2_cluster_keep (both functions called verbatim "
+        "before the keep policy); propagation convergence "
+        "pytest-pinned; stays in the bench extended set"
     ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its

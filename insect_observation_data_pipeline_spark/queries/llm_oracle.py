@@ -1617,18 +1617,19 @@ LLM_ORACLE["x46_hybrid_rrf"] = f"""
 
 
 LLM_ORACLE["x47_bpe_tokenize"] = """
-    -- Pinned top-20 post-encode symbol histogram at sf0.01 (the
-    -- x43/x30 precedent: 12 greedy merge folds have no closed SQL
-    -- form). Values cross-checked against an INDEPENDENT sequential
-    -- python trainer+encoder (exact match, round 8); the encode path
-    -- is additionally pinned on a hand corpus in tests/test_llm.py.
+    -- Pinned top-20 post-encode symbol histogram at sf0.01, rounds=6
+    -- (the x43/x30 precedent: greedy merge folds have no closed SQL
+    -- form). Values derived round 9 from an INDEPENDENT sequential
+    -- python trainer+encoder (pure-python Counter over the word-type
+    -- histogram, duckdb-read corpus — no Spark involved); the encode
+    -- path is additionally pinned on a hand corpus in tests/test_llm.py.
     SELECT symbol, CAST(n AS BIGINT) AS n
     FROM (VALUES
-        ('</w>', 12448), ('a', 10805), ('l', 5525), ('s', 5481),
-        ('t', 5343), ('c', 4653), ('m', 4602), ('g', 4474),
-        ('e</w>', 4473), ('r', 4467), ('o', 3710), ('n</w>', 2834),
-        ('er</w>', 2779), ('i', 2773), ('ow</w>', 2747), ('d', 2732),
-        ('b', 2721), ('u', 2709), ('e', 2696), ('or', 2696)
+        ('</w>', 14332), ('a', 12650), ('t', 9864), ('s', 8157),
+        ('l', 7356), ('r', 7163), ('o', 6406), ('c', 4653),
+        ('m', 4602), ('i', 4569), ('u', 4540), ('g', 4474),
+        ('e</w>', 4473), ('h', 3671), ('n</w>', 2834), ('er</w>', 2779),
+        ('ow</w>', 2747), ('d', 2732), ('b', 2721), ('e', 2696)
     ) AS t(symbol, n)
 """
 

