@@ -1,8 +1,13 @@
-"""Text analysis: tokenization, quality scoring, language ID, fingerprints.
+"""Text analysis: tokenization, quality scoring, language ID, fingerprints,
+Unicode-normalization census.
 
 All expressions are built-in (split/filter/transform/aggregate/regexp) —
 JVM-side, Arrow-free, codegen-friendly. At 100 TB these run as a single
-projection over the scan: no shuffle, no Python boundary.
+projection over the scan: no shuffle, no Python boundary. The ONE
+exception is :func:`unicode_census`'s NFC check: Spark SQL has no
+UAX#15 normalization function, so that single predicate crosses the
+sanctioned Arrow boundary (``mapInPandas`` over stdlib ``unicodedata``,
+the m2 pattern) while every other metric in the census stays JVM-side.
 """
 
 from __future__ import annotations
@@ -104,3 +109,104 @@ def fingerprint64(text: Column) -> Column:
     """64-bit-ish fingerprint: first 8 hex chars of md5 as a bigint —
     cheap join key for exact-dup clustering."""
     return F.conv(F.substring(fingerprint128(text), 1, 8), 16, 10).cast("bigint")
+
+
+def unicode_census(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Unicode-hygiene census per ``group_col``: how much of the corpus
+    a normalization pass would actually touch — the audit a real
+    pipeline runs BEFORE deciding whether to pay for a full NFC/casefold
+    rewrite of 100 TB of text.
+
+    Per group: document count, docs NOT in NFC form (composed
+    normalization per UAX#15 would change them), docs lowercasing would
+    change, docs containing non-ASCII (UTF-8 bytes != chars — exact,
+    no regex), and total chars vs bytes (the width profile; ASCII text
+    has ratio 1, CJK ~3).
+
+    Execution shape: ONE documents scan -> JVM projection for every
+    metric except the NFC predicate, which crosses the sanctioned
+    Arrow boundary once (``mapInPandas`` + stdlib ``unicodedata`` —
+    Spark SQL has no UAX#15 function; ``is_normalized`` is the
+    quick-check form that avoids materializing the normalized string),
+    then one partial-aggregated groupBy on a tiny group domain. The
+    oracle is DuckDB's ``nfc_normalize`` — two independent UAX#15
+    implementations agreeing on the census.
+
+    NULL text rows are counted in ``n_docs`` but in no change-flag (a
+    rewrite pass would not touch them)."""
+    per_doc = docs.select(
+        F.col(group_col).alias("grp"),
+        F.col(text_col).alias("__t"),
+        (F.lower(F.col(text_col)) != F.col(text_col))
+        .cast("int")
+        .alias("casefold_changed"),
+        (F.octet_length(F.col(text_col)) != F.length(F.col(text_col)))
+        .cast("int")
+        .alias("has_nonascii"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.octet_length(F.col(text_col)).alias("n_bytes"),
+    )
+
+    out_schema = (
+        "grp string, casefold_changed int, has_nonascii int, "
+        "n_chars int, n_bytes int, nfc_changed int"
+    )
+
+    def add_nfc(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["nfc_changed"] = [
+                0
+                if (not isinstance(t, str)) or unicodedata.is_normalized("NFC", t)
+                else 1
+                for t in pdf["__t"]
+            ]
+            yield pdf.drop(columns=["__t"])
+
+    flagged = per_doc.mapInPandas(add_nfc, out_schema)
+    return (
+        flagged.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.coalesce(F.sum("nfc_changed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_nfc_changed"),
+            F.coalesce(F.sum("casefold_changed"), F.lit(0))
+            .cast("bigint")
+            .alias("n_casefold_changed"),
+            F.coalesce(F.sum("has_nonascii"), F.lit(0))
+            .cast("bigint")
+            .alias("n_nonascii"),
+            F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
+            F.coalesce(F.sum("n_bytes"), F.lit(0)).cast("bigint").alias("sum_bytes"),
+        )
+        .orderBy(group_col)
+    )
+
+
+def langid_confusion(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Corpus-level evaluation readback for :func:`lang_id`: the
+    (labeled lang, predicted lang) confusion matrix with document
+    counts — the aggregate quality report a pipeline publishes after a
+    language-ID pass (x3 carries the per-document grain; this is the
+    corpus grain). Pure JVM expressions over one scan + one tiny-domain
+    hash aggregate."""
+    pred = lang_id(F.col(text_col))
+    return (
+        docs.select(F.col(label_col).alias("lang"), pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )

@@ -1711,3 +1711,35 @@ LLM_ORACLE["x48_histogram_quantiles"] = f"""
     FROM c
     GROUP BY lang
 """
+
+
+LLM_ORACLE["x49_unicode_census"] = """
+    -- NFC via DuckDB's own UAX#15 implementation (nfc_normalize) — an
+    -- INDEPENDENT normalizer from the Spark side's stdlib unicodedata
+    -- check; bytes-vs-chars via strlen/length (exact non-ASCII test,
+    -- no regex). NULL texts count in n_docs, in no change flag.
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COALESCE(SUM(CASE WHEN nfc_normalize(text) <> text
+                                  THEN 1 END), 0) AS BIGINT) AS n_nfc_changed,
+           CAST(COALESCE(SUM(CASE WHEN lower(text) <> text
+                                  THEN 1 END), 0) AS BIGINT) AS n_casefold_changed,
+           CAST(COALESCE(SUM(CASE WHEN strlen(text) <> length(text)
+                                  THEN 1 END), 0) AS BIGINT) AS n_nonascii,
+           CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS sum_chars,
+           CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT) AS sum_bytes
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+"""
+
+
+LLM_ORACLE["x50_langid_confusion"] = """
+    -- corpus-grain rollup of the x3 oracle's pred_lang column verbatim
+    -- (the e25 composition precedent): the confusion matrix of the
+    -- marker-word language-ID heuristic against the labeled lang.
+    SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM ({x3})
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+""".format(x3=LLM_ORACLE["x3_text_quality"])

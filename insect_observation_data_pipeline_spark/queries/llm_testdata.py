@@ -977,6 +977,28 @@ def x48_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x49_unicode_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode-hygiene census (llm/textstats.py unicode_census): per
+    labeled lang, how many documents an NFC rewrite would change
+    (UAX#15 composed normalization — Spark side via the sanctioned
+    mapInPandas + stdlib unicodedata boundary, oracle side via
+    DuckDB's independent nfc_normalize), how many lowercasing would
+    change, how many carry non-ASCII (exact: UTF-8 bytes != chars),
+    and the char/byte width profile. The pre-flight audit before
+    paying for a corpus-wide normalization pass; one scan + one
+    tiny-domain hash agg."""
+    return textstats.unicode_census(_t(spark, sf_dir, "documents"))
+
+
+def x50_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation census (llm/textstats.py
+    langid_confusion): (labeled lang, predicted lang) confusion matrix
+    with doc counts over the marker-word lang_id heuristic — the
+    corpus-level quality report for the per-document grain x3 carries.
+    Pure JVM expressions, one scan + one tiny hash agg."""
+    return textstats.langid_confusion(_t(spark, sf_dir, "documents"))
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -1364,4 +1386,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "e6_funnel_steps": e6_funnel_steps,
     "e9_path_trigrams": e9_path_trigrams,
     "x48_histogram_quantiles": x48_histogram_quantiles,
+    "x49_unicode_census": x49_unicode_census,
+    "x50_langid_confusion": x50_langid_confusion,
 }

@@ -2352,3 +2352,104 @@ def test_session_census_unions_components(spark):
         r["n_sessions"] is None and r["session_start"] is not None
         for r in per_session
     )
+
+
+def test_unicode_census_hand_corpus(spark):
+    """x49's kernel on text the sf corpus doesn't have: a decomposed
+    combining sequence (NFC would compose it), an uppercase doc
+    (casefold would change it), CJK (non-ASCII, bytes = 3x chars), and
+    a NULL (counted in n_docs, in no change flag)."""
+    from insect_observation_data_pipeline_spark.llm.textstats import unicode_census
+
+    decomposed = "école"      # e + COMBINING ACUTE -> NFC composes
+    composed = "école"          # already NFC
+    rows = [
+        (1, decomposed, "fr"),
+        (2, composed, "fr"),
+        (3, "MIXED Case", "en"),
+        (4, "中文文本", "zh"),   # 4 CJK chars, 12 bytes
+        (5, None, "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in unicode_census(docs).collect()}
+
+    assert got["fr"]["n_docs"] == 2
+    assert got["fr"]["n_nfc_changed"] == 1          # only the decomposed one
+    assert got["fr"]["n_casefold_changed"] == 0
+    assert got["fr"]["n_nonascii"] == 2             # both carry é
+    assert got["fr"]["sum_chars"] == 6 + 5          # decomposed counts the mark
+    assert got["fr"]["sum_bytes"] == 7 + 6
+
+    assert got["en"]["n_docs"] == 2                  # NULL row counted
+    assert got["en"]["n_nfc_changed"] == 0
+    assert got["en"]["n_casefold_changed"] == 1
+    assert got["en"]["n_nonascii"] == 0
+    assert got["en"]["sum_chars"] == 10              # NULL adds nothing
+
+    assert got["zh"]["sum_chars"] == 4
+    assert got["zh"]["sum_bytes"] == 12
+    assert got["zh"]["n_nonascii"] == 1
+
+
+def test_unicode_census_matches_duckdb_nfc(spark):
+    """Two independent UAX#15 implementations must agree: the census
+    over a mixed hand corpus equals the same SQL over DuckDB's
+    nfc_normalize — including on decomposed Hangul and a singleton
+    (Angstrom sign) that NFC rewrites."""
+    import duckdb
+
+    from insect_observation_data_pipeline_spark.llm.textstats import unicode_census
+
+    rows = [
+        (1, "gärten", "de"),        # umlaut decomposed
+        (2, "Ångstrom unit", "sv"),  # U+212B ANGSTROM SIGN -> U+00C5
+        (3, "각 text", "ko"),  # decomposed Hangul jamo
+        (4, "plain ascii", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = sorted(map(tuple, unicode_census(docs).collect()))
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)", rows)
+    want = con.execute("""
+        SELECT lang, CAST(COUNT(*) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN nfc_normalize(text) <> text THEN 1 END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN lower(text) <> text THEN 1 END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(CASE WHEN strlen(text) <> length(text) THEN 1 END), 0) AS BIGINT),
+               CAST(COALESCE(SUM(length(text)), 0) AS BIGINT),
+               CAST(COALESCE(SUM(strlen(text)), 0) AS BIGINT)
+        FROM documents GROUP BY lang ORDER BY lang
+    """).fetchall()
+    assert got == sorted(map(tuple, want))
+
+
+def test_langid_confusion_hand_corpus(spark):
+    """x50 on a hand corpus: per (label, prediction) doc counts, with
+    the und bucket for marker-free text and the en>de>fr>es tie order."""
+    from insect_observation_data_pipeline_spark.llm.textstats import langid_confusion
+
+    rows = [
+        (1, "the cat and the dog", "en"),     # en markers
+        (2, "und der hund", "de"),            # de markers
+        (3, "xyzzy plugh", "en"),             # no markers -> und
+        (4, "the und", "en"),                 # 1 en + 1 de -> tie -> en
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {(r["lang"], r["pred_lang"]): r["n_docs"] for r in langid_confusion(docs).collect()}
+    assert got == {("en", "en"): 2, ("de", "de"): 1, ("en", "und"): 1}
+
+
+def test_unicode_census_plan_is_one_scan_mapinpandas(spark):
+    """x49 must plan as ONE documents scan through a single MapInPandas
+    boundary into a partial-aggregated groupBy — no row-at-a-time
+    Python UDF, no extra exchange beyond the tiny-domain agg."""
+    from insect_observation_data_pipeline_spark.plans import plan_flags
+    from insect_observation_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["x49_unicode_census"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1
+    flags = plan_flags(df)
+    assert not flags["python_udf"]
+    assert not flags["cartesian_product"]
