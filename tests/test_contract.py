@@ -258,3 +258,104 @@ def test_vanilla_parity_artifact_green():
         if not (r.get("hash_match") or r.get("note"))
     }
     assert not bad, f"vanilla-session failures in {latest}: {bad}"
+
+
+def test_registry_covered_by_local_artifact():
+    """Round-9 guard for the round-8 defect class: a query registered in
+    a snapshot commit AFTER the round's artifacts were generated shipped
+    with zero committed oracle evidence (e25/e9/x48 at r8). Every name
+    in the registry must have a GREEN row in the latest committed
+    CORRECTNESS_LOCAL_r*.json AND CORRECTNESS_VANILLA_r*.json — so
+    registering a query forces regenerating both artifacts in the same
+    change, or this fails. Regenerate with
+    `python tools/compare.py [--vanilla] --json CORRECTNESS_{LOCAL,VANILLA}_r{N}.json`.
+    """
+    import json
+    import os
+    import re
+    import subprocess
+
+    from insect_observation_data_pipeline_spark.queries import QUERIES
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for kind in ("LOCAL", "VANILLA"):
+        tracked = subprocess.run(
+            ["git", "ls-files", f"CORRECTNESS_{kind}_r*.json"],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        assert tracked, f"no committed {kind} artifact"
+        latest = max(
+            tracked,
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        )
+        rows = json.load(open(os.path.join(here, latest)))
+        unverified = set(QUERIES) - set(rows)
+        assert not unverified, (
+            f"registered queries with no row in {latest}: "
+            f"{sorted(unverified)} — regenerate the artifact"
+        )
+        bad = {
+            name: rows[name].get("err")
+            for name in QUERIES
+            if not (rows[name].get("hash_match") or rows[name].get("note"))
+        }
+        assert not bad, f"non-green registered queries in {latest}: {bad}"
+
+
+def test_exempt_twins_still_rotate():
+    """Keeps the exempt set honest mechanically (round-8 verdict #6):
+    every ROTATION_EXEMPT rationale must name at least one REGISTERED,
+    ROTATING query (its driver-evidence carrier) — if the named twin is
+    deregistered or itself exempted, this fails. For the
+    kernel-superset exemptions, additionally assert the claimed
+    call-path in source: the rotating twin's code (or its policy
+    layer) must actually reference the exempt query's kernel."""
+    import inspect
+    import re
+
+    from insect_observation_data_pipeline_spark.queries import (
+        QUERIES,
+        ROTATION_EXEMPT,
+    )
+
+    rotating = {q for q in QUERIES if q not in ROTATION_EXEMPT}
+    for name, reason in ROTATION_EXEMPT.items():
+        mentioned = set(re.findall(r"[a-z0-9]+(?:_[a-z0-9]+)+", reason))
+        carriers = mentioned & rotating
+        assert carriers, (
+            f"{name}'s exemption rationale names no rotating query "
+            f"(mentioned: {sorted(mentioned & set(QUERIES))})"
+        )
+
+    # claimed kernel call-paths, checked against the twin's source
+    twin_kernel = {
+        "x45_bm25_topk": ("x46_hybrid_rrf", "bm25_topk"),
+        "x43_bpe_vocab": ("x47_bpe_tokenize", "bpe_merges"),
+        "x7_minhash_lsh": ("h2_cluster_keep", "minhash_lsh_dedup"),
+        "h1_dup_clusters": ("h2_cluster_keep", "connected_components"),
+        "e2_sessionization": ("e25_session_census", "e2_sessionization"),
+        "e5_session_window_stats": (
+            "e25_session_census", "e5_session_window_stats",
+        ),
+        "h3_containment_keep": (
+            "h3b_containment_keep_maxdf", "containment_keep",
+        ),
+        "x21_decontaminate": (
+            "x41_bloom_decontaminate", "decontaminate",
+        ),
+    }
+    for exempt, (twin, kernel) in twin_kernel.items():
+        assert twin in rotating, f"{exempt}'s twin {twin} no longer rotates"
+        src = inspect.getsource(QUERIES[twin])
+        assert kernel in src, (
+            f"{twin} no longer calls {kernel} — {exempt}'s exemption "
+            "rationale is stale"
+        )
+
+    # x32's kernel rides h3b via containment_keep -> containment_pairs
+    from insect_observation_data_pipeline_spark.llm.dedup import containment_keep
+
+    assert "containment_pairs" in inspect.getsource(containment_keep), (
+        "containment_keep no longer calls containment_pairs — "
+        "x32_containment's exemption rationale is stale"
+    )

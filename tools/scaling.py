@@ -118,6 +118,12 @@ SCALING_QUERIES = [
 ]
 
 
+# Findings from per-query profiling passes, written into the artifact
+# so a steep-looking (but explained) curve doesn't get re-investigated
+# every round. Keep entries short and evidence-backed.
+QUERY_NOTES: dict[str, str] = {}
+
+
 def _sf_key(sf_dir: str) -> str:
     return sf_dir.rstrip("/").rsplit("sf", 1)[-1]
 
@@ -200,6 +206,7 @@ def main() -> None:
                 "overhead_sec": floors,
                 "calib_sec_per_scale_loop": calib,
                 "errors": errors,
+                "notes": QUERY_NOTES,
                 "queries": queries,
             },
             indent=1,
@@ -214,6 +221,7 @@ def main() -> None:
                 "overhead_sec": floors,
                 "calib_sec_per_scale_loop": calib,
                 "errors": errors,
+                "notes": QUERY_NOTES,
                 "queries": queries,
             },
             f,
