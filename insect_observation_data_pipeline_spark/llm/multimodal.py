@@ -14,10 +14,17 @@ path likewise goes to CONTENT: ``wav_decode_samples`` decodes
 8/16/24-bit integer PCM, float32, and IMA ADPCM frames — in classic or
 WAVE_FORMAT_EXTENSIBLE (0xFFFE) containers, resolved via the SubFormat
 GUID — (the ``wav_encode_*`` family are the round-trip partners) and
-the feature decoder emits exact-integer peak/RMS amplitudes. Richer
-codecs (JPEG, interlaced PNG, MS ADPCM, a-law, video) are where an
-imaging/audio library would slot in — swap the registry entry without
-touching the pipeline.
+the feature decoder emits exact-integer peak/RMS amplitudes. The video
+path decodes real frames too: ``avi_decode_frames`` walks an
+uncompressed RIFF AVI (BI_RGB 24-bit 'DIB ' stream — bottom-up BGR
+rows, 4-byte stride padding, per the public RIFF/BITMAPINFOHEADER
+spec) into an (n_frames, h, w, 3) array, ``avi_encode_frames`` is the
+round-trip partner, and ``sample_frames(decoder='video')`` emits every
+k-th REAL frame re-encoded as PNG. Richer codecs (JPEG, interlaced
+PNG, MS ADPCM, a-law, compressed video) are where an imaging/av
+library would slot in — swap the registry entry without touching the
+pipeline; a structurally-valid AVI in a compressed fourcc still gets
+header features with null amplitudes (the WAV precedent).
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -493,6 +500,166 @@ def _decode_audio_wav(payload: bytes) -> dict:
     return feats
 
 
+def _dib_stride(width: int) -> int:
+    """Bytes per DIB row: 3 bytes/pixel padded up to a 4-byte boundary
+    (the BITMAPINFOHEADER convention every BI_RGB consumer shares)."""
+    return (width * 3 + 3) & ~3
+
+
+def avi_encode_frames(frames, fps: int = 25) -> bytes:
+    """Uncompressed RIFF AVI encoder — the round-trip partner that pins
+    :func:`avi_decode_frames`. ``frames`` is a uint8 array of shape
+    (n_frames, height, width, 3) in RGB; the container is the classic
+    'vids'/'DIB ' stream: BI_RGB 24-bit frames as '00db' chunks in the
+    'movi' LIST, rows bottom-up in BGR with 4-byte stride padding, per
+    the public RIFF / MainAVIHeader / BITMAPINFOHEADER layouts."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(frames, dtype=np.uint8)
+    if arr.ndim != 4 or arr.shape[3] != 3:
+        raise ValueError("frames must be (n, h, w, 3) uint8")
+    n, h, w, _ = arr.shape
+    stride = _dib_stride(w)
+    frame_bytes = []
+    for f in arr:
+        rows = f[::-1, :, ::-1]  # bottom-up, RGB -> BGR
+        body = np.zeros((h, stride), dtype=np.uint8)
+        body[:, : w * 3] = rows.reshape(h, w * 3)
+        frame_bytes.append(body.tobytes())
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    size_image = stride * h
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // max(fps, 1),  # microseconds per frame
+        size_image * fps,          # max bytes/sec
+        0,                          # padding granularity
+        0,                          # flags: no idx1 written, so no AVIF_HASINDEX claim
+        n, 0, 1, size_image, w, h,
+        0, 0, 0, 0,                # reserved
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0,
+        1, max(fps, 1), 0, n, size_image, 0xFFFFFFFF, 0,
+        0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, size_image, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _avi_walk(b: bytes):
+    """(avih tuple, strf tuple, ['00db'/'00dc' frame bodies]) from a
+    RIFF AVI byte string; raises ValueError on structural problems."""
+    import struct
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    avih = strf = None
+    frames: list[bytes] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal avih, strf
+        pos = lo
+        while pos + 8 <= hi:
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            body_lo = pos + 8
+            body_hi = min(body_lo + size, hi)
+            if cid == b"LIST":
+                walk(body_lo + 4, body_hi)  # skip the list type fourcc
+            elif cid == b"avih":
+                avih = struct.unpack("<IIIIIIIIII", b[body_lo : body_lo + 40])
+            elif cid == b"strf":
+                strf = struct.unpack("<IiiHHII", b[body_lo : body_lo + 24])
+            elif cid[2:] in (b"db", b"dc"):
+                frames.append(b[body_lo:body_hi])
+            pos = body_hi + (size % 2)  # RIFF chunks pad to even
+
+    walk(12, min(12 + struct.unpack("<I", b[4:8])[0], len(b)) if len(b) >= 8 else len(b))
+    if avih is None or strf is None:
+        raise ValueError("AVI: missing avih/strf header")
+    return avih, strf, frames
+
+
+def avi_decode_frames(payload: bytes):
+    """Full frame-level decode of an uncompressed 24-bit BI_RGB AVI:
+    returns a uint8 ndarray of shape (n_frames, height, width, 3) in
+    RGB (undoing the bottom-up BGR padded-stride DIB layout). Raises
+    ValueError for compressed fourccs / other bit depths — callers
+    keep the header features (the WAV unsupported-encoding path)."""
+    import numpy as np
+
+    b = bytes(payload or b"")
+    _avih, strf, frames = _avi_walk(b)
+    _, w, h, _planes, bitcount, compression, _ = strf
+    if bitcount != 24 or compression != 0:
+        raise ValueError("AVI: only uncompressed 24-bit BI_RGB decoded")
+    h = abs(h)
+    stride = _dib_stride(w)
+    out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
+    for i, fb in enumerate(frames):
+        if len(fb) < stride * h:
+            raise ValueError("AVI: truncated frame")
+        rows = np.frombuffer(fb[: stride * h], dtype=np.uint8).reshape(h, stride)
+        px = rows[:, : w * 3].reshape(h, w, 3)
+        out[i] = px[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+    return out
+
+
+def _decode_video_avi(payload: bytes) -> dict:
+    """AVI decode: structural walk (dimensions/frame count from the
+    avih header) plus CONTENT-dependent luma features when the stream
+    is uncompressed 24-bit BI_RGB — peak (max ITU-R BT.601 integer
+    luma: (299 R + 587 G + 114 B) // 1000) and RMS (integer isqrt of
+    the mean squared luma; exact arithmetic, engine-portable) over
+    every pixel of every frame. Compressed fourccs keep the header
+    features with null amplitudes — the WAV precedent."""
+    import math
+
+    b = bytes(payload or b"")
+    avih, strf, _frames = _avi_walk(b)
+    feats = {
+        "n_bytes": len(b),
+        "feature_kind": "avi",
+        "width": strf[1],
+        "height": abs(strf[2]),
+        "n_frames": avih[4],
+    }
+    try:
+        arr = avi_decode_frames(b)
+    except ValueError:
+        return feats  # header-only for compressed streams
+    feats["n_frames"] = int(arr.shape[0])
+    if arr.size:
+        r = arr[..., 0].astype("int64")
+        g = arr[..., 1].astype("int64")
+        bl = arr[..., 2].astype("int64")
+        luma = (299 * r + 587 * g + 114 * bl) // 1000
+        feats["peak_amp"] = int(luma.max())
+        feats["rms_amp"] = math.isqrt(int((luma**2).sum()) // luma.size)
+    else:
+        feats["peak_amp"] = 0
+        feats["rms_amp"] = 0
+    return feats
+
+
 def _fake_deterministic_decode(payload: bytes) -> dict:
     """Deterministic fake decoder for tests: derives 'features' from bytes."""
     return {"n_bytes": len(payload or b""), "feature_kind": "fake"}
@@ -501,6 +668,7 @@ def _fake_deterministic_decode(payload: bytes) -> dict:
 DECODERS: dict[str, Callable[[bytes], Any]] = {
     "image": _decode_image_png,
     "audio": _decode_audio_wav,
+    "video": _decode_video_avi,
     "fake": _fake_deterministic_decode,
 }
 
@@ -726,16 +894,27 @@ def resize_images(
 
 
 def sample_frames(
-    df: DataFrame, *, every_nth: int = 10, max_frames: int = 8
+    df: DataFrame, *, every_nth: int = 10, max_frames: int = 8,
+    decoder: str = "fake",
 ) -> DataFrame:
-    """Frame-sampling plumbing: 1 video row in -> N frame rows out.
+    """Frame-sampling: 1 video row in -> N frame rows out.
 
     Row-expanding mapInPandas (the shape a real video decoder needs:
-    output rows != input rows). The fake "frames" are deterministic byte
-    slices keyed by frame index; ``n_frames`` metadata bounds the sample
-    without touching payload bytes for skipped frames.
+    output rows != input rows). ``decoder='video'`` is a REAL sample
+    for uncompressed 24-bit AVIs: :func:`avi_decode_frames` to pixels,
+    then every ``every_nth``-th frame (capped at ``max_frames``)
+    re-encoded as a standalone PNG via :func:`png_encode_pixels` — the
+    standard "sample frames for a vision encoder" pre-processing step,
+    stdlib+numpy only. ``decoder='fake'`` keeps the deterministic byte
+    slices keyed by frame index (``n_frames`` metadata bounds the
+    sample without touching payload bytes) so plumbing tests stay
+    payload-agnostic. Either way the Spark side — schema, Arrow
+    batching, row expansion — is identical.
     """
     import pandas as pd
+
+    if decoder not in ("fake", "video"):
+        raise KeyError(decoder)
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
@@ -744,6 +923,18 @@ def sample_frames(
                 pdf["media_id"], pdf["payload"], pdf["n_frames"]
             ):
                 raw = bytes(payload or b"")
+                if decoder == "video":
+                    frames = avi_decode_frames(raw)
+                    picked = list(range(0, frames.shape[0], every_nth))[:max_frames]
+                    for idx in picked:
+                        out.append(
+                            {
+                                "media_id": media_id,
+                                "frame_idx": idx,
+                                "payload": png_encode_pixels(frames[idx]),
+                            }
+                        )
+                    continue
                 total = int(n_frames) if n_frames is not None and n_frames == n_frames else 0
                 picked = list(range(0, total, every_nth))[:max_frames]
                 for idx in picked:

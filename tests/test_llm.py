@@ -2453,3 +2453,87 @@ def test_unicode_census_plan_is_one_scan_mapinpandas(spark):
     flags = plan_flags(df)
     assert not flags["python_udf"]
     assert not flags["cartesian_product"]
+
+
+def test_avi_roundtrip_and_odd_stride():
+    """avi_encode_frames -> avi_decode_frames is lossless, including a
+    width whose 3-byte rows need DIB 4-byte stride padding (w=3 ->
+    stride 12), bottom-up row order and BGR channel order undone."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(7)
+    for shape in ((5, 4, 4, 3), (3, 2, 3, 3), (1, 1, 1, 3)):
+        frames = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        payload = multimodal.avi_encode_frames(frames, fps=10)
+        back = multimodal.avi_decode_frames(payload)
+        assert back.shape == frames.shape
+        assert (back == frames).all(), shape
+
+
+def test_avi_feature_decode_luma(spark):
+    """extract_features(decoder='video'): header dims/frame count plus
+    exact-integer BT.601 luma peak/RMS over every pixel, verified
+    against a from-scratch numpy computation; a compressed fourcc
+    keeps header features with null amplitudes (the WAV precedent)."""
+    import math
+
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(4, 3, 5, 3), dtype=np.uint8)
+    payload = multimodal.avi_encode_frames(frames, fps=25)
+
+    # header-only twin: corrupt the compression field to a fake fourcc
+    compressed = bytearray(payload)
+    strf_at = payload.index(b"strf")
+    compressed[strf_at + 8 + 16 : strf_at + 8 + 20] = b"MJPG"
+
+    df = spark.createDataFrame(
+        [("ok", bytearray(payload)), ("mjpg", compressed)],
+        "media_id string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(df, decoder="video").collect()
+    }
+    luma = (
+        299 * frames[..., 0].astype("int64")
+        + 587 * frames[..., 1].astype("int64")
+        + 114 * frames[..., 2].astype("int64")
+    ) // 1000
+    ok = out["ok"]
+    assert (ok["width"], ok["height"], ok["n_frames"]) == (5, 3, 4)
+    assert ok["feature_kind"] == "avi"
+    assert ok["peak_amp"] == int(luma.max())
+    assert ok["rms_amp"] == math.isqrt(int((luma**2).sum()) // luma.size)
+    mj = out["mjpg"]
+    assert (mj["width"], mj["height"], mj["n_frames"]) == (5, 3, 4)
+    assert mj["peak_amp"] is None and mj["rms_amp"] is None
+
+
+def test_sample_frames_real_avi(spark):
+    """sample_frames(decoder='video') emits every nth REAL frame as a
+    standalone PNG whose pixels equal the source frames exactly."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, size=(7, 4, 3, 3), dtype=np.uint8)
+    payload = multimodal.avi_encode_frames(frames, fps=5)
+    df = spark.createDataFrame(
+        [("v", bytearray(payload), 7)],
+        "media_id string, payload binary, n_frames int",
+    )
+    rows = multimodal.sample_frames(
+        df, every_nth=3, max_frames=2, decoder="video"
+    ).collect()
+    got = {r["frame_idx"]: bytes(r["payload"]) for r in rows}
+    assert sorted(got) == [0, 3]
+    for idx, png in got.items():
+        px = multimodal.png_decode_pixels(png)
+        assert (px == frames[idx]).all(), idx

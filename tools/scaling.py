@@ -121,7 +121,27 @@ SCALING_QUERIES = [
 # Findings from per-query profiling passes, written into the artifact
 # so a steep-looking (but explained) curve doesn't get re-investigated
 # every round. Keep entries short and evidence-backed.
-QUERY_NOTES: dict[str, str] = {}
+QUERY_NOTES: dict[str, str] = {
+    "w2_best_month_per_customer": (
+        "round-9 profiling (staged timings, n=5 medians, sf0.01 vs "
+        "sf0.1): join-only 0.26->0.54 s (2.1x), join+countDistinct "
+        "0.51->1.46 s (2.8x), full query 0.54->1.64 s (3.0x) per 10x "
+        "data; identical plan shape at both scales (3 exchanges). The "
+        "rn=1 window adds ~0.16 s at sf0.1 (~10%); growth is the "
+        "two-phase exact countDistinct over the joined fact — "
+        "data-linear exchange/agg constants, not a plan defect. "
+        "r8's 6.75x net ratio was floor-netting amplification on a "
+        "0.54 s toy-scale base (raw ratio was 5.18)."
+    ),
+    "e2_sessionization": (
+        "round-9 profiling: scan-count flat (0.10->0.07 s), window "
+        "tag 0.15->0.22 s (1.5x), full query 0.29->0.31 s (~1.1x) per "
+        "10x data; identical plan shape (2 exchanges). The per-user "
+        "window sort is the only data-dependent cost and it is "
+        "sub-linear at these scales; r8's 7.71x net ratio was the "
+        "same floor-netting artifact on a ~0.27 s base."
+    ),
+}
 
 
 def _sf_key(sf_dir: str) -> str:
