@@ -516,3 +516,75 @@ def weighted_sample(
         .filter(F.col("__rn") <= k)
         .drop("__race", "__rn")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    *,
+    strata_col: str = "source",
+    text_col: str = "text",
+    budget_tokens: int = 1_000_000,
+) -> DataFrame:
+    """Corpus mixture PLAN at the source grain — the Pile/LLaMA-style
+    sampling-epochs table a training run is configured from: given a
+    total token budget, flatten each source's natural token share
+    toward sqrt (the alpha=0.5 temperature, same rationale as
+    :func:`temperature_mix`: sqrt is IEEE correctly-rounded, arbitrary
+    pow is libm-dependent) and report per source the natural token
+    count, the flattened share, the planned token allocation, and the
+    sampling EPOCHS = planned / natural — epochs > 1 means the tail
+    source is up-sampled (multiple passes over it), < 1 means the head
+    is down-sampled, which is exactly the per-document selection
+    :func:`temperature_mix` / x23 then implements for the <= 1 case.
+
+    Engine-exact arithmetic: the flattening weight is the INTEGER
+    isqrt of the token count (floor(sqrt) + an integer correction for
+    the borderline where the double sqrt of k^2 - eps rounds up to k),
+    shares and planned tokens are integer DIV expressions over exact
+    integer sums, and the single float column (epochs) is one division
+    of identical exact integers in both engines, stable-rounded. A
+    float weight SUM across sources would be partition-order-dependent
+    and poison the cross-engine hash.
+
+    Shape: one corpus scan -> per-source hash agg (rows = sources) ->
+    broadcast 1-row totals -> projection. No window, no second scan.
+    """
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+    from insect_observation_data_pipeline_spark.llm.textstats import token_count
+
+    per = (
+        docs.select(
+            F.col(strata_col).alias("source"),
+            token_count(F.col(text_col)).alias("__t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("__t").cast("bigint").alias("n_tokens"),
+        )
+    )
+    w_raw = F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("bigint")
+    weight = (w_raw - (w_raw * w_raw > F.col("n_tokens")).cast("bigint")).alias(
+        "weight"
+    )
+    weighted = per.select("source", "n_docs", "n_tokens", weight)
+    totals = weighted.agg(F.sum("weight").cast("bigint").alias("__wsum"))
+    return (
+        weighted.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "weight",
+            F.expr("(1000000 * weight) DIV __wsum").cast("bigint").alias("share_ppm"),
+            F.expr(f"({int(budget_tokens)} * weight) DIV __wsum")
+            .cast("bigint")
+            .alias("planned_tokens"),
+            stable_round(
+                F.expr(f"({int(budget_tokens)} * weight) DIV __wsum")
+                / F.col("n_tokens").cast("double"),
+                4,
+            ).alias("epochs"),
+        )
+        .orderBy("source")
+    )

@@ -171,6 +171,18 @@ ROTATION_EXEMPT: dict[str, str] = {
         "before the keep policy); propagation convergence "
         "pytest-pinned; stays in the bench extended set"
     ),
+    # Round 9 (cont.): the langid confusion census's only expressions
+    # beyond rotating x3_text_quality are one groupBy count over x3's
+    # own (lang, pred_lang) columns — x3 drives the lang_id kernel
+    # verbatim every time it rotates, and x50's rollup layer is
+    # oracle-composed from x3's oracle, so the census stays local- and
+    # vanilla-checked every round without burning a rotating slot.
+    "x50_langid_confusion": (
+        "lang_id kernel driver-verified via rotating x3_text_quality "
+        "(same expression, per-doc grain); the confusion rollup adds "
+        "one hash agg and its oracle composes x3's oracle verbatim; "
+        "oracle-checked locally every round"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

@@ -1743,3 +1743,35 @@ LLM_ORACLE["x50_langid_confusion"] = """
     GROUP BY lang, pred_lang
     ORDER BY lang, pred_lang
 """.format(x3=LLM_ORACLE["x3_text_quality"])
+
+
+LLM_ORACLE["x51_mixture_plan"] = f"""
+    -- integer isqrt weights (floor(sqrt) + borderline correction),
+    -- integer DIV shares over exact sums; the single float column
+    -- (epochs) is one division of identical exact integers rounded
+    -- with the shared stable-round formula.
+    WITH per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len({_TOKS})) AS BIGINT) AS n_tokens
+        FROM documents
+        GROUP BY source
+    ), w AS (
+        SELECT *,
+               CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+               - CASE WHEN CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                           * CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+                           > n_tokens THEN 1 ELSE 0 END AS weight
+        FROM per
+    ), t AS (
+        SELECT CAST(SUM(weight) AS BIGINT) AS wsum FROM w
+    )
+    SELECT source, n_docs, n_tokens, weight,
+           CAST((1000000 * weight) // wsum AS BIGINT) AS share_ppm,
+           CAST((1000000 * weight) // wsum AS BIGINT) AS planned_tokens,
+           ((floor(abs(((1000000 * weight) // wsum) / CAST(n_tokens AS DOUBLE)) * 10000.0 + 0.5) / 10000.0)
+            * (CASE WHEN (((1000000 * weight) // wsum) / CAST(n_tokens AS DOUBLE)) < 0 THEN -1.0 ELSE 1.0 END)
+            + 0.0) AS epochs
+    FROM w, t
+    ORDER BY source
+"""

@@ -999,6 +999,17 @@ def x50_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.langid_confusion(_t(spark, sf_dir, "documents"))
 
 
+def x51_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture plan (llm/curation.py mixture_plan): the
+    Pile/LLaMA-style per-source sampling-epochs table — sqrt-flattened
+    token shares of a 1M-token budget with integer-exact weights and
+    shares; epochs > 1 = tail up-sampling the per-doc x23 filter can't
+    express. One scan, one source-grain agg, one broadcast total."""
+    return curation.mixture_plan(
+        _t(spark, sf_dir, "documents"), budget_tokens=1_000_000
+    )
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -1388,4 +1399,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x48_histogram_quantiles": x48_histogram_quantiles,
     "x49_unicode_census": x49_unicode_census,
     "x50_langid_confusion": x50_langid_confusion,
+    "x51_mixture_plan": x51_mixture_plan,
 }

@@ -343,6 +343,7 @@ def test_exempt_twins_still_rotate():
         "x21_decontaminate": (
             "x41_bloom_decontaminate", "decontaminate",
         ),
+        "x50_langid_confusion": ("x3_text_quality", "lang_id"),
     }
     for exempt, (twin, kernel) in twin_kernel.items():
         assert twin in rotating, f"{exempt}'s twin {twin} no longer rotates"

@@ -2537,3 +2537,34 @@ def test_sample_frames_real_avi(spark):
     for idx, png in got.items():
         px = multimodal.png_decode_pixels(png)
         assert (px == frames[idx]).all(), idx
+
+
+def test_mixture_plan_hand_corpus(spark):
+    """x51 semantics on a skewed two-source corpus: sqrt flattening
+    gives the small source a larger-than-natural share; epochs > 1 on
+    the tail (up-sampling) and < 1 on the head; integer weights are
+    exact isqrt; planned tokens sum to <= budget."""
+    from insect_observation_data_pipeline_spark.llm.curation import mixture_plan
+
+    rows = (
+        # head: 90 docs x 100 tokens = 9000 tokens
+        [(i, " ".join(["tok"] * 100), "head") for i in range(90)]
+        # tail: 10 docs x 10 tokens = 100 tokens
+        + [(100 + i, " ".join(["tok"] * 10), "tail") for i in range(10)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {r["source"]: r for r in mixture_plan(docs, budget_tokens=9_100).collect()}
+
+    import math
+
+    assert got["head"]["n_tokens"] == 9000 and got["tail"]["n_tokens"] == 100
+    assert got["head"]["weight"] == math.isqrt(9000)  # 94
+    assert got["tail"]["weight"] == math.isqrt(100)   # 10
+    wsum = got["head"]["weight"] + got["tail"]["weight"]
+    assert got["tail"]["share_ppm"] == (1_000_000 * 10) // wsum
+    # natural tail share is ~1.1%; flattened it is ~9.6%
+    assert got["tail"]["share_ppm"] > 90_000
+    assert got["head"]["planned_tokens"] == (9_100 * 94) // wsum
+    assert got["tail"]["epochs"] > 1.0 < got["head"]["epochs"] + 1  # tail up-sampled
+    assert got["head"]["epochs"] < 1.0
+    assert got["head"]["planned_tokens"] + got["tail"]["planned_tokens"] <= 9_100
