@@ -21,8 +21,8 @@ rows, 4-byte stride padding, per the public RIFF/BITMAPINFOHEADER
 spec) into an (n_frames, h, w, 3) array, ``avi_encode_frames`` is the
 round-trip partner, and ``sample_frames(decoder='video')`` emits every
 k-th REAL frame re-encoded as PNG. Richer codecs (JPEG, interlaced
-PNG, MS ADPCM, a-law, compressed video) are where an imaging/av
-library would slot in — swap the registry entry without touching the
+PNG, MS ADPCM, compressed video) are where an imaging/av library
+would slot in — swap the registry entry without touching the
 pipeline; a structurally-valid AVI in a compressed fourcc still gets
 header features with null amplitudes (the WAV precedent).
 
@@ -164,12 +164,15 @@ def wav_decode_samples(payload: bytes):
     (round-half-even of x*32767, clipped to [-32768, 32767]) so every
     downstream amplitude feature stays exact integer arithmetic — and
     IMA/DVI ADPCM (format tag 17, the common 4-bit lossy WAV codec)
-    via :func:`_ima_adpcm_decode`. WAVE_FORMAT_EXTENSIBLE containers
+    via :func:`_ima_adpcm_decode`, and the G.711 telephony compandings
+    — a-law (tag 6) and mu-law (tag 7), 8-bit log-companded samples
+    expanded through the canonical CCITT segment tables
+    (:func:`g711_decode_table`). WAVE_FORMAT_EXTENSIBLE containers
     (tag 0xFFFE) are resolved to their effective codec by
-    :func:`_wav_chunks` before dispatch, so extensible PCM/float/ADPCM
-    decode identically to their classic-tag forms. Non-IMA ADPCM
-    variants (MS ADPCM tag 2, a-law/mu-law) remain out of scope — that
-    is where a real audio library would slot in."""
+    :func:`_wav_chunks` before dispatch, so extensible
+    PCM/float/ADPCM/G.711 decode identically to their classic-tag
+    forms. The remaining ADPCM variant (MS ADPCM tag 2) stays out of
+    scope — that is where a real audio library would slot in."""
     import numpy as np
 
     fmt, data = _wav_chunks(bytes(payload or b""))
@@ -179,7 +182,10 @@ def wav_decode_samples(payload: bytes):
     if audio_format == 17 and bits == 4:
         return _ima_adpcm_decode(data, n_channels, block_align)
     whole = data[: len(data) // block_align * block_align]
-    if audio_format == 1 and bits == 16:
+    if audio_format in (6, 7) and bits == 8:
+        table = g711_decode_table("alaw" if audio_format == 6 else "ulaw")
+        arr = table[np.frombuffer(whole, dtype=np.uint8)].astype(np.int32)
+    elif audio_format == 1 and bits == 16:
         arr = np.frombuffer(whole, dtype="<i2").astype(np.int32)
     elif audio_format == 1 and bits == 8:
         arr = np.frombuffer(whole, dtype=np.uint8).astype(np.int32) - 128
@@ -304,6 +310,68 @@ _IMA_STEPS = [
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
 ]
 _IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def g711_decode_table(law: str):
+    """The 256-entry G.711 expansion table for ``'alaw'`` or
+    ``'ulaw'`` — the canonical CCITT segment decode (sign bit, 3-bit
+    segment, 4-bit mantissa) every telephony stack shares: mu-law is
+    bias-132 with a bitwise complement, a-law is the 0x55-XOR'd
+    variant with the seg-0/1 special cases. int16 linear output
+    (mu-law spans +/-32124, a-law +/-32256)."""
+    import numpy as np
+
+    out = np.zeros(256, dtype=np.int16)
+    for byte in range(256):
+        if law == "ulaw":
+            u = ~byte & 0xFF
+            t = (((u & 0x0F) << 3) + 0x84) << ((u & 0x70) >> 4)
+            out[byte] = (0x84 - t) if (u & 0x80) else (t - 0x84)
+        else:
+            a = byte ^ 0x55
+            t = (a & 0x0F) << 4
+            seg = (a & 0x70) >> 4
+            if seg == 0:
+                t += 8
+            elif seg == 1:
+                t += 0x108
+            else:
+                t = (t + 0x108) << (seg - 1)
+            out[byte] = t if (a & 0x80) else -t
+    return out
+
+
+def _g711_encode_bytes(samples, law: str):
+    """int16 linear -> G.711 bytes by nearest-representable-level
+    quantization against :func:`g711_decode_table` (ties to the lower
+    level, deterministic) — correct by construction: decode(encode(x))
+    is the closest companded level to x, and encode is the exact
+    inverse of decode on representable values."""
+    import numpy as np
+
+    table = g711_decode_table(law)
+    order = np.argsort(table, kind="stable")
+    levels = table[order].astype(np.int32)
+    x = np.asarray(samples, dtype=np.int32).ravel()
+    idx = np.searchsorted(levels, x)
+    idx = np.clip(idx, 1, len(levels) - 1)
+    lo, hi = levels[idx - 1], levels[idx]
+    pick = np.where((x - lo) <= (hi - x), idx - 1, idx)
+    return order[pick].astype(np.uint8)
+
+
+def wav_encode_g711(samples, sample_rate: int, *, law: str) -> bytes:
+    """G.711 WAV encoder (format tag 6 = a-law, 7 = mu-law) from an
+    int16-range array of shape (n_frames, n_channels) — the round-trip
+    partner pinning the G.711 branch of :func:`wav_decode_samples`."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int32)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    tag = 6 if law == "alaw" else 7
+    body = _g711_encode_bytes(arr, law).tobytes()
+    return _wav_container(tag, sample_rate, arr.shape[1], 8, body)
 
 
 def _ima_step(pred: int, index: int, code: int) -> tuple[int, int]:
@@ -466,7 +534,7 @@ def _decode_audio_wav(payload: bytes) -> dict:
     isqrt of the mean square: exact arithmetic, engine-portable) for
     8/16/24-bit integer PCM, float32, and IMA ADPCM payloads (each in
     classic or WAVE_FORMAT_EXTENSIBLE containers). A structurally-valid
-    WAV in a remaining unsupported encoding (non-IMA ADPCM, a-law)
+    WAV in a remaining unsupported encoding (e.g. MS ADPCM)
     still gets the header features with null amplitudes. ``n_frames`` comes from the decoded sample count
     when decode succeeds (for ADPCM the header-derived
     ``len(data)//block_align`` would be the BLOCK count); the header

@@ -2568,3 +2568,54 @@ def test_mixture_plan_hand_corpus(spark):
     assert got["tail"]["epochs"] > 1.0 < got["head"]["epochs"] + 1  # tail up-sampled
     assert got["head"]["epochs"] < 1.0
     assert got["head"]["planned_tokens"] + got["tail"]["planned_tokens"] <= 9_100
+
+
+def test_g711_decode_spec_values_and_roundtrip(spark):
+    """G.711 expansion pinned to published table values (mu-law 0x00 ->
+    -32124, 0x80 -> +32124, 0xFF/0x7F -> 0; a-law 0x55 -> -8, 0xD5 ->
+    +8, 0x2A -> -32256, 0xAA -> +32256), byte-level round trip
+    (encode(decode(byte)) == byte for every byte up to mu-law's dual
+    zero), and the full WAV path: wav_encode_g711 -> wav_decode_samples
+    reproduces each representable level exactly, and extract_features
+    computes exact peak/RMS on both laws — in classic containers (the
+    extensible GUID resolution is tag-generic and already pinned)."""
+    import math
+
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    ulaw = multimodal.g711_decode_table("ulaw")
+    alaw = multimodal.g711_decode_table("alaw")
+    assert ulaw[0x00] == -32124 and ulaw[0x80] == 32124
+    assert ulaw[0xFF] == 0 and ulaw[0x7F] == 0
+    assert alaw[0x55] == -8 and alaw[0xD5] == 8
+    assert alaw[0x2A] == -32256 and alaw[0xAA] == 32256
+
+    # byte-level inverse: every byte re-encodes to itself (mu-law 0x7F
+    # and 0xFF both decode to 0 — one canonical byte wins, value-exact)
+    for law, table in (("alaw", alaw), ("ulaw", ulaw)):
+        re = multimodal._g711_encode_bytes(table.astype(np.int32), law)
+        redec = table[re]
+        assert (redec == table).all(), law
+
+    # WAV round trip per law: stereo ramp hitting exact levels
+    for law in ("alaw", "ulaw"):
+        table = alaw if law == "alaw" else ulaw
+        lv = np.sort(np.unique(table.astype(np.int32)))
+        frames = np.stack([lv[:200], lv[-200:]], axis=1)  # (200, 2)
+        payload = multimodal.wav_encode_g711(frames, 8000, law=law)
+        back = multimodal.wav_decode_samples(payload)
+        assert back.shape == frames.shape
+        assert (back == frames).all(), law
+
+        df = spark.createDataFrame(
+            [(law, bytearray(payload))], "media_id string, payload binary"
+        )
+        feats = multimodal.extract_features(df, decoder="audio").collect()[0]
+        assert feats["feature_kind"] == "wav"
+        assert feats["sample_rate"] == 8000 and feats["n_channels"] == 2
+        assert feats["n_frames"] == 200
+        assert feats["peak_amp"] == int(np.abs(frames).max())
+        sq = int((frames.astype("int64") ** 2).sum())
+        assert feats["rms_amp"] == math.isqrt(sq // frames.size)
