@@ -11,20 +11,21 @@ scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs, with
 ``png_encode_pixels`` as the re-encode half — so ``resize_images`` with
 ``decoder='image'`` is a genuine resample, stdlib+numpy only. The audio
 path likewise goes to CONTENT: ``wav_decode_samples`` decodes
-8/16/24-bit integer PCM, float32, and IMA ADPCM frames — in classic or
-WAVE_FORMAT_EXTENSIBLE (0xFFFE) containers, resolved via the SubFormat
-GUID — (the ``wav_encode_*`` family are the round-trip partners) and
-the feature decoder emits exact-integer peak/RMS amplitudes. The video
-path decodes real frames too: ``avi_decode_frames`` walks an
-uncompressed RIFF AVI (BI_RGB 24-bit 'DIB ' stream — bottom-up BGR
-rows, 4-byte stride padding, per the public RIFF/BITMAPINFOHEADER
-spec) into an (n_frames, h, w, 3) array, ``avi_encode_frames`` is the
-round-trip partner, and ``sample_frames(decoder='video')`` emits every
-k-th REAL frame re-encoded as PNG. Richer codecs (JPEG, interlaced
-PNG, MS ADPCM, compressed video) are where an imaging/av library
-would slot in — swap the registry entry without touching the
-pipeline; a structurally-valid AVI in a compressed fourcc still gets
-header features with null amplitudes (the WAV precedent).
+8/16/24-bit integer PCM, float32, IMA ADPCM, MS ADPCM, and G.711
+a-law/mu-law frames — in classic or WAVE_FORMAT_EXTENSIBLE (0xFFFE)
+containers, resolved via the SubFormat GUID — (the ``wav_encode_*``
+family are the round-trip partners) and the feature decoder emits
+exact-integer peak/RMS amplitudes. The video path decodes real frames
+too: ``avi_decode_frames`` walks an uncompressed RIFF AVI (BI_RGB
+24-bit 'DIB ' stream — bottom-up BGR rows, 4-byte stride padding, per
+the public RIFF/BITMAPINFOHEADER spec) into an (n_frames, h, w, 3)
+array, ``avi_encode_frames`` is the round-trip partner, and
+``sample_frames(decoder='video')`` emits every k-th REAL frame
+re-encoded as PNG. Richer codecs (JPEG, interlaced PNG, compressed
+video) are where an imaging/av library would slot in — swap the
+registry entry without touching the pipeline; a structurally-valid
+AVI in a compressed fourcc still gets header features with null
+amplitudes (as does a WAV in an undecoded codec).
 
 Scale notes: binary blobs ride in the same parquet row groups as their
 metadata; ``spark.sql.files.maxPartitionBytes`` bounds executor memory per
@@ -171,8 +172,8 @@ def wav_decode_samples(payload: bytes):
     (tag 0xFFFE) are resolved to their effective codec by
     :func:`_wav_chunks` before dispatch, so extensible
     PCM/float/ADPCM/G.711 decode identically to their classic-tag
-    forms. The remaining ADPCM variant (MS ADPCM tag 2) stays out of
-    scope — that is where a real audio library would slot in."""
+    forms, and MS ADPCM (tag 2, the 7-coefficient block-predictor
+    codec) via :func:`_ms_adpcm_decode`."""
     import numpy as np
 
     fmt, data = _wav_chunks(bytes(payload or b""))
@@ -181,6 +182,8 @@ def wav_decode_samples(payload: bytes):
         raise ValueError("WAV: zero channels/block align")
     if audio_format == 17 and bits == 4:
         return _ima_adpcm_decode(data, n_channels, block_align)
+    if audio_format == 2 and bits == 4:
+        return _ms_adpcm_decode(data, n_channels, block_align)
     whole = data[: len(data) // block_align * block_align]
     if audio_format in (6, 7) and bits == 8:
         table = g711_decode_table("alaw" if audio_format == 6 else "ulaw")
@@ -310,6 +313,149 @@ _IMA_STEPS = [
     16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
 ]
 _IMA_INDEX_ADJ = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+#: MS ADPCM predictor coefficient pairs and delta adaptation table —
+#: the 7 standard pairs every encoder writes and the public WAVE spec
+#: defines; block preambles index into this table.
+_MS_COEFS = (
+    (256, 0), (512, -256), (0, 0), (192, 64),
+    (240, 0), (460, -208), (392, -232),
+)
+_MS_ADAPT = (
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+)
+
+
+def _ms_adpcm_decode(data: bytes, n_channels: int, block_align: int):
+    """MS ADPCM (format tag 2) 'data' chunk -> int32 (n_frames,
+    n_channels). Block layout per the public WAVE spec: per channel a
+    1-byte predictor index into the 7 standard coefficient pairs, an
+    int16 initial delta, int16 sample1 and sample2 (sample2 is the
+    EARLIER sample and is emitted first); then 4-bit codes, high
+    nibble first, alternating channels per nibble for stereo. Each
+    code: predictor = ((s1*c1 + s2*c2) >> 8) + signed_code * delta,
+    clamped to int16; delta = max(16, (ADAPT[code] * delta) >> 8).
+    Shifts are arithmetic (floor) — the semantics every reference
+    decoder uses."""
+    import struct
+
+    import numpy as np
+
+    n = n_channels
+    if block_align <= 7 * n:
+        raise ValueError("MS ADPCM: block align too small")
+    chans: list[list[int]] = [[] for _ in range(n)]
+    for base in range(0, len(data) // block_align * block_align, block_align):
+        block = data[base : base + block_align]
+        preds = list(block[:n])
+        if any(p >= len(_MS_COEFS) for p in preds):
+            raise ValueError("MS ADPCM: predictor index out of range")
+        delta = list(struct.unpack_from(f"<{n}h", block, n))
+        s1 = list(struct.unpack_from(f"<{n}h", block, 3 * n))
+        s2 = list(struct.unpack_from(f"<{n}h", block, 5 * n))
+        for c in range(n):
+            chans[c].append(s2[c])
+            chans[c].append(s1[c])
+        ch = 0
+        for byte in block[7 * n :]:
+            for code in (byte >> 4, byte & 0xF):
+                c = ch % n
+                ch += 1
+                c1, c2 = _MS_COEFS[preds[c]]
+                pred = (s1[c] * c1 + s2[c] * c2) >> 8
+                signed = code - 16 if code >= 8 else code
+                pred = max(-32768, min(32767, pred + signed * delta[c]))
+                s2[c], s1[c] = s1[c], pred
+                delta[c] = max(16, (_MS_ADAPT[code] * delta[c]) >> 8)
+                chans[c].append(pred)
+    frames = min(len(x) for x in chans) if chans else 0
+    out = np.zeros((frames, n), dtype=np.int32)
+    for c in range(n):
+        out[:, c] = chans[c][:frames]
+    return out
+
+
+def wav_encode_ms_adpcm(samples, sample_rate: int) -> bytes:
+    """MS ADPCM WAV encoder (format tag 2; round-trip partner pinning
+    :func:`_ms_adpcm_decode`). ``samples`` is an int16-range array of
+    shape (n_frames, n_channels). Canonical greedy quantizer with
+    per-block predictor selection: each of the 7 standard coefficient
+    pairs trial-encodes the block and the least-squared-error one
+    wins; codes are nearest-level (round(err / delta)) clamped to
+    [-8, 7], with the encoder state advanced through the decoder's own
+    update so quantization error feeds back. Writes the spec's fmt
+    extension (wSamplesPerBlock, the 7 coefficient pairs). Lossy by
+    construction — tests assert bounded reconstruction error."""
+    import struct
+
+    import numpy as np
+
+    arr = np.ascontiguousarray(samples, dtype=np.int64)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    if n_frames < 2:
+        raise ValueError("MS ADPCM: need at least 2 frames")
+    block_align = 256 * n_channels
+    spb = (block_align - 7 * n_channels) * 2 // n_channels + 2
+
+    def trial(x: list[int], coef: tuple[int, int], d0: int):
+        c1, c2 = coef
+        s2, s1, delta = x[0], x[1], d0
+        codes, err = [], 0
+        for target in x[2:]:
+            pred = (s1 * c1 + s2 * c2) >> 8
+            code_s = max(-8, min(7, round((target - pred) / delta)))
+            recon = max(-32768, min(32767, pred + code_s * delta))
+            code = code_s + 16 if code_s < 0 else code_s
+            s2, s1 = s1, recon
+            delta = max(16, (_MS_ADAPT[code] * delta) >> 8)
+            codes.append(code)
+            err += (recon - target) ** 2
+        return err, codes
+
+    out = bytearray()
+    for start in range(0, n_frames, spb):
+        blk = arr[start : start + spb]
+        if len(blk) < spb:  # pad the tail block with its last frame
+            blk = np.vstack([blk] + [blk[-1:]] * (spb - len(blk)))
+        preds, deltas, s1s, s2s, codes_per = [], [], [], [], []
+        for c in range(n_channels):
+            x = [int(v) for v in blk[:, c]]
+            d0 = max(16, int(np.abs(np.diff(blk[:, c])).mean()) // 4)
+            best = min(
+                (trial(x, coef, d0) + (k,) for k, coef in enumerate(_MS_COEFS)),
+                key=lambda t: (t[0], t[2]),
+            )
+            preds.append(best[2])
+            deltas.append(d0)
+            s2s.append(x[0])
+            s1s.append(x[1])
+            codes_per.append(best[1])
+        out += bytes(preds)
+        out += struct.pack(f"<{n_channels}h", *deltas)
+        out += struct.pack(f"<{n_channels}h", *s1s)
+        out += struct.pack(f"<{n_channels}h", *s2s)
+        flat: list[int] = []
+        for i in range(spb - 2):
+            for c in range(n_channels):
+                flat.append(codes_per[c][i])
+        for i in range(0, len(flat), 2):
+            out.append((flat[i] << 4) | flat[i + 1])
+    byte_rate = sample_rate * block_align // spb
+    fmt_body = struct.pack(
+        "<HHIIHHHHH", 2, n_channels, sample_rate, byte_rate,
+        block_align, 4, 32, spb, len(_MS_COEFS),
+    ) + b"".join(struct.pack("<hh", *c) for c in _MS_COEFS)
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", bytes(out))
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def g711_decode_table(law: str):
@@ -534,7 +680,7 @@ def _decode_audio_wav(payload: bytes) -> dict:
     isqrt of the mean square: exact arithmetic, engine-portable) for
     8/16/24-bit integer PCM, float32, and IMA ADPCM payloads (each in
     classic or WAVE_FORMAT_EXTENSIBLE containers). A structurally-valid
-    WAV in a remaining unsupported encoding (e.g. MS ADPCM)
+    WAV in a remaining unsupported encoding (e.g. a compressed codec)
     still gets the header features with null amplitudes. ``n_frames`` comes from the decoded sample count
     when decode succeeds (for ADPCM the header-derived
     ``len(data)//block_align`` would be the BLOCK count); the header
