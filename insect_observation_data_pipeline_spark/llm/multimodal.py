@@ -7,9 +7,10 @@ the feature-extraction registry: ``image`` is a real stdlib-only PNG
 structural decoder (signature + IHDR dimensions + CRC) and ``audio`` a
 real WAV RIFF-chunk decoder (fmt + data: rate/channels/frames).
 ``PIXEL_DECODERS['image']`` goes all the way to pixels — IDAT inflate +
-scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs, with
-``png_encode_pixels`` as the re-encode half — so ``resize_images`` with
-``decoder='image'`` is a genuine resample, stdlib+numpy only. The audio
+scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs,
+sequential or Adam7-interlaced, with ``png_encode_pixels`` as the
+re-encode half — so ``resize_images`` with ``decoder='image'`` is a
+genuine resample, stdlib+numpy only. The audio
 path likewise goes to CONTENT: ``wav_decode_samples`` decodes
 8/16/24-bit integer PCM, float32, IMA ADPCM, MS ADPCM, and G.711
 a-law/mu-law frames — in classic or WAVE_FORMAT_EXTENSIBLE (0xFFFE)
@@ -21,9 +22,9 @@ too: ``avi_decode_frames`` walks an uncompressed RIFF AVI (BI_RGB
 the public RIFF/BITMAPINFOHEADER spec) into an (n_frames, h, w, 3)
 array, ``avi_encode_frames`` is the round-trip partner, and
 ``sample_frames(decoder='video')`` emits every k-th REAL frame
-re-encoded as PNG. Richer codecs (JPEG, interlaced PNG, compressed
-video) are where an imaging/av library would slot in — swap the
-registry entry without touching the pipeline; a structurally-valid
+re-encoded as PNG. Richer codecs (JPEG, 16-bit/paletted PNG,
+compressed video) are where an imaging/av library would slot in —
+swap the registry entry without touching the pipeline; a structurally-valid
 AVI in a compressed fourcc still gets header features with null
 amplitudes (as does a WAV in an undecoded codec).
 
@@ -889,47 +890,28 @@ DECODERS: dict[str, Callable[[bytes], Any]] = {
 _PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color_type -> samples/pixel
 
 
-def png_decode_pixels(payload: bytes):
-    """Full pixel-level PNG decode, stdlib+numpy only: IDAT zlib inflate
-    plus scanline unfiltering (filters 0-4 incl. Paeth) for 8-bit
-    non-interlaced images in all four common color types (gray, RGB,
-    gray+alpha, RGBA). Returns a uint8 ndarray of shape (h, w, channels).
+#: Adam7 interlace pass grid: (x_start, y_start, x_step, y_step) per
+#: the PNG spec's fixed 8x8 pattern.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Unfiltering is inherently sequential across scanlines (each row's
-    reconstruction feeds the next row's predictors), so rows loop in
-    Python with numpy vector ops within the row — fine inside
-    ``mapInPandas`` where the parallelism axis is rows-of-the-DataFrame,
-    not pixels."""
-    import struct
-    import zlib
 
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+    """Scanline unfilter (filters 0-4 incl. Paeth) for one filtered
+    (sub-)image region of ``h`` rows x ``w`` pixels x ``ch`` channels
+    — the shared core under both the sequential and each Adam7 pass
+    decode. Unfiltering is inherently sequential across scanlines
+    (each row's reconstruction feeds the next row's predictors), so
+    rows loop in Python with numpy vector ops within the row — fine
+    inside ``mapInPandas`` where the parallelism axis is
+    rows-of-the-DataFrame, not pixels."""
     import numpy as np
 
-    meta = _decode_image_png(payload)  # signature/IHDR/CRC validation
-    if meta["bit_depth"] != 8:
-        raise ValueError(f"PNG: unsupported bit depth {meta['bit_depth']}")
-    if meta["color_type"] not in _PNG_CHANNELS:
-        raise ValueError(f"PNG: unsupported color type {meta['color_type']}")
-    b = bytes(payload)
-    if b[28] != 0:
-        raise ValueError("PNG: interlaced images unsupported")
-    w, h = meta["width"], meta["height"]
-    ch = _PNG_CHANNELS[meta["color_type"]]
-
-    idat = bytearray()
-    pos = 33  # first chunk after IHDR
-    while pos + 8 <= len(b):
-        (length,) = struct.unpack(">I", b[pos : pos + 4])
-        cid = b[pos + 4 : pos + 8]
-        if cid == b"IDAT":
-            idat += b[pos + 8 : pos + 8 + length]
-        if cid == b"IEND":
-            break
-        pos += 12 + length  # len + id + body + crc
-    raw = zlib.decompress(bytes(idat))
     stride = w * ch
     if len(raw) != h * (stride + 1):
-        raise ValueError("PNG: IDAT size does not match dimensions")
+        raise ValueError("PNG: filtered data does not match dimensions")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     filters, rows = raw[:, 0], raw[:, 1:].astype(np.int32)
     recon = np.zeros((h, stride), dtype=np.int32)
@@ -962,14 +944,70 @@ def png_decode_pixels(payload: bytes):
                     raise ValueError(f"PNG: bad filter byte {f}")
         recon[y] = line
         prev = recon[y]
-    return recon.astype(np.uint8).reshape(h, w, ch)
+    return recon.astype(np.uint8)
 
 
-def png_encode_pixels(pixels) -> bytes:
+def png_decode_pixels(payload: bytes):
+    """Full pixel-level PNG decode, stdlib+numpy only: IDAT zlib inflate
+    plus scanline unfiltering (filters 0-4 incl. Paeth) for 8-bit
+    images in all four common color types (gray, RGB, gray+alpha,
+    RGBA), sequential OR Adam7-interlaced (each of the 7 passes is its
+    own filtered sub-image, unfiltered independently and scattered
+    back onto the full-resolution grid per the spec's fixed 8x8
+    pattern). Returns a uint8 ndarray of shape (h, w, channels)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    meta = _decode_image_png(payload)  # signature/IHDR/CRC validation
+    if meta["bit_depth"] != 8:
+        raise ValueError(f"PNG: unsupported bit depth {meta['bit_depth']}")
+    if meta["color_type"] not in _PNG_CHANNELS:
+        raise ValueError(f"PNG: unsupported color type {meta['color_type']}")
+    b = bytes(payload)
+    interlace = b[28]
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: bad interlace method {interlace}")
+    w, h = meta["width"], meta["height"]
+    ch = _PNG_CHANNELS[meta["color_type"]]
+
+    idat = bytearray()
+    pos = 33  # first chunk after IHDR
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        cid = b[pos + 4 : pos + 8]
+        if cid == b"IDAT":
+            idat += b[pos + 8 : pos + 8 + length]
+        if cid == b"IEND":
+            break
+        pos += 12 + length  # len + id + body + crc
+    raw = zlib.decompress(bytes(idat))
+    if interlace == 0:
+        return _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    out = np.zeros((h, w, ch), dtype=np.uint8)
+    at = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue  # pass is empty at this image size: zero bytes
+        size = ph * (pw * ch + 1)
+        sub = _png_unfilter(raw[at : at + size], ph, pw, ch)
+        at += size
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+    if at != len(raw):
+        raise ValueError("PNG: interlaced data does not match dimensions")
+    return out
+
+
+def png_encode_pixels(pixels, *, interlace: bool = False) -> bytes:
     """Minimal valid PNG encoder (filter 0 every scanline, one zlib
     IDAT) for a uint8 array of shape (h, w, channels) — the re-encode
     half of the resize path, and the round-trip partner that pins
-    :func:`png_decode_pixels` in tests."""
+    :func:`png_decode_pixels` in tests. ``interlace=True`` writes the
+    Adam7 layout (the 7 passes' sub-images concatenated, each scanline
+    filter-0), the round-trip partner for the interlaced decode."""
     import struct
     import zlib
 
@@ -985,8 +1023,17 @@ def png_encode_pixels(pixels) -> bytes:
         crc = zlib.crc32(cid + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
-    scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = arr[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue  # empty pass contributes zero bytes
+            parts += [b"\x00" + sub[y].tobytes() for y in range(sub.shape[0])]
+        scanlines = b"".join(parts)
+    else:
+        scanlines = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)

@@ -2682,3 +2682,25 @@ def test_wav_ms_adpcm_decode_reference_and_roundtrip(spark):
     assert feats["feature_kind"] == "wav"
     assert feats["n_frames"] == dec2.shape[0]
     assert feats["peak_amp"] == int(np.abs(dec2).max())
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7 decode: encode(interlace=True) -> decode equals the source
+    for all four color types and for sizes where some passes are empty
+    (w or h < 8, 1x1, and a non-multiple-of-8 size); interlaced and
+    sequential encodings of the same pixels decode identically."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(5)
+    for ch in (1, 2, 3, 4):
+        for h, w in ((16, 16), (9, 13), (3, 5), (1, 1), (8, 2)):
+            px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+            inter = multimodal.png_encode_pixels(px, interlace=True)
+            assert inter[28] == 1
+            got = multimodal.png_decode_pixels(inter)
+            assert got.shape == px.shape, (ch, h, w)
+            assert (got == px).all(), (ch, h, w)
+            seq = multimodal.png_decode_pixels(multimodal.png_encode_pixels(px))
+            assert (got == seq).all(), (ch, h, w)
