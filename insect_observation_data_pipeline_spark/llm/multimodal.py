@@ -22,9 +22,9 @@ too: ``avi_decode_frames`` walks an uncompressed RIFF AVI (BI_RGB
 the public RIFF/BITMAPINFOHEADER spec) into an (n_frames, h, w, 3)
 array, ``avi_encode_frames`` is the round-trip partner, and
 ``sample_frames(decoder='video')`` emits every k-th REAL frame
-re-encoded as PNG. Richer codecs (JPEG, 16-bit/paletted PNG,
-compressed video) are where an imaging/av library would slot in —
-swap the registry entry without touching the pipeline; a structurally-valid
+re-encoded as PNG. Richer codecs (JPEG, 16-bit PNG, compressed video)
+are where an imaging/av library would slot in — swap the registry
+entry without touching the pipeline; a structurally-valid
 AVI in a compressed fourcc still gets header features with null
 amplitudes (as does a WAV in an undecoded codec).
 
@@ -963,42 +963,65 @@ def png_decode_pixels(payload: bytes):
     meta = _decode_image_png(payload)  # signature/IHDR/CRC validation
     if meta["bit_depth"] != 8:
         raise ValueError(f"PNG: unsupported bit depth {meta['bit_depth']}")
-    if meta["color_type"] not in _PNG_CHANNELS:
+    paletted = meta["color_type"] == 3
+    if not paletted and meta["color_type"] not in _PNG_CHANNELS:
         raise ValueError(f"PNG: unsupported color type {meta['color_type']}")
     b = bytes(payload)
     interlace = b[28]
     if interlace not in (0, 1):
         raise ValueError(f"PNG: bad interlace method {interlace}")
     w, h = meta["width"], meta["height"]
-    ch = _PNG_CHANNELS[meta["color_type"]]
+    ch = 1 if paletted else _PNG_CHANNELS[meta["color_type"]]
 
     idat = bytearray()
+    plte = trns = None
     pos = 33  # first chunk after IHDR
     while pos + 8 <= len(b):
         (length,) = struct.unpack(">I", b[pos : pos + 4])
         cid = b[pos + 4 : pos + 8]
         if cid == b"IDAT":
             idat += b[pos + 8 : pos + 8 + length]
+        elif cid == b"PLTE":
+            plte = b[pos + 8 : pos + 8 + length]
+        elif cid == b"tRNS":
+            trns = b[pos + 8 : pos + 8 + length]
         if cid == b"IEND":
             break
         pos += 12 + length  # len + id + body + crc
     raw = zlib.decompress(bytes(idat))
     if interlace == 0:
-        return _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
-    out = np.zeros((h, w, ch), dtype=np.uint8)
-    at = 0
-    for x0, y0, dx, dy in _ADAM7:
-        pw = (w - x0 + dx - 1) // dx
-        ph = (h - y0 + dy - 1) // dy
-        if pw <= 0 or ph <= 0:
-            continue  # pass is empty at this image size: zero bytes
-        size = ph * (pw * ch + 1)
-        sub = _png_unfilter(raw[at : at + size], ph, pw, ch)
-        at += size
-        out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
-    if at != len(raw):
-        raise ValueError("PNG: interlaced data does not match dimensions")
-    return out
+        out = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+    else:
+        out = np.zeros((h, w, ch), dtype=np.uint8)
+        at = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx
+            ph = (h - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # pass is empty at this image size: zero bytes
+            size = ph * (pw * ch + 1)
+            sub = _png_unfilter(raw[at : at + size], ph, pw, ch)
+            at += size
+            out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+        if at != len(raw):
+            raise ValueError("PNG: interlaced data does not match dimensions")
+    if not paletted:
+        return out
+    # indexed-color expansion: PLTE holds up to 256 RGB triples; an
+    # optional tRNS carries per-entry alpha (shorter than the palette =
+    # remaining entries opaque), upgrading the output to RGBA
+    if plte is None or len(plte) % 3:
+        raise ValueError("PNG: paletted image missing/odd PLTE")
+    palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+    idx = out.reshape(h, w)
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("PNG: palette index out of range")
+    rgb = palette[idx]
+    if trns is None:
+        return rgb
+    alpha_lut = np.full(len(palette), 255, dtype=np.uint8)
+    alpha_lut[: len(trns)] = np.frombuffer(trns, dtype=np.uint8)
+    return np.concatenate([rgb, alpha_lut[idx][:, :, None]], axis=2)
 
 
 def png_encode_pixels(pixels, *, interlace: bool = False) -> bytes:
@@ -1040,6 +1063,37 @@ def png_encode_pixels(pixels, *, interlace: bool = False) -> bytes:
         + chunk(b"IDAT", zlib.compress(scanlines))
         + chunk(b"IEND", b"")
     )
+
+
+def png_encode_paletted(indices, palette, trns=None) -> bytes:
+    """Indexed-color PNG encoder (color type 3, filter 0, one IDAT) —
+    the round-trip partner pinning the PLTE/tRNS expansion branch of
+    :func:`png_decode_pixels`. ``indices`` is (h, w) uint8 into
+    ``palette`` (n, 3) uint8; ``trns`` is an optional per-entry alpha
+    list (shorter than the palette = remaining entries opaque)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.ascontiguousarray(indices, dtype=np.uint8)
+    pal = np.ascontiguousarray(palette, dtype=np.uint8)
+    if idx.ndim != 2 or pal.ndim != 2 or pal.shape[1] != 3:
+        raise ValueError("indices must be (h, w), palette (n, 3)")
+    if int(idx.max(initial=0)) >= len(pal):
+        raise ValueError("palette index out of range")
+    h, w = idx.shape
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(cid + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    scanlines = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) + chunk(b"PLTE", pal.tobytes())
+    if trns is not None:
+        out += chunk(b"tRNS", bytes(bytearray(trns)))
+    return out + chunk(b"IDAT", zlib.compress(scanlines)) + chunk(b"IEND", b"")
 
 
 PIXEL_DECODERS: dict[str, Callable[[bytes], Any]] = {

@@ -2704,3 +2704,32 @@ def test_png_adam7_interlaced_roundtrip():
             assert (got == px).all(), (ch, h, w)
             seq = multimodal.png_decode_pixels(multimodal.png_encode_pixels(px))
             assert (got == seq).all(), (ch, h, w)
+
+
+def test_png_paletted_decode_roundtrip():
+    """Indexed-color PNG (type 3): PLTE expansion reproduces the exact
+    RGB per index; a short tRNS upgrades output to RGBA with
+    remaining entries opaque; the resize path consumes paletted
+    payloads through the same decoder."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(13)
+    palette = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(11, 7), dtype=np.uint8)
+
+    rgb = multimodal.png_decode_pixels(
+        multimodal.png_encode_paletted(idx, palette)
+    )
+    assert rgb.shape == (11, 7, 3)
+    assert (rgb == palette[idx]).all()
+
+    rgba = multimodal.png_decode_pixels(
+        multimodal.png_encode_paletted(idx, palette, trns=[0, 128])
+    )
+    assert rgba.shape == (11, 7, 4)
+    assert (rgba[:, :, :3] == palette[idx]).all()
+    want_a = np.full(16, 255, dtype=np.uint8)
+    want_a[0], want_a[1] = 0, 128
+    assert (rgba[:, :, 3] == want_a[idx]).all()
