@@ -7,9 +7,10 @@ the feature-extraction registry: ``image`` is a real stdlib-only PNG
 structural decoder (signature + IHDR dimensions + CRC) and ``audio`` a
 real WAV RIFF-chunk decoder (fmt + data: rate/channels/frames).
 ``PIXEL_DECODERS['image']`` goes all the way to pixels — IDAT inflate +
-scanline unfiltering (filters 0-4) for 8-bit gray/RGB/alpha PNGs,
-sequential or Adam7-interlaced, with ``png_encode_pixels`` as the
-re-encode half — so ``resize_images`` with ``decoder='image'`` is a
+scanline unfiltering (filters 0-4) for 8/16-bit gray/RGB/alpha and
+8-bit paletted (PLTE + tRNS) PNGs, sequential or Adam7-interlaced,
+with ``png_encode_pixels`` / ``png_encode_paletted`` as the re-encode
+half — so ``resize_images`` with ``decoder='image'`` is a
 genuine resample, stdlib+numpy only. The audio
 path likewise goes to CONTENT: ``wav_decode_samples`` decodes
 8/16/24-bit integer PCM, float32, IMA ADPCM, MS ADPCM, and G.711
@@ -22,8 +23,8 @@ too: ``avi_decode_frames`` walks an uncompressed RIFF AVI (BI_RGB
 the public RIFF/BITMAPINFOHEADER spec) into an (n_frames, h, w, 3)
 array, ``avi_encode_frames`` is the round-trip partner, and
 ``sample_frames(decoder='video')`` emits every k-th REAL frame
-re-encoded as PNG. Richer codecs (JPEG, 16-bit PNG, compressed video)
-are where an imaging/av library would slot in — swap the registry
+re-encoded as PNG. Richer codecs (JPEG, compressed video) are
+where an imaging/av library would slot in — swap the registry
 entry without touching the pipeline; a structurally-valid
 AVI in a compressed fourcc still gets header features with null
 amplitudes (as does a WAV in an undecoded codec).
@@ -898,18 +899,22 @@ _ADAM7 = (
 )
 
 
-def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
+def _png_unfilter(raw: bytes, h: int, w: int, ch: int, sample_bytes: int = 1):
     """Scanline unfilter (filters 0-4 incl. Paeth) for one filtered
     (sub-)image region of ``h`` rows x ``w`` pixels x ``ch`` channels
-    — the shared core under both the sequential and each Adam7 pass
-    decode. Unfiltering is inherently sequential across scanlines
+    of ``sample_bytes``-wide samples — the shared core under both the
+    sequential and each Adam7 pass decode. PNG filters operate on
+    BYTES with the left neighbor ``bpp = ch * sample_bytes`` bytes
+    back, which is why one byte-level core serves 8- and 16-bit
+    depths. Unfiltering is inherently sequential across scanlines
     (each row's reconstruction feeds the next row's predictors), so
     rows loop in Python with numpy vector ops within the row — fine
     inside ``mapInPandas`` where the parallelism axis is
     rows-of-the-DataFrame, not pixels."""
     import numpy as np
 
-    stride = w * ch
+    bpp = ch * sample_bytes
+    stride = w * bpp
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG: filtered data does not match dimensions")
     raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
@@ -925,21 +930,21 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
         else:  # Sub/Average/Paeth need the left neighbor: walk in
             # bpp-sized steps, vectorized over the step's channels
             line = cur
-            for x in range(0, stride, ch):
-                a = line[x - ch : x] if x else np.zeros(ch, dtype=np.int32)
-                bb = prev[x : x + ch]
+            for x in range(0, stride, bpp):
+                a = line[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
+                bb = prev[x : x + bpp]
                 if f == 1:
-                    line[x : x + ch] = (line[x : x + ch] + a) & 0xFF
+                    line[x : x + bpp] = (line[x : x + bpp] + a) & 0xFF
                 elif f == 3:
-                    line[x : x + ch] = (line[x : x + ch] + (a + bb) // 2) & 0xFF
+                    line[x : x + bpp] = (line[x : x + bpp] + (a + bb) // 2) & 0xFF
                 elif f == 4:
-                    c = prev[x - ch : x] if x else np.zeros(ch, dtype=np.int32)
+                    c = prev[x - bpp : x] if x else np.zeros(bpp, dtype=np.int32)
                     p = a + bb - c
                     pa, pb, pc = np.abs(p - a), np.abs(p - bb), np.abs(p - c)
                     pred = np.where(
                         (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, bb, c)
                     )
-                    line[x : x + ch] = (line[x : x + ch] + pred) & 0xFF
+                    line[x : x + bpp] = (line[x : x + bpp] + pred) & 0xFF
                 else:
                     raise ValueError(f"PNG: bad filter byte {f}")
         recon[y] = line
@@ -949,9 +954,10 @@ def _png_unfilter(raw: bytes, h: int, w: int, ch: int):
 
 def png_decode_pixels(payload: bytes):
     """Full pixel-level PNG decode, stdlib+numpy only: IDAT zlib inflate
-    plus scanline unfiltering (filters 0-4 incl. Paeth) for 8-bit
-    images in all four common color types (gray, RGB, gray+alpha,
-    RGBA), sequential OR Adam7-interlaced (each of the 7 passes is its
+    plus scanline unfiltering (filters 0-4 incl. Paeth) for 8- and
+    16-bit images in all four common color types (gray, RGB,
+    gray+alpha, RGBA) plus 8-bit indexed color (PLTE, optional tRNS
+    alpha), sequential OR Adam7-interlaced (each of the 7 passes is its
     own filtered sub-image, unfiltered independently and scattered
     back onto the full-resolution grid per the spec's fixed 8x8
     pattern). Returns a uint8 ndarray of shape (h, w, channels)."""
@@ -961,9 +967,9 @@ def png_decode_pixels(payload: bytes):
     import numpy as np
 
     meta = _decode_image_png(payload)  # signature/IHDR/CRC validation
-    if meta["bit_depth"] != 8:
-        raise ValueError(f"PNG: unsupported bit depth {meta['bit_depth']}")
     paletted = meta["color_type"] == 3
+    if meta["bit_depth"] not in ((8,) if paletted else (8, 16)):
+        raise ValueError(f"PNG: unsupported bit depth {meta['bit_depth']}")
     if not paletted and meta["color_type"] not in _PNG_CHANNELS:
         raise ValueError(f"PNG: unsupported color type {meta['color_type']}")
     b = bytes(payload)
@@ -972,6 +978,7 @@ def png_decode_pixels(payload: bytes):
         raise ValueError(f"PNG: bad interlace method {interlace}")
     w, h = meta["width"], meta["height"]
     ch = 1 if paletted else _PNG_CHANNELS[meta["color_type"]]
+    sb = meta["bit_depth"] // 8  # bytes per sample (big-endian at 16)
 
     idat = bytearray()
     plte = trns = None
@@ -989,20 +996,28 @@ def png_decode_pixels(payload: bytes):
             break
         pos += 12 + length  # len + id + body + crc
     raw = zlib.decompress(bytes(idat))
+
+    def to_samples(flat, rows, cols):
+        px = flat.reshape(rows, cols, ch, sb)
+        if sb == 1:
+            return px[..., 0]
+        # 16-bit samples are big-endian per the PNG spec
+        return (px[..., 0].astype(np.uint16) << 8) | px[..., 1]
+
     if interlace == 0:
-        out = _png_unfilter(raw, h, w, ch).reshape(h, w, ch)
+        out = to_samples(_png_unfilter(raw, h, w, ch, sb), h, w)
     else:
-        out = np.zeros((h, w, ch), dtype=np.uint8)
+        out = np.zeros((h, w, ch), dtype=np.uint8 if sb == 1 else np.uint16)
         at = 0
         for x0, y0, dx, dy in _ADAM7:
             pw = (w - x0 + dx - 1) // dx
             ph = (h - y0 + dy - 1) // dy
             if pw <= 0 or ph <= 0:
                 continue  # pass is empty at this image size: zero bytes
-            size = ph * (pw * ch + 1)
-            sub = _png_unfilter(raw[at : at + size], ph, pw, ch)
+            size = ph * (pw * ch * sb + 1)
+            sub = _png_unfilter(raw[at : at + size], ph, pw, ch, sb)
             at += size
-            out[y0::dy, x0::dx] = sub.reshape(ph, pw, ch)
+            out[y0::dy, x0::dx] = to_samples(sub, ph, pw)
         if at != len(raw):
             raise ValueError("PNG: interlaced data does not match dimensions")
     if not paletted:
@@ -1026,9 +1041,10 @@ def png_decode_pixels(payload: bytes):
 
 def png_encode_pixels(pixels, *, interlace: bool = False) -> bytes:
     """Minimal valid PNG encoder (filter 0 every scanline, one zlib
-    IDAT) for a uint8 array of shape (h, w, channels) — the re-encode
-    half of the resize path, and the round-trip partner that pins
-    :func:`png_decode_pixels` in tests. ``interlace=True`` writes the
+    IDAT) for a uint8 — or uint16, written as a 16-bit-depth file with
+    big-endian samples — array of shape (h, w, channels): the
+    re-encode half of the resize path, and the round-trip partner that
+    pins :func:`png_decode_pixels` in tests. ``interlace=True`` writes the
     Adam7 layout (the 7 passes' sub-images concatenated, each scanline
     filter-0), the round-trip partner for the interlaced decode."""
     import struct
@@ -1036,7 +1052,11 @@ def png_encode_pixels(pixels, *, interlace: bool = False) -> bytes:
 
     import numpy as np
 
-    arr = np.ascontiguousarray(pixels, dtype=np.uint8)
+    pixels = np.asarray(pixels)
+    depth16 = pixels.dtype == np.uint16
+    arr = np.ascontiguousarray(
+        pixels, dtype=np.dtype(">u2") if depth16 else np.uint8
+    )
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, ch = arr.shape
@@ -1046,7 +1066,9 @@ def png_encode_pixels(pixels, *, interlace: bool = False) -> bytes:
         crc = zlib.crc32(cid + body) & 0xFFFFFFFF
         return struct.pack(">I", len(body)) + cid + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
+    ihdr = struct.pack(
+        ">IIBBBBB", w, h, 16 if depth16 else 8, color_type, 0, 0, int(interlace)
+    )
     if interlace:
         parts = []
         for x0, y0, dx, dy in _ADAM7:

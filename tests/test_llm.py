@@ -2733,3 +2733,29 @@ def test_png_paletted_decode_roundtrip():
     want_a = np.full(16, 255, dtype=np.uint8)
     want_a[0], want_a[1] = 0, 128
     assert (rgba[:, :, 3] == want_a[idx]).all()
+
+
+def test_png_16bit_roundtrip():
+    """16-bit PNG (big-endian samples per spec): encode -> decode is
+    lossless for gray and RGB, sequential and Adam7, including values
+    above 255 (byte-order mistakes collapse them); the byte-level
+    filters with bpp = ch * 2 reconstruct exactly."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(17)
+    for ch in (1, 3):
+        for h, w in ((12, 10), (5, 3)):
+            shape = (h, w, ch) if ch > 1 else (h, w)
+            px = rng.integers(0, 65536, size=shape, dtype=np.uint16)
+            for inter in (False, True):
+                payload = multimodal.png_encode_pixels(px, interlace=inter)
+                got = multimodal.png_decode_pixels(payload)
+                assert got.dtype == np.uint16, (ch, inter)
+                assert (got.reshape(px.shape) == px).all(), (ch, h, w, inter)
+    # 8-bit inputs keep producing depth-8 files (dtype-driven switch)
+    px8 = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+    assert multimodal.png_decode_pixels(
+        multimodal.png_encode_pixels(px8)
+    ).dtype == np.uint8
