@@ -881,10 +881,29 @@ def _fake_deterministic_decode(payload: bytes) -> dict:
     return {"n_bytes": len(payload or b""), "feature_kind": "fake"}
 
 
+def _sniff_decode(payload: bytes) -> dict:
+    """Magic-byte dispatch for MIXED media columns — a real corpus's
+    binary column carries PNGs next to WAVs next to AVIs with no
+    per-row decoder label, so ``extract_features(decoder='auto')``
+    routes each payload by its container signature (PNG 8-byte magic;
+    RIFF + WAVE / 'AVI ' form type). Unrecognized payloads get the
+    metadata-only fake features instead of failing the batch: at
+    corpus scale a poison blob must quarantine, not kill the stage."""
+    b = bytes(payload or b"")
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_image_png(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return _decode_audio_wav(b)
+    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+        return _decode_video_avi(b)
+    return _fake_deterministic_decode(b)
+
+
 DECODERS: dict[str, Callable[[bytes], Any]] = {
     "image": _decode_image_png,
     "audio": _decode_audio_wav,
     "video": _decode_video_avi,
+    "auto": _sniff_decode,
     "fake": _fake_deterministic_decode,
 }
 

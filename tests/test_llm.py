@@ -2759,3 +2759,43 @@ def test_png_16bit_roundtrip():
     assert multimodal.png_decode_pixels(
         multimodal.png_encode_pixels(px8)
     ).dtype == np.uint8
+
+
+def test_extract_features_auto_sniffs_mixed_media(spark):
+    """decoder='auto' routes a MIXED binary column by container magic:
+    one PNG, one WAV, one AVI, and one unrecognized blob in the same
+    DataFrame each get their own real decoder's features (the
+    unrecognized one degrades to metadata-only fake features instead
+    of failing the Arrow batch)."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(23)
+    png = multimodal.png_encode_pixels(
+        rng.integers(0, 256, size=(6, 4, 3), dtype=np.uint8)
+    )
+    wav = multimodal.wav_encode_pcm16(
+        (1000 * np.sin(np.arange(50) / 3.0)).astype(np.int16)[:, None], 8000
+    )
+    avi = multimodal.avi_encode_frames(
+        rng.integers(0, 256, size=(3, 2, 2, 3), dtype=np.uint8), fps=5
+    )
+    df = spark.createDataFrame(
+        [
+            ("p", bytearray(png)),
+            ("w", bytearray(wav)),
+            ("v", bytearray(avi)),
+            ("junk", bytearray(b"not a container")),
+        ],
+        "media_id string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(df, decoder="auto").collect()
+    }
+    assert out["p"]["feature_kind"] == "png" and out["p"]["width"] == 4
+    assert out["w"]["feature_kind"] == "wav" and out["w"]["sample_rate"] == 8000
+    assert out["v"]["feature_kind"] == "avi" and out["v"]["n_frames"] == 3
+    assert out["junk"]["feature_kind"] == "fake"
+    assert out["junk"]["n_bytes"] == 15
