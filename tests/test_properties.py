@@ -111,3 +111,50 @@ def test_funnel_fold_matches_cascade_and_split_invariant(evs, cut):
         *advance_funnel_state(None, None, None, evs[:cut]), evs[cut:]
     )
     assert split == whole
+
+
+@given(
+    st.integers(min_value=1, max_value=4),   # channels
+    st.integers(min_value=1, max_value=12),  # height
+    st.integers(min_value=1, max_value=12),  # width
+    st.booleans(),                            # interlace
+    st.randoms(use_true_random=False),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_property(ch, h, w, interlace, rnd):
+    """encode -> decode is the identity for every 8-bit shape and both
+    interlace modes — sizes with empty Adam7 passes included."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(rnd.randrange(2**32))
+    px = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    got = multimodal.png_decode_pixels(
+        multimodal.png_encode_pixels(px, interlace=interlace)
+    )
+    assert (got == px).all()
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=300
+    ),
+    st.sampled_from(["alaw", "ulaw"]),
+)
+@settings(max_examples=100, deadline=None)
+def test_g711_nearest_level_property(xs, law):
+    """decode(encode(x)) is always the nearest representable companded
+    level to x — no input is ever mapped across a closer level."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    table = multimodal.g711_decode_table(law).astype(np.int64)
+    levels = np.unique(table)
+    x = np.asarray(xs, dtype=np.int64)
+    got = table[multimodal._g711_encode_bytes(x, law)]
+    best = levels[
+        np.argmin(np.abs(levels[None, :] - x[:, None]), axis=1)
+    ]
+    assert (np.abs(got - x) == np.abs(best - x)).all()
