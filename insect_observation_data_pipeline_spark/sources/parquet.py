@@ -234,3 +234,66 @@ def write_bucketed(
     if path is not None:
         writer = writer.option("path", path)
     writer.mode(mode).format("parquet").saveAsTable(table)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *,
+    zorder_by: tuple[str, ...],
+    bits: int = 8,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-order clustered on MULTIPLE dimensions — the
+    multi-dim complement of :func:`write_range_sorted` (whose single
+    sort key gives perfect min/max locality on that key and none on
+    any other). Each dimension is normalized to a ``bits``-bit bucket
+    on its [min, max] range (equi-width — one tiny agg for the bounds;
+    heavily skewed dims should be pre-transformed, e.g. log), the
+    bucket bits are interleaved into one z-value (dimension-rotating
+    bit order, the standard Morton curve), and files are range-
+    partitioned + sorted on it. Because the space-filling curve keeps
+    z-adjacent rows close in EVERY dimension, each file's parquet
+    min/max stats cover a narrow rectangle of the key space, and a
+    selective filter on ANY zorder dimension skips most files — the
+    public OPTIMIZE-ZORDER technique, built from plain expressions.
+
+    All arithmetic is JVM expressions (shift/and/or built from the
+    bounds literals); the only driver-side data is the 2-value bounds
+    row per dimension."""
+    from pyspark.sql import functions as F
+
+    dims = list(zorder_by)
+    if not dims:
+        raise ValueError("zorder_by must name at least one column")
+    bounds = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(dims)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(dims)],
+    ).collect()[0]
+    n_buckets = (1 << bits) - 1
+    bucket_cols = []
+    for i, c in enumerate(dims):
+        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+        b = F.least(
+            F.lit(n_buckets),
+            F.floor(
+                (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+                / F.lit(span)
+                * F.lit(float(n_buckets + 1))
+            ).cast("long"),
+        )
+        bucket_cols.append(b)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for d, b in enumerate(bucket_cols):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * len(dims) + d))
+    out = df.withColumn("__z", z)
+    out = (
+        out.repartitionByRange(num_files, "__z")
+        if num_files
+        else out.repartitionByRange("__z")
+    )
+    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)

@@ -163,3 +163,61 @@ def test_write_range_sorted_scan_skips_row_groups(spark, tmp_path):
         f"range-clustered scan decoded {sorted_scan}/{total} rows — "
         "row-group skipping is not happening"
     )
+
+
+def test_write_zordered_skips_files_on_both_dims(spark, tmp_path):
+    """The Z-order claim, measured: with two independent uniform dims,
+    a narrow filter on EITHER dim touches a small fraction of the
+    z-ordered files (each file's min/max covers a narrow rectangle),
+    while the single-key range-sorted layout only skips on its sort
+    key — a filter on the other dim touches every file. File-touch
+    counts come from input_file_name() over the filtered scan."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.sources.parquet import (
+        write_range_sorted,
+        write_zordered,
+    )
+
+    n = 40_000
+    # two decorrelated uniform dims derived from id (multiplicative
+    # hashing mod a prime), deterministic
+    base = spark.range(n).select(
+        ((F.col("id") * 48271) % 99991).alias("x"),
+        ((F.col("id") * 16807) % 99991).alias("y"),
+    )
+    zpath = str(tmp_path / "zord")
+    lpath = str(tmp_path / "linear")
+    write_zordered(base, zpath, zorder_by=("x", "y"), bits=8, num_files=16)
+    write_range_sorted(base, lpath, sort_by=("x",), num_files=16)
+
+    def files_touched(path: str, pred: str) -> int:
+        return (
+            spark.read.parquet(path)
+            .filter(pred)
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    total_z = files_touched(zpath, "1=1")
+    total_l = files_touched(lpath, "1=1")
+    assert total_z >= 8 and total_l >= 8
+
+    # ~2% slice on each dim
+    for dim in ("x", "y"):
+        pred = f"{dim} >= 50000 AND {dim} < 52000"
+        zt = files_touched(zpath, pred)
+        assert zt <= total_z // 2, (dim, zt, total_z)
+    lt_x = files_touched(lpath, "x >= 50000 AND x < 52000")
+    lt_y = files_touched(lpath, "y >= 50000 AND y < 52000")
+    assert lt_x <= 2  # the sort key prunes hard
+    assert lt_y == total_l  # the other dim prunes nothing
+    # both-dim conjunction: z-order compounds the pruning
+    zt_xy = files_touched(
+        zpath, "x >= 50000 AND x < 52000 AND y >= 50000 AND y < 52000"
+    )
+    assert zt_xy <= 4, zt_xy
+
+    # layout changes bytes, never rows
+    assert spark.read.parquet(zpath).count() == n
