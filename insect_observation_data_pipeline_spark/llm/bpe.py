@@ -154,7 +154,11 @@ def bpe_merges(
     # 32-partition floor makes each of the ~24 round jobs a ~33-task
     # stage of near-empty tasks (restored in the finally — the merge
     # table rows are eagerly checkpointed inside the loop, so nothing
-    # lazy escapes the scope)
+    # lazy escapes the scope). NOT thread-safe: the conf is session-
+    # global, so a concurrent query on the same session would shuffle
+    # at this bound and overlapping trainers could restore each
+    # other's stale value — guard with a lock if trainers ever run
+    # concurrently (the read_table save/set/restore caveat)
     old_sp = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(p))
     try:
@@ -209,12 +213,14 @@ def bpe_encode(
     vocab" half of the pair. ``merges`` is an ORDERED list of
     (pair_a, pair_b) applied in rank order as the same greedy
     left-to-right fold as training, but the fold runs once per word
-    TYPE (:func:`_encoded_word_types`) and per-document totals come
-    from a (doc, word)-grain count joined to the type table — the
-    Sennrich-trainer caching trick. At corpus scale this trades the
-    per-occurrence fold (rounds x corpus tokens of codegen'd scan
-    work) for one narrow (doc_id, w, n) shuffle plus a vocab-sized
-    fold; Zipf-hot words are map-side combined before they move."""
+    TYPE and per-document totals come from a (doc, word)-grain count
+    joined to the type table — the Sennrich-trainer caching trick. At
+    corpus scale this trades the per-occurrence fold (rounds x corpus
+    tokens of codegen'd scan work) for one narrow (doc_id, w, n)
+    shuffle plus a vocab-sized fold; Zipf-hot words are map-side
+    combined before they move. The type table derives from the SAME
+    (doc, word) aggregate — one corpus scan and one corpus-grain
+    shuffle total, not a second independent explode."""
     per_doc_word = (
         docs.select(
             F.col(id_col).alias("doc_id"),
@@ -223,8 +229,10 @@ def bpe_encode(
         .groupBy("doc_id", "w")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    types = _encoded_word_types(docs, merges, text_col=text_col).select(
-        "w", F.size("syms").alias("n_syms")
+    types = (
+        per_doc_word.select("w")
+        .distinct()
+        .select("w", F.size(_word_syms_expr(merges)).alias("n_syms"))
     )
     return (
         per_doc_word.join(types, "w")
@@ -238,6 +246,20 @@ def bpe_encode(
     )
 
 
+def _word_syms_expr(merges: list[tuple[str, str]]) -> Column:
+    """The per-word-TYPE encode expression: split column ``w`` into
+    character symbols + end marker, then apply ``merges`` in rank
+    order as literal greedy folds. Shared by every type-grain encode
+    consumer so the fold exists in exactly one place."""
+    syms = F.concat(
+        F.filter(F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")),
+        F.array(F.lit(WORD_END)),
+    )
+    for a, b in merges:
+        syms = _merge_adjacent(syms, F.lit(a), F.lit(b))
+    return syms
+
+
 def _encoded_word_types(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -246,24 +268,18 @@ def _encoded_word_types(
 ) -> DataFrame:
     """(w, n, syms) — one row per word TYPE with its corpus occurrence
     count and the BPE symbol array after applying ``merges`` in rank
-    order. The shared encode core under :func:`bpe_encode` (per-doc
-    stats) and :func:`bpe_symbol_topk` (corpus histogram): running the
-    greedy fold once per distinct word instead of once per occurrence
-    is exactly the word-histogram caching a sequential BPE trainer
-    does, and at 100 TB it turns the encode from corpus-sized fold
-    compute into one token groupBy plus vocabulary-sized compute."""
+    order. The encode core under :func:`bpe_symbol_topk` (corpus
+    histogram): running the greedy fold once per distinct word instead
+    of once per occurrence is exactly the word-histogram caching a
+    sequential BPE trainer does, and at 100 TB it turns the encode
+    from corpus-sized fold compute into one token groupBy plus
+    vocabulary-sized compute."""
     types = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    syms = F.concat(
-        F.filter(F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")),
-        F.array(F.lit(WORD_END)),
-    )
-    for a, b in merges:
-        syms = _merge_adjacent(syms, F.lit(a), F.lit(b))
-    return types.select("w", "n", syms.alias("syms"))
+    return types.select("w", "n", _word_syms_expr(merges).alias("syms"))
 
 
 def bpe_symbol_topk(
@@ -271,7 +287,6 @@ def bpe_symbol_topk(
     merges: list[tuple[str, str]],
     *,
     text_col: str = "text",
-    id_col: str = "doc_id",
     k: int = 20,
 ) -> DataFrame:
     """Top-k corpus symbol histogram AFTER encoding: (symbol, n) —

@@ -801,8 +801,12 @@ def _avi_walk(b: bytes):
             if cid == b"LIST":
                 walk(body_lo + 4, body_hi)  # skip the list type fourcc
             elif cid == b"avih":
+                if body_lo + 40 > len(b):  # truncated header chunk:
+                    raise ValueError("AVI: truncated avih chunk")
                 avih = struct.unpack("<IIIIIIIIII", b[body_lo : body_lo + 40])
             elif cid == b"strf":
+                if body_lo + 24 > len(b):
+                    raise ValueError("AVI: truncated strf chunk")
                 strf = struct.unpack("<IiiHHII", b[body_lo : body_lo + 24])
             elif cid[2:] in (b"db", b"dc"):
                 frames.append(b[body_lo:body_hi])
@@ -817,17 +821,20 @@ def _avi_walk(b: bytes):
 def avi_decode_frames(payload: bytes):
     """Full frame-level decode of an uncompressed 24-bit BI_RGB AVI:
     returns a uint8 ndarray of shape (n_frames, height, width, 3) in
-    RGB (undoing the bottom-up BGR padded-stride DIB layout). Raises
-    ValueError for compressed fourccs / other bit depths — callers
-    keep the header features (the WAV unsupported-encoding path)."""
+    RGB (undoing the BGR padded-stride DIB layout; a positive
+    BITMAPINFOHEADER height means bottom-up rows — the common case —
+    and a negative height means the rows are stored top-down already,
+    so only the positive form vertically flips). Raises ValueError for
+    compressed fourccs / other bit depths — callers keep the header
+    features (the WAV unsupported-encoding path)."""
     import numpy as np
 
     b = bytes(payload or b"")
     _avih, strf, frames = _avi_walk(b)
-    _, w, h, _planes, bitcount, compression, _ = strf
+    _, w, h_signed, _planes, bitcount, compression, _ = strf
     if bitcount != 24 or compression != 0:
         raise ValueError("AVI: only uncompressed 24-bit BI_RGB decoded")
-    h = abs(h)
+    h = abs(h_signed)
     stride = _dib_stride(w)
     out = np.zeros((len(frames), h, w, 3), dtype=np.uint8)
     for i, fb in enumerate(frames):
@@ -835,7 +842,9 @@ def avi_decode_frames(payload: bytes):
             raise ValueError("AVI: truncated frame")
         rows = np.frombuffer(fb[: stride * h], dtype=np.uint8).reshape(h, stride)
         px = rows[:, : w * 3].reshape(h, w, 3)
-        out[i] = px[::-1, :, ::-1]  # bottom-up -> top-down, BGR -> RGB
+        if h_signed > 0:
+            px = px[::-1]  # bottom-up -> top-down
+        out[i] = px[:, :, ::-1]  # BGR -> RGB
     return out
 
 
@@ -887,15 +896,20 @@ def _sniff_decode(payload: bytes) -> dict:
     per-row decoder label, so ``extract_features(decoder='auto')``
     routes each payload by its container signature (PNG 8-byte magic;
     RIFF + WAVE / 'AVI ' form type). Unrecognized payloads get the
-    metadata-only fake features instead of failing the batch: at
-    corpus scale a poison blob must quarantine, not kill the stage."""
+    metadata-only fake features, and a payload whose magic matches but
+    whose body fails to decode (truncated, malformed) degrades to the
+    same metadata with ``feature_kind='corrupt'`` — at corpus scale a
+    poison blob must quarantine, not kill the stage, in both forms."""
     b = bytes(payload or b"")
-    if b[:8] == b"\x89PNG\r\n\x1a\n":
-        return _decode_image_png(b)
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
-        return _decode_audio_wav(b)
-    if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
-        return _decode_video_avi(b)
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n":
+            return _decode_image_png(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            return _decode_audio_wav(b)
+        if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            return _decode_video_avi(b)
+    except ValueError:
+        return {"n_bytes": len(b), "feature_kind": "corrupt"}
     return _fake_deterministic_decode(b)
 
 
@@ -1280,7 +1294,14 @@ def sample_frames(
             ):
                 raw = bytes(payload or b"")
                 if decoder == "video":
-                    frames = avi_decode_frames(raw)
+                    try:
+                        frames = avi_decode_frames(raw)
+                    except ValueError:
+                        # undecodable row (compressed fourcc, truncated,
+                        # not an AVI): emit no frames for it rather than
+                        # failing the stage — one poison video must not
+                        # lose every other row's frames
+                        continue
                     picked = list(range(0, frames.shape[0], every_nth))[:max_frames]
                     for idx in picked:
                         out.append(

@@ -267,6 +267,14 @@ def write_zordered(
     dims = list(zorder_by)
     if not dims:
         raise ValueError("zorder_by must name at least one column")
+    if bits * len(dims) > 63:
+        # Java shift amounts wrap mod 64: past 63 bits the interleave
+        # would silently fold one dimension's bits onto another's and
+        # break z-injectivity — fail loudly instead
+        raise ValueError(
+            f"bits * len(zorder_by) = {bits * len(dims)} exceeds the "
+            "63-bit z-value budget; lower bits or drop dimensions"
+        )
     bounds = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(dims)],
         *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(dims)],

@@ -2799,3 +2799,83 @@ def test_extract_features_auto_sniffs_mixed_media(spark):
     assert out["v"]["feature_kind"] == "avi" and out["v"]["n_frames"] == 3
     assert out["junk"]["feature_kind"] == "fake"
     assert out["junk"]["n_bytes"] == 15
+
+
+def test_media_poison_rows_quarantine_not_crash(spark):
+    """Round-9 review fixes, pinned: (a) decoder='auto' degrades a
+    recognized-magic-but-truncated payload to feature_kind='corrupt'
+    instead of failing the batch; (b) a truncated AVI raises ValueError
+    (not struct.error) so the quarantine path catches it; (c)
+    sample_frames(decoder='video') skips an undecodable (compressed
+    fourcc) row and still emits the healthy rows' frames; (d) a
+    top-down DIB (negative biHeight) decodes without the vertical
+    flip."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    rng = np.random.default_rng(29)
+    frames = rng.integers(0, 256, size=(4, 3, 2, 3), dtype=np.uint8)
+    good = multimodal.avi_encode_frames(frames, fps=5)
+
+    # (b) truncated headers raise ValueError per the _avi_walk contract
+    with pytest.raises(ValueError):
+        multimodal.avi_decode_frames(good[:40])
+
+    # (a) auto-sniff: truncated PNG magic + truncated AVI -> 'corrupt'
+    df = spark.createDataFrame(
+        [
+            ("png_trunc", bytearray(b"\x89PNG\r\n\x1a\nxx")),
+            ("avi_trunc", bytearray(good[:40])),
+            ("ok", bytearray(good)),
+        ],
+        "media_id string, payload binary",
+    )
+    out = {
+        r["media_id"]: r
+        for r in multimodal.extract_features(df, decoder="auto").collect()
+    }
+    assert out["png_trunc"]["feature_kind"] == "corrupt"
+    assert out["avi_trunc"]["feature_kind"] == "corrupt"
+    assert out["ok"]["feature_kind"] == "avi"
+
+    # (c) poison video row drops, healthy row still yields frames
+    mjpg = bytearray(good)
+    at = good.index(b"strf")
+    mjpg[at + 8 + 16 : at + 8 + 20] = b"MJPG"
+    vdf = spark.createDataFrame(
+        [("good", bytearray(good), 4), ("bad", mjpg, 4)],
+        "media_id string, payload binary, n_frames int",
+    )
+    rows = multimodal.sample_frames(
+        vdf, every_nth=2, max_frames=2, decoder="video"
+    ).collect()
+    assert {r["media_id"] for r in rows} == {"good"}
+    assert sorted(r["frame_idx"] for r in rows) == [0, 2]
+
+    # (d) top-down DIB: flip the strf height sign — the stored rows are
+    # unchanged (bottom-up), so a correct decoder now returns them
+    # verbatim = the vertical mirror of the original frames
+    topdown = bytearray(good)
+    h = frames.shape[1]
+    struct.pack_into("<i", topdown, at + 8 + 8, -h)
+    dec = multimodal.avi_decode_frames(bytes(topdown))
+    assert (dec == frames[:, ::-1]).all()
+
+
+def test_write_zordered_rejects_overwide_interleave(spark, tmp_path):
+    """bits * n_dims past the 63-bit z budget must fail loudly: Java
+    shift amounts wrap mod 64 and would silently fold dimensions."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.sources.parquet import write_zordered
+
+    df = spark.range(10).selectExpr(*[f"id as c{i}" for i in range(9)])
+    with pytest.raises(ValueError, match="63-bit"):
+        write_zordered(
+            df, str(tmp_path / "z"), zorder_by=tuple(f"c{i}" for i in range(9)),
+            bits=8,
+        )
