@@ -147,6 +147,14 @@ EXTENDED_QUERIES = [
     # + TakeOrderedAndProject)
     "x48_histogram_quantiles",
     "e9_path_trigrams",
+    # round 9: the Unicode-hygiene census (one scan through the
+    # sanctioned mapInPandas NFC boundary + tiny-domain agg — times the
+    # Arrow crossing on the corpus), the langid confusion rollup (pure
+    # JVM census over the same scan shape), and the mixture-epochs
+    # plan (scan + source-grain agg + broadcast total)
+    "x49_unicode_census",
+    "x50_langid_confusion",
+    "x51_mixture_plan",
 ]
 
 
