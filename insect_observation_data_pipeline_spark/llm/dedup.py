@@ -68,6 +68,20 @@ def doc_segments(
     return toked.select("doc_id", F.posexplode(seg_arr).alias("pos", "seg"))
 
 
+def kept_text_agg(marker_col: str) -> Column:
+    """Aggregate expression reassembling a document from its NON-marked
+    segments in original order: collect (pos, seg) structs for rows
+    whose ``marker_col`` is NULL, sort by position, join with spaces.
+    ONE definition on purpose — the batch operator (:func:`segment_dedup`)
+    and the streaming scrub sink must reassemble identically or the
+    pinned one-epoch == batch equivalence silently breaks."""
+    kept = F.when(F.col(marker_col).isNull(), F.struct("pos", "seg"))
+    return F.array_join(
+        F.transform(F.array_sort(F.collect_list(kept)), lambda s: s["seg"]),
+        " ",
+    )
+
+
 def segment_dedup(
     docs: DataFrame,
     *,
@@ -120,7 +134,6 @@ def segment_dedup(
         .filter(F.col("df") >= min_df)
         .select("seg", F.lit(True).alias("__dup"))
     )
-    kept = F.when(F.col("__dup").isNull(), F.struct("pos", "seg"))
     return (
         segs.join(dup, "seg", "left")
         .groupBy("doc_id")
@@ -134,12 +147,7 @@ def segment_dedup(
             )
             .cast("bigint")
             .alias("kept_words"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(kept)), lambda s: s["seg"]
-                ),
-                " ",
-            ).alias("kept_text"),
+            kept_text_agg("__dup").alias("kept_text"),
         )
     )
 

@@ -141,7 +141,16 @@ def asof_join(
     NULLs are returned), instead of being skipped in favor of an older
     non-null value. Matches DuckDB ASOF JOIN semantics for nullable
     payloads.
+
+    Determinism on right-side ties: when several right rows share
+    (keys, right_ts), the window order is completed with the md5 of
+    the payload struct's JSON — an arbitrary but PARTITIONING-STABLE
+    total order, so repeated runs pick the same row (the repo's
+    total-order tiebreak rule; without it ``last`` returns whichever
+    row the sort happened to place last).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
     rt = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
@@ -158,7 +167,12 @@ def asof_join(
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     w = (
         Window.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .orderBy(
+            F.col("__ts").asc(),
+            F.col("__side").asc(),
+            # tie-break equal-(keys, ts) right rows deterministically
+            F.md5(F.to_json(F.col("__m"))).asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__m", F.last("__m", ignorenulls=True).over(w))

@@ -7,12 +7,17 @@ the row, then removes them from staging
 (/root/reference/03_sql/02_etl_csv_to_oltp/02_ETL1_part1.sql:30-35,
 03_ETL1_part2.sql:54-74, 04_ETL1_part3.sql:158-235).
 
-Spark-first design: ONE pass computes the first matching rule per row as a
-CASE expression (``coalesce(when(r1)..., when(r2)...)``), then the good/bad
-split is two filters over the same cached projection — no semi-join delete,
-no per-rule scan of the input. At 100 TB this matters: the reference's
-formulation is k appends + k deletes (2k scans); ours is one scan feeding
-two writes, fully whole-stage-codegen'd, zero shuffles.
+Spark-first design: ONE expression computes the first matching rule per
+row as a CASE chain (``coalesce(when(r1)..., when(r2)...)``), then the
+good/bad split is two filters over the same tagged projection — no
+semi-join delete, no PER-RULE scan of the input. At 100 TB this matters:
+the reference's formulation is k appends + k deletes (2k scans of
+staging); ours evaluates every rule in one codegen'd projection with
+zero shuffles. The two returned frames are LAZY — materializing both
+rescans the input once each (2 scans total, vs the reference's 2k);
+callers writing both sinks back-to-back should ``df.persist()`` the
+input (or write the tagged frame once and filter the files) if even
+that second scan is too expensive.
 """
 
 from __future__ import annotations

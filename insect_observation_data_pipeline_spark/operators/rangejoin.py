@@ -52,8 +52,28 @@ def band_join(
     """
     if how not in ("inner", "left_outer", "left"):
         raise ValueError(f"band_join supports inner/left_outer, got {how!r}")
-    lb = left.withColumn("__bl", F.floor(left_val / F.lit(delta)))
-    rbase = right.withColumn("__b0", F.floor(right_val / F.lit(delta)))
+
+    # exact integer floor division: Spark's `/` casts to DOUBLE, which
+    # mis-buckets |values| > 2^53 (epoch NANOS are ~2^60 — a boundary
+    # row rounds into the wrong bucket and its pair silently vanishes).
+    # DIV truncates toward zero, so correct negative non-divisible
+    # values down by one (% follows the dividend's sign in Spark SQL).
+    d = int(delta)
+
+    def bucket(df: DataFrame, val: Column, out: str, tmp: str) -> DataFrame:
+        return (
+            df.withColumn(tmp, val.cast("long"))
+            .withColumn(
+                out,
+                F.expr(
+                    f"{tmp} DIV {d} - CASE WHEN {tmp} % {d} < 0 THEN 1 ELSE 0 END"
+                ),
+            )
+            .drop(tmp)
+        )
+
+    lb = bucket(left, left_val, "__bl", "__lv")
+    rbase = bucket(right, right_val, "__b0", "__rv")
     rb = rbase.withColumn(
         "__br",
         F.explode(

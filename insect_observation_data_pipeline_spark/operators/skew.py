@@ -70,10 +70,14 @@ def salted_join(
     small-side row would surface once per bucket), so they decompose
     exactly: salted INNER core + the unmatched rows of each preserved
     side found with an anti-join against the other side's DISTINCT
-    keys. The distinct-key frames are explicitly broadcast — they are
-    at most one row per key, so the anti joins stay shuffle-free and
-    the hot key cannot re-skew them. Output column order is
-    keys + large payload + small payload for every branch.
+    keys. Only the SMALL side's distinct keys are explicitly broadcast
+    (bounded by the broadcastable table). The large side's distinct
+    keys can be billions of rows — forcing those through a broadcast
+    build would OOM at exactly the scale this operator targets — so
+    that anti-join is left to the planner: it shuffles on the keys,
+    and its skew exposure is bounded by the SMALL side's row count per
+    key, not the hot key's large-side multiplicity. Output column
+    order is keys + large payload + small payload for every branch.
     """
     keys = list(on)
     if how in ("inner", "left"):
@@ -99,7 +103,7 @@ def salted_join(
         ).select(*keys, *large_payload, *_null_payload(small, keys))
         parts.append(unmatched_large)
     unmatched_small = small.join(
-        F.broadcast(large.select(*keys).distinct()), keys, "left_anti"
+        large.select(*keys).distinct(), keys, "left_anti"
     ).select(*keys, *_null_payload(large, keys), *small_payload)
     parts.append(unmatched_small)
     out = parts[0]

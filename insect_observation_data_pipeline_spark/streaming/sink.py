@@ -60,6 +60,135 @@ def _data_files(path: str) -> list[str]:
     ]
 
 
+def _epoch_log_path(path: str) -> str:
+    return path + "__epochlog.json"
+
+
+def _epoch_log_read(path: str) -> dict | None:
+    """The sink's single-file epoch log: the manifest of the most
+    recent epoch's file-level writes. foreachBatch is at-least-once
+    and retries only the FAILED epoch (earlier epochs committed their
+    checkpoint), so one manifest is all replay recovery ever needs —
+    the file self-prunes by replacement."""
+    import json
+
+    try:
+        with open(_epoch_log_path(path)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def _epoch_log_write(path: str, epoch_id: int, files: list[str],
+                     complete: bool) -> None:
+    """Atomically replace the epoch log (tmp + rename)."""
+    import json
+
+    log = _epoch_log_path(path)
+    tmp = log + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(
+            {"epoch_id": epoch_id, "files": files, "complete": complete}, f
+        )
+    os.replace(tmp, log)
+
+
+def _epoch_begin(path: str, epoch_id: int) -> bool:
+    """Start-of-epoch replay protocol. Returns False when this epoch
+    already COMPLETED (exact duplicate delivery — skip it entirely);
+    otherwise rolls back any file-level writes a crashed attempt of
+    THIS epoch recorded, clears stale staging dirs, and returns True.
+
+    This is what upgrades the appending sinks from at-least-once to
+    exactly-once: every append goes stage-dir -> record target names
+    in the log -> move into the live dir, so any crash window either
+    left only an (epoch-namespaced, deleted-here) staging dir or left
+    target files the log knows how to delete. Single-writer assumption
+    (one active streaming query per sink path) — Structured Streaming
+    runs epochs sequentially."""
+    import glob as _glob
+
+    log = _epoch_log_read(path)
+    if log and log.get("epoch_id") == epoch_id:
+        if log.get("complete"):
+            return False
+        for f in log.get("files", []):
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+    for stale in _glob.glob(path + ".epoch-*.stage*"):
+        shutil.rmtree(stale, ignore_errors=True)
+    return True
+
+
+def _publish_staged(stage_dir: str, live_dir: str, path: str,
+                    epoch_id: int, files_so_far: list[str]) -> list[str]:
+    """Move a staged write's data files into the live dir, recording
+    the TARGET names in the epoch log BEFORE anything moves — a crash
+    mid-move leaves only files the next replay's rollback deletes.
+    Returns the updated cumulative file list."""
+    targets = []
+    moves = []
+    for name in sorted(os.listdir(stage_dir)):
+        if name.startswith((".", "_")):
+            continue  # _SUCCESS / hidden markers stay behind
+        src = os.path.join(stage_dir, name)
+        dst = os.path.join(live_dir, name)
+        moves.append((src, dst))
+        targets.append(dst)
+    files = files_so_far + targets
+    _epoch_log_write(path, epoch_id, files, complete=False)
+    if moves:  # an all-deduped epoch stages zero data files: creating
+        # an empty live dir would break schema inference downstream
+        os.makedirs(live_dir, exist_ok=True)
+        for src, dst in moves:
+            os.rename(src, dst)
+    shutil.rmtree(stage_dir, ignore_errors=True)
+    return files
+
+
+def _stage_bucketed_append(
+    spark,
+    df: DataFrame,
+    live_table: str,
+    live_path: str,
+    bucket_by: tuple[str, ...],
+    sort_by: tuple[str, ...],
+    num_buckets: int,
+    sink_path: str,
+    epoch_id: int,
+    files: list[str],
+    tag: str,
+) -> list[str]:
+    """Bucketed-table append through the epoch staging protocol: write
+    a temp EXTERNAL bucketed table at a stage dir (bucket suffixes in
+    the file names are what the bucketed scan requires — moving the
+    files preserves them, the same property the compaction swap relies
+    on), publish via :func:`_publish_staged`, then make sure the live
+    table is registered and its cached file listing refreshed (manual
+    file moves bypass the writer-side invalidation saveAsTable did)."""
+    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
+
+    stage = f"{sink_path}.epoch-{epoch_id}.stage-{tag}"
+    tmp_table = f"{live_table}__stage"
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")
+    shutil.rmtree(stage, ignore_errors=True)
+    write_bucketed(
+        df, tmp_table, bucket_by=bucket_by, num_buckets=num_buckets,
+        sort_by=sort_by, mode="append", path=stage,
+    )
+    spark.sql(f"DROP TABLE IF EXISTS `{tmp_table}`")  # external: files stay
+    files = _publish_staged(stage, live_path, sink_path, epoch_id, files)
+    if _data_files(live_path):  # an all-deduped first epoch may have
+        # published nothing — defer registration to the first real data
+        _register_bucketed_table(
+            spark, live_table, live_path, bucket_by, sort_by, num_buckets
+        )
+        spark.catalog.refreshTable(live_table)
+    return files
+
+
 def _has_legacy_files(path: str) -> bool:
     """True when ``path`` holds plain (non-bucket-suffixed) data files —
     the pre-bucketing sink layout. Detection reads FILE NAMES, not the
@@ -363,10 +492,14 @@ def dedup_ingest_sink(
        cross-side LSH candidates verified with exact Jaccard);
     3. append the survivors.
 
-    Append is not idempotent, but the pipeline is EFFECTIVELY
-    exactly-once under epoch replay: a replayed doc is an exact
-    fingerprint duplicate of the copy the first delivery appended, so
-    step 2 drops it.
+    Exactly-once under epoch replay BY CONSTRUCTION (round-9 fix: the
+    fingerprint-duplicate argument held only when the index append
+    landed — a crash between the corpus and index appends used to make
+    the replay re-append the whole epoch): every write goes through
+    the epoch staging protocol (``_epoch_begin`` / ``_publish_staged``
+    — stage dir, log target names, move), so a completed epoch's
+    replay is skipped outright and a crashed attempt's partial files
+    are rolled back before the recompute.
 
     The corpus-side state is the NARROW dedup index maintained as two
     EXTERNAL BUCKETED tables under ``<path>__index`` /
@@ -408,7 +541,6 @@ def dedup_ingest_sink(
         incremental_dedup_indexed,
         minhash_lsh_dedup,
     )
-    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
 
     index_path = f"{path}__index"
     bands_path = f"{path}__bands"
@@ -420,6 +552,13 @@ def dedup_ingest_sink(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # exactly-once under foreachBatch's at-least-once replay
+        # (round-9 review: a crash between the corpus append and the
+        # index append used to orphan the epoch's fingerprints, so the
+        # replay re-appended every doc): completed epochs skip, crashed
+        # attempts roll back their recorded file-level writes first
+        if not _epoch_begin(path, epoch_id):
+            return
         keepers = exact_groups(batch_df, text_col, id_col).select(
             F.col("keeper_id").alias(id_col)
         )
@@ -465,21 +604,33 @@ def dedup_ingest_sink(
         # judge every doc an exact duplicate (observed: the second
         # bucketed write recomputed past persist() and appended nothing).
         batch = batch.localCheckpoint(eager=True)
-        batch.write.mode("append").parquet(path)
+        # every append goes stage -> log target names -> move (see
+        # _epoch_begin): a crash in ANY window is either an orphaned
+        # epoch-namespaced stage dir or logged target files the replay
+        # deletes before recomputing
+        files: list[str] = []
+        corpus_stage = f"{path}.epoch-{epoch_id}.stage-corpus"
+        shutil.rmtree(corpus_stage, ignore_errors=True)
+        batch.write.mode("overwrite").parquet(corpus_stage)
+        files = _publish_staged(corpus_stage, path, path, epoch_id, files)
+        spark.catalog.refreshByPath(path)
         new_index = build_dedup_index(
             batch, text_col=text_col, id_col=id_col
         ).persist()
-        write_bucketed(
-            new_index, index_table,
-            bucket_by=("fp",), num_buckets=index_buckets,
-            sort_by=("fp",), mode="append", path=index_path,
+        files = _stage_bucketed_append(
+            spark, new_index, index_table, index_path,
+            ("fp",), ("fp",), index_buckets, path, epoch_id, files, "idx",
         )
-        write_bucketed(
-            build_band_index(new_index), bands_table,
-            bucket_by=("band_idx", "band_hash"), num_buckets=index_buckets,
-            sort_by=("band_idx", "band_hash"), mode="append", path=bands_path,
+        files = _stage_bucketed_append(
+            spark, build_band_index(new_index), bands_table, bands_path,
+            ("band_idx", "band_hash"), ("band_idx", "band_hash"),
+            index_buckets, path, epoch_id, files, "bands",
         )
         new_index.unpersist()
+        # semantic writes are done: mark the epoch complete BEFORE the
+        # (independently crash-safe) compaction below — a crash during
+        # compaction must not make the replay re-append the epoch
+        _epoch_log_write(path, epoch_id, files, complete=True)
         limit = (
             compact_file_threshold
             if compact_file_threshold is not None
@@ -507,20 +658,51 @@ def keyed_state_sink(
 ):
     """Build a ``foreachBatch`` handler maintaining last-row-per-key at
     ``path`` (parquet), ordered by ``order_cols`` (ties broken by the
-    later column(s); pass a unique tiebreak for determinism)."""
+    later column(s); pass a unique tiebreak for determinism).
+
+    Crash-safe swap (round-9 review: the original rmtree-then-rename
+    left a window where a crash silently reset ALL keyed state to the
+    replayed batch alone): the replacement lands in a tmp dir, the
+    live dir is PARKED by rename (never deleted before the new copy is
+    live), and recovery at the next epoch restores the parked original
+    — or the completed replacement — before merging. Epoch replay is
+    naturally idempotent here (last-per-key of an already-merged batch
+    is a no-op), so restoring EITHER copy converges to the same state.
+    """
+    import glob as _glob
+
     order_by = [F.col(c).desc() for c in order_cols]
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # recover a crashed swap: live dir missing while the parked
+        # original (preferred: replay then applies the batch once) or
+        # the completed replacement is still on disk
+        if not os.path.exists(path):
+            for cand in sorted(_glob.glob(path + ".replaced-*")) + sorted(
+                _glob.glob(path + ".tmp-*")
+            ):
+                if os.path.isdir(cand):
+                    os.rename(cand, path)
+                    break
+        # stale siblings from completed or recovered swaps
+        for stale in _glob.glob(path + ".replaced-*") + _glob.glob(
+            path + ".tmp-*"
+        ):
+            shutil.rmtree(stale, ignore_errors=True)
         current = None
         if os.path.exists(path):
             current = spark.read.parquet(path)
         merged = merge_latest(current, batch_df, keys, order_by)
         tmp = f"{path}.tmp-{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
+        parked = None
         if os.path.exists(path):
-            shutil.rmtree(path)
+            parked = f"{path}.replaced-{epoch_id}"
+            os.rename(path, parked)
         os.rename(tmp, path)
+        if parked:
+            shutil.rmtree(parked)
 
     return handle
 
@@ -576,7 +758,6 @@ def segment_scrub_sink(
     ``''`` too.
     """
     from insect_observation_data_pipeline_spark.llm.dedup import doc_segments
-    from insect_observation_data_pipeline_spark.sources.parquet import write_bucketed
 
     index_path = f"{path}__segdf"
     suffix = hashlib.md5(path.encode()).hexdigest()[:10]
@@ -616,6 +797,14 @@ def segment_scrub_sink(
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
+        # exactly-once under replay (round-9 review: a replayed epoch
+        # used to append its segment counts a SECOND time — a segment
+        # seen in one document would sum to df=2 and be stripped as
+        # boilerplate from every later document — and duplicate the
+        # epoch's corpus docs): completed epochs skip, crashed attempts
+        # roll back their logged file-level writes first
+        if not _epoch_begin(path, epoch_id):
+            return
         # cut lineage FIRST: segs feeds both the df count and the
         # reassembly, and batch_df is joined again for the append — all
         # of it should read the materialized epoch, not re-drive the
@@ -624,10 +813,14 @@ def segment_scrub_sink(
         segs = doc_segments(
             batch_df, text_col=text_col, id_col=id_col, seg_words=seg_words
         ).withColumn("seg_hash", F.md5(F.col("seg")))
-        # one (seg_hash, df) row per distinct batch segment
+        # one (seg_hash, df) row per distinct batch segment, persisted:
+        # it feeds both the cum/boiler lookup and the index append, and
+        # without the pin each materialization re-runs the segmentation
+        # explode + count_distinct shuffle from scratch
         batch_counts = (
             segs.groupBy("seg_hash")
             .agg(F.count_distinct("doc_id").alias("df"))
+            .persist()
         )
         # a crashed compaction swap leaves the live index dir missing
         # with the complete replacement stranded in `.compacting` —
@@ -665,23 +858,17 @@ def segment_scrub_sink(
                 "seg_hash", F.col("df").cast("bigint").alias("cum_df")
             )
         boiler = cum.filter(F.col("cum_df") >= min_df).select("seg_hash")
-        kept = F.when(
-            F.col("__boiler").isNull(), F.struct("pos", "seg")
-        )
+        # reassembly is segment_dedup's own aggregate (one definition:
+        # a drift between the two would silently break the pinned
+        # one-epoch == batch equivalence)
+        from insect_observation_data_pipeline_spark.llm.dedup import kept_text_agg
+
         cleaned = (
             segs.join(
                 boiler.withColumn("__boiler", F.lit(True)), "seg_hash", "left"
             )
             .groupBy("doc_id")
-            .agg(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(kept)),
-                        lambda s: s["seg"],
-                    ),
-                    " ",
-                ).alias("__kept_text")
-            )
+            .agg(kept_text_agg("__boiler").alias("__kept_text"))
         )
         out = (
             batch_df.withColumnRenamed(text_col, "__orig")
@@ -697,12 +884,21 @@ def segment_scrub_sink(
         # this epoch's scrub was computed against (the dedup_ingest_sink
         # lesson: a recompute past the append would double-count df)
         out = out.localCheckpoint(eager=True)
-        out.write.mode("append").parquet(path)
-        write_bucketed(
-            batch_counts, index_table,
-            bucket_by=("seg_hash",), num_buckets=index_buckets,
-            sort_by=("seg_hash",), mode="append", path=index_path,
+        files: list[str] = []
+        corpus_stage = f"{path}.epoch-{epoch_id}.stage-corpus"
+        shutil.rmtree(corpus_stage, ignore_errors=True)
+        out.write.mode("overwrite").parquet(corpus_stage)
+        files = _publish_staged(corpus_stage, path, path, epoch_id, files)
+        spark.catalog.refreshByPath(path)
+        files = _stage_bucketed_append(
+            spark, batch_counts, index_table, index_path,
+            ("seg_hash",), ("seg_hash",), index_buckets,
+            path, epoch_id, files, "segdf",
         )
+        batch_counts.unpersist()
+        # mark complete BEFORE compaction (which is crash-safe on its
+        # own): a crash mid-compaction must not replay the appends
+        _epoch_log_write(path, epoch_id, files, complete=True)
         limit = (
             compact_file_threshold
             if compact_file_threshold is not None

@@ -76,6 +76,25 @@ def advance_session_state(
     return last_ts_us, n_sessions, n_events
 
 
+def _ts_micros(series) -> list[int]:
+    """Event timestamps as microsecond ints with NULLs DROPPED. A NaT
+    run through .astype('int64') silently becomes int64 min, which
+    would open a phantom first session and satisfy every 'strictly
+    after' funnel comparison — null event times carry no ordering
+    information, so the folds must never see them."""
+    s = series.astype("datetime64[us]")
+    s = s[s.notna()]
+    return [int(v) for v in s.astype("int64")]
+
+
+def _ts_event_pairs(pdf) -> list[tuple[int, str]]:
+    """(ts_us, event_type) pairs with null-ts rows dropped (see
+    :func:`_ts_micros`)."""
+    mask = pdf["ts"].notna()
+    ts = pdf.loc[mask, "ts"].astype("datetime64[us]").astype("int64")
+    return list(zip((int(v) for v in ts), pdf.loc[mask, "event_type"]))
+
+
 def _update_sessions(
     key: tuple[Any, ...],
     pdfs: Iterator["pd.DataFrame"],  # noqa: F821
@@ -90,10 +109,9 @@ def _update_sessions(
 
     ts_us: list[int] = []
     for pdf in pdfs:
-        # normalize to µs explicitly: Arrow may hand us ns- or µs-unit
-        ts_us.extend(
-            int(v) for v in pdf["ts"].astype("datetime64[us]").astype("int64")
-        )
+        # normalize to µs explicitly (Arrow may hand us ns- or µs-unit)
+        # and drop null timestamps (NaT -> int64 min otherwise)
+        ts_us.extend(_ts_micros(pdf["ts"]))
     ts_us.sort()
     last_ts_us, n_sessions, n_events = advance_session_state(
         last_ts_us, n_sessions, n_events, ts_us
@@ -126,9 +144,7 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
     def run_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
         import pandas as pd
 
-        ts_us = sorted(
-            int(v) for v in pdf["ts"].astype("datetime64[us]").astype("int64")
-        )
+        ts_us = sorted(_ts_micros(pdf["ts"]))
         _, n_sessions, n_events = advance_session_state(None, 0, 0, ts_us)
         return pd.DataFrame(
             {
@@ -229,8 +245,7 @@ def _update_funnel(
     t1, t2, t3 = state.get if state.exists else (None, None, None)
     evs: list[tuple[int, str]] = []
     for pdf in pdfs:
-        ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-        evs.extend(zip((int(v) for v in ts_us), pdf["event_type"]))
+        evs.extend(_ts_event_pairs(pdf))
     evs.sort(key=lambda p: p[0])
     t1, t2, t3 = advance_funnel_state(t1, t2, t3, evs)
     state.update((t1, t2, t3))
@@ -265,11 +280,7 @@ def funnel_stateful(events: DataFrame) -> DataFrame:
         def run_batch(pdf: "pd.DataFrame") -> "pd.DataFrame":  # noqa: F821
             import pandas as pd
 
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-            evs = sorted(
-                zip((int(v) for v in ts_us), pdf["event_type"]),
-                key=lambda p: p[0],
-            )
+            evs = sorted(_ts_event_pairs(pdf), key=lambda p: p[0])
             t1, t2, t3 = advance_funnel_state(None, None, None, evs)
             if t1 is None:
                 return pd.DataFrame(

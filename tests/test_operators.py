@@ -446,3 +446,42 @@ def test_triangle_counts_vs_bruteforce_random(spark):
                 round(2.0 * tri[v] / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
             )
             assert abs(got[v][2] - want_c) < 1e-9, f"trial {trial}: cc({v})"
+
+
+def test_band_join_exact_at_nanosecond_magnitudes(spark):
+    """Round-9 review fix, pinned: bucket ids must come from INTEGER
+    floor division — double division mis-buckets |values| > 2^53
+    (epoch nanos ~2^60) and silently drops qualifying pairs. Compare
+    against a brute-force cross-filter reference on values straddling
+    bucket boundaries at 2^60, including negatives."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.operators.rangejoin import band_join
+
+    rng = random.Random(41)
+    delta = 1_000
+    base = 1 << 60
+    vals = []
+    for i in range(60):
+        k = rng.randrange(-3, 4)
+        off = rng.choice([-delta, -1, 0, 1, delta - 1, delta])
+        vals.append((i, (base if i % 2 else -base) + k * delta + off))
+    left = spark.createDataFrame(vals, "lid long, lv long")
+    right = spark.createDataFrame(
+        [(100 + i, v) for i, v in vals], "rid long, rv long"
+    )
+    got = sorted(
+        (r["lid"], r["rid"])
+        for r in band_join(
+            left, right, F.col("lv"), F.col("rv"), delta
+        ).collect()
+    )
+    want = sorted(
+        (li, 100 + ri)
+        for li, lv in vals
+        for ri, rv in vals
+        if abs(lv - rv) <= delta
+    )
+    assert got == want

@@ -1518,3 +1518,158 @@ def test_segment_scrub_sink_rejects_legacy_16char_index(spark, tmp_path):
         handle(docs, 0)
     # nothing may have appended past the failed audit
     assert not os.path.exists(path)
+
+
+def test_dedup_ingest_sink_exactly_once_under_replay(spark, tmp_path):
+    """Round-9 fix, pinned: (a) a crash BETWEEN the corpus append and
+    the index append no longer duplicates the epoch on replay — the
+    epoch log rolls back the published corpus files before the
+    recompute; (b) a duplicate delivery of a COMPLETED epoch is skipped
+    outright."""
+    import os
+
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming import sink as sinkmod
+
+    path = str(tmp_path / "corpus")
+    handle = sinkmod.dedup_ingest_sink(path, threshold=0.2)
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different second document body")],
+        "doc_id long, text string",
+    )
+    handle(b0, 0)
+    ids0 = sorted(r["doc_id"] for r in spark.read.parquet(path).collect())
+    assert ids0 == [1, 2]
+
+    # (a) crash after the corpus publish, before the index appends
+    b1 = spark.createDataFrame(
+        [(3, "a genuinely novel third document appears here")],
+        "doc_id long, text string",
+    )
+    real_stage = sinkmod._stage_bucketed_append
+    calls = {"n": 0}
+
+    def crash_on_index(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("injected crash before index append")
+
+    sinkmod._stage_bucketed_append = crash_on_index
+    try:
+        with pytest.raises(RuntimeError):
+            handle(b1, 1)
+    finally:
+        sinkmod._stage_bucketed_append = real_stage
+    assert calls["n"] == 1
+    # the crashed attempt's corpus files are on disk right now...
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    ) == [1, 2, 3]
+    # ...but the replay rolls them back and re-runs: no duplicates
+    handle(b1, 1)
+    rows = spark.read.parquet(path).collect()
+    ids1 = sorted(r["doc_id"] for r in rows)
+    assert ids1 == [1, 2, 3], ids1
+
+    # (b) duplicate delivery of the completed epoch: skipped
+    handle(b1, 1)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    ) == [1, 2, 3]
+    # and the index holds exactly one fp row per corpus doc
+    idx = spark.read.parquet(path + "__index")
+    assert idx.count() == 3
+    import shutil as _sh
+
+    _sh.rmtree(path, ignore_errors=True)
+
+
+def test_segment_scrub_sink_replay_does_not_double_count_df(spark, tmp_path):
+    """Round-9 fix, pinned: replaying a completed epoch must not append
+    the segment counts a second time — a df=1 segment falsely summing
+    to 2 would be stripped as boilerplate from every later document."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        segment_scrub_sink,
+    )
+
+    path = str(tmp_path / "scrubbed")
+    handle = segment_scrub_sink(path, seg_words=4, min_df=2)
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta unique tail one"),
+         (2, "wholly different words for the second doc")],
+        "doc_id long, text string",
+    )
+    handle(docs, 0)
+    handle(docs, 0)  # duplicate delivery: must be a no-op
+    idx = spark.read.parquet(path + "__segdf")
+    assert idx.agg(F.max("df")).collect()[0][0] == 1
+    assert spark.read.parquet(path).count() == 2
+
+    # a later epoch reusing doc 1's opening segment crosses min_df via
+    # REAL occurrences only, proving the counts stayed correct
+    later = spark.createDataFrame(
+        [(3, "alpha beta gamma delta then new material here")],
+        "doc_id long, text string",
+    )
+    handle(later, 1)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert "alpha beta gamma delta" not in got[3]  # stripped at df=2
+
+
+def test_keyed_state_sink_recovers_crashed_swap(spark, tmp_path):
+    """Round-9 fix, pinned: a crash between parking the live state dir
+    and renaming the replacement in must NOT reset keyed state — the
+    next epoch restores the parked original and merges on top."""
+    import os
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        keyed_state_sink,
+    )
+
+    path = str(tmp_path / "state")
+    handle = keyed_state_sink(path, keys=["k"], order_cols=["ts"])
+    handle(
+        spark.createDataFrame([("a", 1, "va1"), ("b", 1, "vb1")],
+                              "k string, ts int, v string"),
+        0,
+    )
+    # simulate the crash window: live dir parked, replacement lost
+    os.rename(path, path + ".replaced-1")
+    handle(
+        spark.createDataFrame([("b", 2, "vb2")], "k string, ts int, v string"),
+        1,
+    )
+    got = {r["k"]: (r["ts"], r["v"]) for r in spark.read.parquet(path).collect()}
+    assert got == {"a": (1, "va1"), "b": (2, "vb2")}, got
+
+
+def test_stateful_folds_drop_null_timestamps(spark):
+    """Round-9 review fix, pinned: NaT event times must be DROPPED by
+    the stateful folds — astype('int64') would turn them into int64
+    min, opening a phantom first session and satisfying every
+    'strictly after' funnel step."""
+    from insect_observation_data_pipeline_spark.streaming.stateful import (
+        funnel_stateful,
+        sessionize_stateful,
+    )
+
+    rows = [
+        (7, "2024-01-01 10:00:00", "view"),
+        (7, None, "view"),                     # null ts: ignored
+        (7, "2024-01-01 10:05:00", "click"),
+        (7, None, "purchase"),                 # would fake funnel depth 3
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+
+    sess = sessionize_stateful(events).collect()
+    assert len(sess) == 1
+    assert sess[0]["n_events"] == 2      # null-ts events carry no order info
+    assert sess[0]["n_sessions"] == 1    # no phantom int64-min session
+
+    fun = {r["user_id"]: r for r in funnel_stateful(events).collect()}
+    assert fun[7]["funnel_depth"] == 2   # view -> click; null purchase ignored
