@@ -80,11 +80,21 @@ def _merge_adjacent(syms: Column, a: Column, b: Column) -> Column:
     return F.aggregate(syms, init, step, finish)
 
 
-def _pair_counts(words: DataFrame) -> DataFrame:
+def _pair_counts(
+    words: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
     """(pair_a, pair_b, pair_count) over adjacent symbol positions,
     weighted by word frequency. Counts positions (``aaa`` contributes
     (a,a) twice) — the Sennrich convention; overlap resolution happens
-    at merge time, not count time."""
+    at merge time, not count time.
+
+    ``num_partitions`` bounds the aggregation shuffle PER-PLAN: an
+    explicit ``repartition(p, keys)`` whose exchange already satisfies
+    the groupBy's clustered-distribution requirement, so EnsureRequirements
+    adds no second exchange and the agg runs at exactly ``p`` tasks —
+    without touching the session-global ``spark.sql.shuffle.partitions``
+    (which a concurrent query on the shared session would silently
+    inherit; the round-9 ADVICE item)."""
     # guard the fully-merged single-symbol word: sequence(1, 0) would
     # DESCEND in Spark (the x42 lesson) and index past the array
     adj = F.when(
@@ -97,10 +107,14 @@ def _pair_counts(words: DataFrame) -> DataFrame:
             ),
         ),
     ).otherwise(F.array().cast("array<struct<a:string,b:string>>"))
-    pairs = words.select("n", F.explode(adj).alias("p"))
-    return pairs.groupBy(
-        F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b")
-    ).agg(F.sum("n").alias("pair_count"))
+    pairs = words.select("n", F.explode(adj).alias("p")).select(
+        F.col("p.a").alias("pair_a"), F.col("p.b").alias("pair_b"), "n"
+    )
+    if num_partitions:
+        pairs = pairs.repartition(num_partitions, "pair_a", "pair_b")
+    return pairs.groupBy("pair_a", "pair_b").agg(
+        F.sum("n").alias("pair_count")
+    )
 
 
 def bpe_merges(
@@ -149,46 +163,43 @@ def bpe_merges(
         [(_SENTINEL, _SENTINEL, -1)], "pair_a string, pair_b string, pair_count long"
     )
     merge_rows: list[DataFrame] = []
-    # scope the shuffle-partition bound to the iteration: every shuffle
-    # in the loop is over vocabulary-sized data, and the session-wide
-    # 32-partition floor makes each of the ~24 round jobs a ~33-task
-    # stage of near-empty tasks (restored in the finally — the merge
-    # table rows are eagerly checkpointed inside the loop, so nothing
-    # lazy escapes the scope). NOT thread-safe: the conf is session-
-    # global, so a concurrent query on the same session would shuffle
-    # at this bound and overlapping trainers could restore each
-    # other's stale value — guard with a lock if trainers ever run
-    # concurrently (the read_table save/set/restore caveat)
-    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
-    sess.conf.set("spark.sql.shuffle.partitions", str(p))
-    try:
-        for r in range(1, rounds + 1):
-            top = (
-                _pair_counts(words)
-                .unionByName(sentinel)
-                .orderBy(
-                    F.desc("pair_count"), F.asc("pair_a"), F.asc("pair_b")
-                )
-                .limit(1)
-                .localCheckpoint(eager=True)
+    # the shuffle-partition bound is scoped PER-PLAN (an explicit
+    # repartition(p, keys) inside _pair_counts whose exchange already
+    # satisfies the groupBy's distribution requirement — no second
+    # exchange): every shuffle in the loop is over vocabulary-sized
+    # data, and the session-wide 32-partition floor would make each of
+    # the ~2xrounds round jobs a ~33-task stage of near-empty tasks.
+    # Nothing session-global is mutated, so concurrent queries on the
+    # shared session — including this repo's own foreachBatch sinks —
+    # keep their own shuffle width (round-9 ADVICE). The orderBy+limit
+    # argmax plans as TakeOrdered (no full-sort shuffle) and the fuse
+    # crossJoin is broadcast, so _pair_counts holds the loop's only
+    # width-sensitive exchange.
+    for r in range(1, rounds + 1):
+        top = (
+            _pair_counts(words, num_partitions=p)
+            .unionByName(sentinel)
+            .orderBy(
+                F.desc("pair_count"), F.asc("pair_a"), F.asc("pair_b")
             )
-            merge_rows.append(top.select(F.lit(r).alias("rank"), "*"))
-            if r == rounds:
-                # the final round's fuse has no reader — skip it
-                # (one fold + one checkpoint job saved per call)
-                break
-            words = (
-                words.crossJoin(F.broadcast(top))
-                .select(
-                    "n",
-                    _merge_adjacent(
-                        F.col("syms"), F.col("pair_a"), F.col("pair_b")
-                    ).alias("syms"),
-                )
-                .localCheckpoint(eager=True)
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(top.select(F.lit(r).alias("rank"), "*"))
+        if r == rounds:
+            # the final round's fuse has no reader — skip it
+            # (one fold + one checkpoint job saved per call)
+            break
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                "n",
+                _merge_adjacent(
+                    F.col("syms"), F.col("pair_a"), F.col("pair_b")
+                ).alias("syms"),
             )
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+            .localCheckpoint(eager=True)
+        )
     out = merge_rows[0]
     for m in merge_rows[1:]:
         out = out.unionByName(m)

@@ -142,8 +142,14 @@ def _wav_chunks(b: bytes) -> tuple[tuple, bytes]:
         cid, csize = b[pos : pos + 4], struct.unpack("<I", b[pos + 4 : pos + 8])[0]
         body = b[pos + 8 : pos + 8 + csize]
         if cid == b"fmt " and csize >= 16:
+            # a declared csize can exceed the surviving bytes (truncated
+            # payload); unpacking a short slice raises struct.error, which
+            # is NOT a ValueError and would escape the corrupt-quarantine
+            # path — validate lengths and raise ValueError ourselves
+            if len(body) < 16:
+                raise ValueError("WAV: truncated fmt chunk")
             fmt = struct.unpack("<HHIIHH", body[:16])
-            if fmt[0] == 0xFFFE and csize >= 40:
+            if fmt[0] == 0xFFFE and csize >= 40 and len(body) >= 40:
                 cb = struct.unpack("<H", body[16:18])[0]
                 sub = body[24:40]
                 if cb >= 22 and sub[4:16] == _WAVE_SUBFORMAT_TAIL:
@@ -899,7 +905,12 @@ def _sniff_decode(payload: bytes) -> dict:
     metadata-only fake features, and a payload whose magic matches but
     whose body fails to decode (truncated, malformed) degrades to the
     same metadata with ``feature_kind='corrupt'`` — at corpus scale a
-    poison blob must quarantine, not kill the stage, in both forms."""
+    poison blob must quarantine, not kill the stage, in both forms.
+    ``struct.error`` is caught alongside ``ValueError`` as a backstop:
+    the decoders length-check before unpacking, but a missed slice on a
+    truncated container must still quarantine, never kill the stage."""
+    import struct
+
     b = bytes(payload or b"")
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n":
@@ -908,7 +919,7 @@ def _sniff_decode(payload: bytes) -> dict:
             return _decode_audio_wav(b)
         if b[:4] == b"RIFF" and b[8:12] == b"AVI ":
             return _decode_video_avi(b)
-    except ValueError:
+    except (ValueError, struct.error):
         return {"n_bytes": len(b), "feature_kind": "corrupt"}
     return _fake_deterministic_decode(b)
 

@@ -93,7 +93,8 @@ def _epoch_log_write(path: str, epoch_id: int, files: list[str],
     os.replace(tmp, log)
 
 
-def _epoch_begin(path: str, epoch_id: int) -> bool:
+def _epoch_begin(path: str, epoch_id: int, spark=None,
+                 tables: tuple[str, ...] = ()) -> bool:
     """Start-of-epoch replay protocol. Returns False when this epoch
     already COMPLETED (exact duplicate delivery — skip it entirely);
     otherwise rolls back any file-level writes a crashed attempt of
@@ -105,18 +106,37 @@ def _epoch_begin(path: str, epoch_id: int) -> bool:
     left only an (epoch-namespaced, deleted-here) staging dir or left
     target files the log knows how to delete. Single-writer assumption
     (one active streaming query per sink path) — Structured Streaming
-    runs epochs sequentially."""
+    runs epochs sequentially.
+
+    When ``spark`` is given, each directory a file was rolled back
+    from gets its cached file listing dropped, and each name in
+    ``tables`` (the sink's registered bucketed tables — whose cached
+    relations refreshByPath does NOT invalidate) is refreshTable'd: a
+    crash between the idx and bands appends leaves PUBLISHED index
+    files that this same session may already have scanned, and without
+    the refresh the replay's ``spark.table(index_table)`` reads the
+    stale listing and dies FAILED_READ_FILE.FILE_NOT_EXIST until the
+    session restarts (reproduced in
+    tests/test_streaming.py::test_dedup_ingest_sink_replay_refreshes_rolled_back_index)."""
     import glob as _glob
 
     log = _epoch_log_read(path)
     if log and log.get("epoch_id") == epoch_id:
         if log.get("complete"):
             return False
+        rolled_back: set[str] = set()
         for f in log.get("files", []):
             try:
                 os.remove(f)
+                rolled_back.add(os.path.dirname(f))
             except OSError:
                 pass
+        if spark is not None and rolled_back:
+            for d in sorted(rolled_back):
+                spark.catalog.refreshByPath(d)
+            for t in tables:
+                if spark.catalog.tableExists(t):
+                    spark.catalog.refreshTable(t)
     for stale in _glob.glob(path + ".epoch-*.stage*"):
         shutil.rmtree(stale, ignore_errors=True)
     return True
@@ -557,7 +577,8 @@ def dedup_ingest_sink(
         # index append used to orphan the epoch's fingerprints, so the
         # replay re-appended every doc): completed epochs skip, crashed
         # attempts roll back their recorded file-level writes first
-        if not _epoch_begin(path, epoch_id):
+        if not _epoch_begin(path, epoch_id, spark,
+                            tables=(index_table, bands_table)):
             return
         keepers = exact_groups(batch_df, text_col, id_col).select(
             F.col("keeper_id").alias(id_col)
@@ -570,7 +591,11 @@ def dedup_ingest_sink(
             .distinct()
         )
         batch = batch.join(near_losers, id_col, "left_anti")
-        if os.path.exists(path):
+        # guard on DATA FILES, not the directory: a first-epoch crash
+        # after _publish_staged leaves the live dir existing but EMPTIED
+        # by the replay's rollback, and schema inference on an empty dir
+        # fails identically on every retry — the stream would be stuck
+        if _data_files(path):
             corpus = spark.read.parquet(path)
             if not spark.catalog.tableExists(index_table) or not (
                 spark.catalog.tableExists(bands_table)
@@ -777,15 +802,24 @@ def segment_scrub_sink(
         if key_audited or not os.path.exists(index_path):
             key_audited = True
             return
+        # aggregate over the WHOLE index, not a sampled row: a mixed
+        # dir (legacy 16-hex files plus newer 32-hex appends) would
+        # pass or fail nondeterministically on .first(), letting
+        # orphaned legacy counts slip through silently
         row = (
             spark.read.parquet(index_path)
-            .select(F.length("seg_hash").alias("n"))
+            .agg(
+                F.min(F.length("seg_hash")).alias("lo"),
+                F.max(F.length("seg_hash")).alias("hi"),
+            )
             .first()
         )
-        if row is not None and row["n"] != 32:
+        if row is not None and row["lo"] is not None and (
+            row["lo"] != 32 or row["hi"] != 32
+        ):
             raise ValueError(
                 f"segment index at {index_path} carries "
-                f"{row['n']}-char seg_hash keys, but this sink writes "
+                f"{row['lo']}..{row['hi']}-char seg_hash keys, but this sink writes "
                 "full 32-hex md5 digests: the index predates the "
                 "128-bit key change and its counts can never match new "
                 "batches (a hash prefix is not recoverable to the full "
@@ -803,7 +837,7 @@ def segment_scrub_sink(
         # boilerplate from every later document — and duplicate the
         # epoch's corpus docs): completed epochs skip, crashed attempts
         # roll back their logged file-level writes first
-        if not _epoch_begin(path, epoch_id):
+        if not _epoch_begin(path, epoch_id, spark, tables=(index_table,)):
             return
         # cut lineage FIRST: segs feeds both the df count and the
         # reassembly, and batch_df is joined again for the append — all

@@ -2866,6 +2866,52 @@ def test_media_poison_rows_quarantine_not_crash(spark):
     assert (dec == frames[:, ::-1]).all()
 
 
+def test_truncated_wav_fmt_chunk_quarantines_not_struct_error(spark):
+    """Round-9 ADVICE, pinned: a 'fmt ' chunk DECLARING csize>=16 whose
+    surviving body is shorter used to raise struct.error from the
+    header unpack — not a ValueError subclass, so it escaped the
+    'corrupt' quarantine and killed the whole mapInPandas stage. The
+    parse must length-check and raise ValueError, and decoder='auto'
+    must degrade the row to feature_kind='corrupt'."""
+    import struct
+
+    import pytest
+
+    from insect_observation_data_pipeline_spark.llm import multimodal
+
+    # declared fmt csize=16, only 3 body bytes survive
+    trunc = (
+        b"RIFF" + struct.pack("<I", 30) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x02"
+    )
+    with pytest.raises(ValueError):
+        multimodal._wav_chunks(trunc)
+    with pytest.raises(ValueError):
+        multimodal.wav_decode_samples(trunc)
+
+    # extensible header declaring csize=40 with a short body must not
+    # unpack past the surviving bytes either (falls through to the
+    # missing-data ValueError, still inside the quarantine contract)
+    trunc_ext = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 40)
+        + struct.pack("<HHIIHH", 0xFFFE, 2, 8000, 32000, 4, 16)
+    )
+    with pytest.raises(ValueError):
+        multimodal._wav_chunks(trunc_ext)
+
+    df = spark.createDataFrame(
+        [("wav_trunc", bytearray(trunc)),
+         ("wav_trunc_ext", bytearray(trunc_ext))],
+        "media_id string, payload binary",
+    )
+    out = {
+        r["media_id"]: r["feature_kind"]
+        for r in multimodal.extract_features(df, decoder="auto").collect()
+    }
+    assert out == {"wav_trunc": "corrupt", "wav_trunc_ext": "corrupt"}
+
+
 def test_write_zordered_rejects_overwide_interleave(spark, tmp_path):
     """bits * n_dims past the 63-bit z budget must fail loudly: Java
     shift amounts wrap mod 64 and would silently fold dimensions."""

@@ -1646,6 +1646,118 @@ def test_keyed_state_sink_recovers_crashed_swap(spark, tmp_path):
     assert got == {"a": (1, "va1"), "b": (2, "vb2")}, got
 
 
+def test_dedup_ingest_sink_recovers_first_epoch_crash(spark, tmp_path):
+    """Round-9 ADVICE, pinned: a crash in the FIRST epoch after the
+    corpus publish leaves the live dir existing but EMPTIED by the
+    replay's rollback — guarding the standing-corpus branch on
+    os.path.exists made schema inference on the empty dir fail
+    identically on every retry, permanently sticking the stream. The
+    guard must read data files, not the directory."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming import sink as sinkmod
+
+    path = str(tmp_path / "corpus")
+    handle = sinkmod.dedup_ingest_sink(path, threshold=0.2)
+    b0 = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different second document body")],
+        "doc_id long, text string",
+    )
+    real_stage = sinkmod._stage_bucketed_append
+
+    def crash_on_index(*a, **k):
+        raise RuntimeError("injected crash before first index append")
+
+    sinkmod._stage_bucketed_append = crash_on_index
+    try:
+        with pytest.raises(RuntimeError):
+            handle(b0, 0)
+    finally:
+        sinkmod._stage_bucketed_append = real_stage
+    import os
+
+    assert os.path.isdir(path)  # the crash window this test is about
+    # replay of epoch 0 must roll back to an EMPTY-but-present dir and
+    # still complete (and every later epoch keeps working)
+    handle(b0, 0)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    ) == [1, 2]
+    handle(
+        spark.createDataFrame(
+            [(3, "a genuinely novel third document appears here")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    ) == [1, 2, 3]
+
+
+def test_dedup_ingest_sink_replay_refreshes_rolled_back_index(
+    spark, tmp_path
+):
+    """Round-9 ADVICE, pinned: a crash BETWEEN the idx and bands
+    appends rolls back PUBLISHED index files at replay; without
+    dropping the session catalog's cached file listing for the
+    rolled-back dirs, the same-session replay's spark.table(index)
+    scan reads the stale listing and dies with FileNotFoundException
+    until the session restarts."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming import sink as sinkmod
+
+    path = str(tmp_path / "corpus")
+    handle = sinkmod.dedup_ingest_sink(path, threshold=0.2)
+    handle(
+        spark.createDataFrame(
+            [(1, "the quick brown fox jumps over the lazy dog"),
+             (2, "an entirely different second document body")],
+            "doc_id long, text string",
+        ),
+        0,
+    )
+    b1 = spark.createDataFrame(
+        [(3, "a genuinely novel third document appears here")],
+        "doc_id long, text string",
+    )
+    real_stage = sinkmod._stage_bucketed_append
+
+    def crash_on_bands(*a, **k):
+        tag = k.get("tag", a[-1] if a else None)
+        if tag == "bands":
+            raise RuntimeError("injected crash between idx and bands")
+        return real_stage(*a, **k)
+
+    sinkmod._stage_bucketed_append = crash_on_bands
+    try:
+        with pytest.raises(RuntimeError):
+            handle(b1, 1)
+    finally:
+        sinkmod._stage_bucketed_append = real_stage
+    # a reader scanning the index between the crash and the replay
+    # repopulates the session's cached file listing WITH the doomed
+    # epoch-1 files (reproduced: without the rollback refresh the
+    # replay dies FAILED_READ_FILE.FILE_NOT_EXIST on exactly this
+    # sequence)
+    import hashlib
+
+    index_table = (
+        f"dedup_index_{hashlib.md5(path.encode()).hexdigest()[:10]}"
+    )
+    assert spark.table(index_table).count() == 3  # 2 standing + 1 doomed
+    # same-session replay: epoch 1's published idx files are rolled
+    # back; the scan through the registered table must see the fresh
+    # listing, not the deleted files
+    handle(b1, 1)
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(path).collect()
+    ) == [1, 2, 3]
+    assert spark.read.parquet(path + "__index").count() == 3
+
+
 def test_stateful_folds_drop_null_timestamps(spark):
     """Round-9 review fix, pinned: NaT event times must be DROPPED by
     the stateful folds — astype('int64') would turn them into int64
