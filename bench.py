@@ -16,6 +16,19 @@ BENCH_r*.json per query (>1 = slower than last round);
 ``deltas_calib_normalized`` divides that by the calibration-probe drift
 so machine-speed changes don't read as plan regressions.
 
+CROSS-ROUND INDEX (round 10): prev-chained normalized deltas whipsawed
+(r8 read 0.62-0.98, r9 read 1.3-2.2, truth flat) because the drift
+scalar was the battery-TOTAL ratio, 75% of which was the one probe
+that misbehaved. Now (a) drift scalars are the MEDIAN of per-probe
+ratios, and (b) every round also emits ``index_raw_vs_epoch`` /
+``index_norm_vs_epoch`` against the pinned round-7 anchors (EPOCH_*
+constants below), so any two rounds compare directly and mirror-image
+rounds cancel. Decision rule (also in README): when
+``calib_drift_vs_epoch`` is within [0.7, 1.4] the machines are
+comparable for these ~1 s queries (fixed scheduling overhead dominates
+and does not move with probe-measured compute speed) — judge
+regressions on the RAW index; outside the band use the normalized one.
+
 Fault isolation: every query runs under try/except — a red query lands
 in ``errors`` with its exception and the rest of the suite still times
 and reports (a bench artifact with zero timings because one query threw
@@ -59,6 +72,41 @@ from insect_observation_data_pipeline_spark.queries import QUERIES
 # MEMORY_AND_DISK shingle/signature persists inside every evicted run
 # (llm/dedup.py:704,718), which is the honest per-invocation cost; the
 # warm number is what a session that already built them sees.
+
+# EPOCH anchor for the cross-round-comparable index (round 10, fixing
+# the calibration whipsaw the round-9 verdict flagged: normalizing by
+# the SORT-DOMINATED battery-total ratio read r8 as 0.62-0.98 and r9 as
+# 1.3-2.2 while the truth was flat). Two changes:
+#   1. drift scalars are now the MEDIAN of the per-probe ratios, not
+#      the battery-total ratio (the sort probe was 75% of calib_sec and
+#      whipsawed 2.6x between rounds while codegen/shuffle moved ~25%);
+#   2. every round emits an index against ONE fixed epoch — round 7's
+#      committed artifact, hand-pinned below — so mirror-image
+#      prev-chained rounds cancel and any two rounds compare directly.
+# Caveat the index inherits: the probes model COMPUTE, but most core
+# queries are ~1 s at sf0.1 where fixed job-scheduling + noop-commit
+# overhead dominates and does NOT move with compute speed — so when
+# calib_drift_vs_epoch is within [0.7, 1.4] judge regressions on
+# index_raw_vs_epoch; outside that band prefer index_norm_vs_epoch.
+EPOCH_SRC = "BENCH_r07.json"
+EPOCH_CALIB_OPS = {"codegen": 0.091, "shuffle": 0.351, "sort": 1.313}
+EPOCH_QUERIES = {
+    "q1_pricing_summary": 0.676,
+    "q3_shipping_priority": 0.858,
+    "q5_local_supplier_volume": 1.192,
+    "flagship_top_part_supplier": 1.091,
+    "a8_top_nation_months": 0.751,
+    "w2_best_month_per_customer": 2.67,
+    "a7_distinct_on_first_line": 1.09,
+    "j9_interval_attribution": 0.543,
+    "s8_quarantine_events": 0.493,
+    "x1_dedup_exact": 0.361,
+    "x7_minhash_lsh": 3.475,
+    "x8_simhash": 1.363,
+    "x9_ann_bruteforce": 0.677,
+    "e2_sessionization": 0.62,
+}
+
 
 # NOTE on x1_dedup_exact "drift" (round-6 verdict follow-up): x1 is
 # ~85% fixed overhead at this scale — measured r7: 0.345 s at sf0.01
@@ -155,6 +203,11 @@ EXTENDED_QUERIES = [
     "x49_unicode_census",
     "x50_langid_confusion",
     "x51_mixture_plan",
+    # round 10: cross-doc exact repeated-span detection (anchor hash
+    # agg + broadcast semi join + one per-doc sort) and the e6+e7
+    # event census (rotation merge; times both component plans)
+    "x52_repeated_spans",
+    "e26_event_census",
 ]
 
 
@@ -371,12 +424,22 @@ def main() -> None:
         for name in timings
         if prev_q.get(name)
     }
-    # drift vs last round: battery-total ratio once both rounds carry
-    # the battery; against a pre-battery artifact, compare its single
-    # probe to our identical 'codegen' op
+    # drift vs last round: MEDIAN of the per-probe ratios (round 10 —
+    # the battery-total ratio was 75% sort probe and whipsawed while
+    # codegen/shuffle moved a fraction as much; the median is robust to
+    # one probe family misbehaving). Against a pre-battery artifact,
+    # compare its single probe to our identical 'codegen' op.
     prev_calib = prev.get("calib_sec")
-    if prev.get("calib_ops"):
-        calib_drift = round(calib / prev_calib, 3) if prev_calib else None
+    prev_ops = prev.get("calib_ops") or {}
+    drift_ops_prev = {
+        op: round(calib_ops[op] / prev_ops[op], 3)
+        for op in calib_ops
+        if prev_ops.get(op)
+    }
+    if drift_ops_prev:
+        calib_drift = round(
+            statistics.median(drift_ops_prev.values()), 3
+        )
     elif prev_calib:
         calib_drift = round(calib_ops["codegen"] / prev_calib, 3)
     else:
@@ -399,6 +462,32 @@ def main() -> None:
         else None
     )
 
+    # the cross-round-comparable EPOCH index (see EPOCH_SRC note):
+    # every round positions itself against the same pinned round-7
+    # anchors, raw and drift-normalized
+    drift_ops_epoch = {
+        op: round(calib_ops[op] / EPOCH_CALIB_OPS[op], 3)
+        for op in EPOCH_CALIB_OPS
+        if calib_ops.get(op)
+    }
+    drift_epoch = round(statistics.median(drift_ops_epoch.values()), 3)
+    index_raw = {
+        n: round(timings[n] / EPOCH_QUERIES[n], 3)
+        for n in timings
+        if EPOCH_QUERIES.get(n)
+    }
+    epoch_common = sum(
+        v for n, v in EPOCH_QUERIES.items() if timings.get(n)
+    )
+    now_common = sum(v for n, v in timings.items() if EPOCH_QUERIES.get(n))
+    index_raw_total = (
+        round(now_common / epoch_common, 3) if epoch_common else None
+    )
+    index_norm = {n: round(v / drift_epoch, 3) for n, v in index_raw.items()}
+    index_norm_total = (
+        round(index_raw_total / drift_epoch, 3) if index_raw_total else None
+    )
+
     # Key order is deliberate: the driver's artifact keeps only the
     # LAST 2000 chars of output, so the derived diagnostics (deltas)
     # come first and the raw per-query timings + calibration — what
@@ -414,17 +503,30 @@ def main() -> None:
                 "total_delta_vs_prev": total_delta,
                 "total_delta_calib_normalized": total_norm,
                 "prev_src": prev.get("_src"),
+                "epoch_src": EPOCH_SRC,
+                "calib_drift_vs_epoch": drift_epoch,
+                "calib_drift_ops_vs_epoch": drift_ops_epoch,
+                "index_raw_vs_epoch_total": index_raw_total,
+                "index_norm_vs_epoch_total": index_norm_total,
+                "index_raw_vs_epoch": index_raw,
+                "index_norm_vs_epoch": index_norm,
                 "deltas_vs_prev": deltas,
                 "deltas_calib_normalized": deltas_norm,
                 "calib_drift_vs_prev": calib_drift,
+                "calib_drift_ops_vs_prev": drift_ops_prev,
                 "errors": errors,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "n": n_runs,
-                "calib_sec": calib,
-                "calib_ops": calib_ops,
-                "queries": timings,
+                # the LAST ~700 chars of the line — what the driver's
+                # 2000-char tail capture is guaranteed to keep — are the
+                # core timings + calibration, exactly what the next
+                # round's _prev_bench needs; the (longer) extended set
+                # sits just ahead of them and front-truncates first
                 "extended_queries": ext_timings,
                 "extended_total": round(sum(ext_timings.values()), 3),
+                "queries": timings,
+                "calib_sec": calib,
+                "calib_ops": calib_ops,
             }
         )
     )

@@ -152,6 +152,101 @@ def segment_dedup(
     )
 
 
+def repeated_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_words: int = 8,
+    min_span_words: int = 16,
+) -> DataFrame:
+    """Cross-document EXACT repeated-span detection — the
+    "dedup repeated substrings across documents" modality (Lee et al.
+    2022, *Deduplicating Training Data Makes Language Models Better*,
+    there via a monolithic suffix array), re-expressed as a BUCKETED
+    shingle-anchor pipeline that never builds a pair set:
+
+    1. every ``anchor_words``-token OVERLAPPING window (one anchor per
+       token position) is hashed (128-bit md5 of the window text);
+    2. one corpus-scale hash agg counts each anchor's cross-document
+       frequency; anchors seen in >= 2 DISTINCT documents are flagged
+       (a span repeated across documents has every one of its anchors
+       flagged, so no pairwise extension step is needed);
+    3. a semi join brings the flag back to (doc, position), and a
+       per-document interval merge (classic gaps-and-islands over the
+       anchor coverage [pos, pos+k-1]) produces MAXIMAL repeated
+       regions, kept when >= ``min_span_words`` tokens.
+
+    Returns one row per maximal repeated region: ``(doc_id,
+    span_start, span_end, span_words)`` — token indices, 0-based
+    inclusive. A phrase repeated only WITHIN one document does not
+    flag (cross-document df), matching the Lee et al. cross-doc form.
+
+    Semantics note: a maximal flagged run can merge coverage repeated
+    against DIFFERENT partner documents into one region — that is the
+    "this text appears elsewhere in the corpus" reading, the one a
+    scrubbing pass acts on; suffix-array spans-per-pair can be finer.
+
+    Scale shape (the whole point vs the suffix array): the anchor
+    explode is token-count-sized (same factor as trigram shingling in
+    jaccard_pairs, ~8x x42's non-overlapping segments); the df count
+    is one hash-partitioned agg; the flag-back join is a semi join on
+    the md5 key; and the interval merge runs under ONE per-document
+    sort — both window expressions share the (doc_id, pos) spec, and
+    the island/rollup groupBys reuse the window's hash partitioning
+    (HashPartitioning(doc_id) satisfies their clustered distribution),
+    so nothing re-shuffles after the join. No all-pairs anywhere:
+    cost is O(corpus tokens) map work + two corpus-token-scale
+    shuffles, however many documents share a span."""
+    k = anchor_words
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    cnt = F.size("__toks")
+    # 1-based start positions; guard short docs (sequence would descend)
+    starts = F.when(cnt >= k, F.sequence(F.lit(1), cnt - (k - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    anchors = toked.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.md5(F.concat_ws(" ", F.slice("__toks", i, k))),
+            )
+        ).alias("pos", "anchor"),  # pos = 0-based anchor start
+    )
+    flagged = (
+        anchors.groupBy("anchor")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("anchor")
+    )
+    hits = anchors.join(flagged, "anchor", "left_semi").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    # interval merge: new island when this anchor's coverage starts
+    # past the running max end + 1 (adjacent coverage stays merged)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "__new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        islands.groupBy("doc_id", "__island")
+        .agg(F.min("pos").alias("span_start"), F.max("end").alias("span_end"))
+        .withColumn(
+            "span_words", F.col("span_end") - F.col("span_start") + F.lit(1)
+        )
+        .filter(F.col("span_words") >= min_span_words)
+        .select("doc_id", "span_start", "span_end", "span_words")
+    )
+
+
 def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     """Distinct word n-gram shingles from a materialized token array.
 

@@ -171,17 +171,27 @@ ROTATION_EXEMPT: dict[str, str] = {
         "before the keep policy); propagation convergence "
         "pytest-pinned; stays in the bench extended set"
     ),
-    # Round 9 (cont.): the langid confusion census's only expressions
-    # beyond rotating x3_text_quality are one groupBy count over x3's
-    # own (lang, pred_lang) columns — x3 drives the lang_id kernel
-    # verbatim every time it rotates, and x50's rollup layer is
-    # oracle-composed from x3's oracle, so the census stays local- and
-    # vanilla-checked every round without burning a rotating slot.
-    "x50_langid_confusion": (
-        "lang_id kernel driver-verified via rotating x3_text_quality "
-        "(same expression, per-doc grain); the confusion rollup adds "
-        "one hash agg and its oracle composes x3's oracle verbatim; "
-        "oracle-checked locally every round"
+    # Round 10: x50 swaps INTO rotation for (at least) one round — the
+    # round-9 verdict flagged that its confusion-matrix aggregation was
+    # born exempt with only self-reported evidence; once a driver row
+    # lands it can re-exempt on the x3 kernel rationale if headroom
+    # demands (the slot came from the e6+e7 -> e26 census merge below).
+    #
+    # Round 10 (cont.): the event-analytics pair folds into the
+    # rotating e26_event_census, which CALLS both component functions
+    # verbatim (the e25_session_census precedent) — one driver row
+    # re-verifies the single-shuffle running-min funnel and the cohort
+    # matrix; both stay individually oracle-checked locally every
+    # round, in the bench extended set, and plan-audited.
+    "e6_funnel_steps": (
+        "funnel half of rotating e26_event_census (function called "
+        "verbatim); single-shuffle plan shape pinned by "
+        "tests/test_plans.py"
+    ),
+    "e7_cohort_retention": (
+        "cohort half of rotating e26_event_census (function called "
+        "verbatim); stays in the bench extended set and the local "
+        "oracle run every round"
     ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its

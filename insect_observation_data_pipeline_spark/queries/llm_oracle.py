@@ -1775,3 +1775,84 @@ LLM_ORACLE["x51_mixture_plan"] = f"""
     FROM w, t
     ORDER BY source
 """
+
+
+LLM_ORACLE["x52_repeated_spans"] = f"""
+    -- cross-document exact repeated spans (x52): overlapping 8-token
+    -- anchors, cross-doc df >= 2 flags an anchor, per-doc interval
+    -- merge of the anchor coverage [pos, pos+7] yields maximal
+    -- repeated regions kept at >= 16 tokens. Joins on the raw anchor
+    -- TEXT (the Spark side groups the 128-bit md5 of the same text;
+    -- identical up to md5 collisions, ~2^-60 at this scale)
+    WITH toks AS (
+        SELECT doc_id, {_TOKS} AS tk FROM documents
+    ),
+    anch0 AS (
+        SELECT doc_id,
+               unnest(list_transform(
+                   generate_series(1, greatest(len(tk) - 7, 0)),
+                   i -> {{'pos': i - 1,
+                         'anchor': array_to_string(tk[i : i + 7], ' ')}})) AS u
+        FROM toks
+    ),
+    anchors AS (
+        SELECT doc_id, u.pos AS pos, u.anchor AS anchor FROM anch0
+    ),
+    flagged AS (
+        SELECT anchor FROM anchors GROUP BY anchor
+        HAVING count(DISTINCT doc_id) >= 2
+    ),
+    hits AS (
+        SELECT a.doc_id, a.pos, a.pos + 7 AS e
+        FROM anchors a WHERE a.anchor IN (SELECT anchor FROM flagged)
+    ),
+    m AS (
+        SELECT doc_id, pos, e,
+               max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING) AS prev_e
+        FROM hits
+    ),
+    isl AS (
+        SELECT doc_id, pos, e,
+               sum(CASE WHEN prev_e IS NULL OR pos > prev_e + 1
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(e) AS e2
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT doc_id,
+           CAST(s AS INTEGER) AS span_start,
+           CAST(e2 AS INTEGER) AS span_end,
+           CAST(e2 - s + 1 AS INTEGER) AS span_words
+    FROM spans WHERE e2 - s + 1 >= 16
+"""
+
+
+# e26 composes e6's funnel cascade and the core e7 cohort matrix
+# VERBATIM (the e25 census precedent) under a grain discriminator.
+from insect_observation_data_pipeline_spark.queries.oracle import (  # noqa: E402
+    ORACLE as _CORE_ORACLE,
+)
+
+LLM_ORACLE["e26_event_census"] = f"""
+    WITH funnel AS ({LLM_ORACLE['e6_funnel_steps']}),
+    cohort AS ({_CORE_ORACLE['e7_cohort_retention']})
+    SELECT 'funnel' AS grain,
+           CAST(user_id AS BIGINT) AS user_id,
+           ts_view, ts_click, ts_purchase, funnel_depth,
+           CAST(NULL AS DATE) AS cohort_week,
+           CAST(NULL AS INTEGER) AS week_n,
+           CAST(NULL AS BIGINT) AS n_users
+    FROM funnel
+    UNION ALL
+    SELECT 'cohort',
+           CAST(NULL AS BIGINT),
+           NULL, NULL, NULL,
+           CAST(NULL AS INTEGER),
+           cohort_week, week_n, n_users
+    FROM cohort
+"""

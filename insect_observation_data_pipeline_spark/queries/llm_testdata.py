@@ -1010,6 +1010,63 @@ def x51_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x52_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact repeated-span detection (llm/dedup.py
+    repeated_spans) — the suffix-array "dedup repeated substrings
+    across documents" modality (Lee et al. 2022) as a bucketed
+    shingle-anchor pipeline: every 8-token overlapping anchor is
+    hashed, one corpus-scale hash agg flags anchors in >= 2 distinct
+    docs, and a per-document interval merge (gaps-and-islands under a
+    single (doc_id, pos) sort) emits maximal repeated regions of
+    >= 16 tokens. Never all-pairs: cost is O(corpus tokens) map work
+    + two hash-partitioned shuffles regardless of how many documents
+    share a span."""
+    return dedup.repeated_spans(
+        _t(spark, sf_dir, "documents"), anchor_words=8, min_span_words=16
+    )
+
+
+def e26_event_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-analytics census (round-10 rotation-headroom merge, the
+    e25_session_census precedent): the ordered-funnel steps
+    (e6_funnel_steps) and the cohort-retention matrix
+    (e7_cohort_retention) unioned under a ``grain`` discriminator with
+    typed NULL padding for off-grain columns. Both component functions
+    execute VERBATIM (called directly below) so one driver row
+    re-verifies the single-shuffle running-min funnel AND the
+    two-agg-plus-join retention matrix; each remains individually
+    registered as ROTATION_EXEMPT with every-round local oracle
+    coverage. Cost is the two component plans plus an append-only
+    union — no extra shuffle."""
+    from insect_observation_data_pipeline_spark.queries.testdata import (
+        e7_cohort_retention,
+    )
+
+    funnel = e6_funnel_steps(spark, sf_dir).select(
+        F.lit("funnel").alias("grain"),
+        F.col("user_id").cast("bigint").alias("user_id"),
+        "ts_view",
+        "ts_click",
+        "ts_purchase",
+        "funnel_depth",
+        F.lit(None).cast("date").alias("cohort_week"),
+        F.lit(None).cast("int").alias("week_n"),
+        F.lit(None).cast("bigint").alias("n_users"),
+    )
+    cohort = e7_cohort_retention(spark, sf_dir).select(
+        F.lit("cohort").alias("grain"),
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("timestamp").alias("ts_view"),
+        F.lit(None).cast("timestamp").alias("ts_click"),
+        F.lit(None).cast("timestamp").alias("ts_purchase"),
+        F.lit(None).cast("int").alias("funnel_depth"),
+        "cohort_week",
+        "week_n",
+        "n_users",
+    )
+    return funnel.unionByName(cohort)
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -1400,4 +1457,6 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x49_unicode_census": x49_unicode_census,
     "x50_langid_confusion": x50_langid_confusion,
     "x51_mixture_plan": x51_mixture_plan,
+    "x52_repeated_spans": x52_repeated_spans,
+    "e26_event_census": e26_event_census,
 }

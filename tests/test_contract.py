@@ -251,11 +251,15 @@ def test_vanilla_parity_artifact_green():
         key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
     )
     rows = json.load(open(os.path.join(here, latest)))
-    assert len(rows) >= 100, f"{latest} covers only {len(rows)} queries"
+    queries = {n for n in rows if not n.startswith("__")}
+    assert len(queries) >= 100, f"{latest} covers only {len(queries)} queries"
+    # note loophole closed (round-10, verdict #3): a row passes only on
+    # hash_match or membership in the explicit ROWS_ONLY allowlist —
+    # a red query annotated with a free-text note no longer slips by
     bad = {
-        name: r.get("err")
-        for name, r in rows.items()
-        if not (r.get("hash_match") or r.get("note"))
+        name: rows[name].get("err")
+        for name in queries
+        if not (rows[name].get("hash_match") or name in ROWS_ONLY)
     }
     assert not bad, f"vanilla-session failures in {latest}: {bad}"
 
@@ -294,12 +298,73 @@ def test_registry_covered_by_local_artifact():
             f"registered queries with no row in {latest}: "
             f"{sorted(unverified)} — regenerate the artifact"
         )
+        # note loophole closed (round-10, verdict #3): only hash_match
+        # or the explicit ROWS_ONLY allowlist passes a row
         bad = {
             name: rows[name].get("err")
             for name in QUERIES
-            if not (rows[name].get("hash_match") or rows[name].get("note"))
+            if not (rows[name].get("hash_match") or name in ROWS_ONLY)
         }
         assert not bad, f"non-green registered queries in {latest}: {bad}"
+
+
+def test_artifact_freshness():
+    """Round-10 guard for the round-9 verdict's top defect: commit
+    0631782 changed six operator modules AFTER the 116/116 artifacts
+    were generated, leaving the committed evidence stale-by-
+    construction. Enforced mechanically: the last commit touching the
+    package source must be an ancestor of (or equal to) the commit that
+    last touched each of the latest LOCAL/VANILLA artifacts — so any
+    package-source commit made after the artifacts landed turns this
+    red until both are regenerated. Artifacts from round 10 onward also
+    carry a ``__meta__.generated_at_commit`` provenance stamp (written
+    by tools/compare.py --json)."""
+    import json
+    import os
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=here, capture_output=True, text=True,
+        ).stdout.strip()
+
+    pkg_commit = _git(
+        "log", "-1", "--format=%H", "--",
+        "insect_observation_data_pipeline_spark/",
+    )
+    for kind in ("LOCAL", "VANILLA"):
+        tracked = subprocess.run(
+            ["git", "ls-files", f"CORRECTNESS_{kind}_r*.json"],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        assert tracked, f"no committed {kind} artifact"
+        latest = max(
+            tracked,
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        )
+        rnd = int(re.search(r"_r(\d+)\.json$", latest).group(1))
+        if rnd >= 10:
+            meta = json.load(open(os.path.join(here, latest))).get("__meta__")
+            assert meta and meta.get("generated_at_commit"), (
+                f"{latest} lacks the __meta__ provenance stamp — "
+                "regenerate with tools/compare.py --json"
+            )
+        art_commit = _git("log", "-1", "--format=%H", "--", latest)
+        assert art_commit, f"{latest} tracked but has no commit"
+        fresh = subprocess.run(
+            ["git", "merge-base", "--is-ancestor", pkg_commit, art_commit],
+            cwd=here,
+        ).returncode == 0
+        assert fresh, (
+            f"package source moved past {latest}: last package commit "
+            f"{pkg_commit[:12]} postdates the artifact's last commit "
+            f"{art_commit[:12]} — regenerate CORRECTNESS_{kind}_r*.json "
+            "from the current code and commit it with (or after) the "
+            "source change"
+        )
 
 
 def test_exempt_twins_still_rotate():
@@ -343,7 +408,8 @@ def test_exempt_twins_still_rotate():
         "x21_decontaminate": (
             "x41_bloom_decontaminate", "decontaminate",
         ),
-        "x50_langid_confusion": ("x3_text_quality", "lang_id"),
+        "e6_funnel_steps": ("e26_event_census", "e6_funnel_steps"),
+        "e7_cohort_retention": ("e26_event_census", "e7_cohort_retention"),
     }
     for exempt, (twin, kernel) in twin_kernel.items():
         assert twin in rotating, f"{exempt}'s twin {twin} no longer rotates"

@@ -1686,6 +1686,126 @@ def test_segment_dedup_strips_shared_boilerplate(spark):
     assert out[2]["kept_text"] == ""
 
 
+def test_repeated_spans_cross_doc_only_and_positions(spark):
+    """x52 semantics: a block shared by two docs at DIFFERENT offsets is
+    reported in both with exact token positions; a phrase repeated only
+    WITHIN one document does not flag (cross-doc df >= 2); a unique doc
+    yields no rows; spans shorter than min_span_words are dropped."""
+    from insect_observation_data_pipeline_spark.llm.dedup import repeated_spans
+
+    shared = " ".join(f"s{i}" for i in range(20))  # 20-token block
+    inner = "p q r s"  # 4-token phrase, repeated twice inside doc 3 only
+    rows = [
+        (0, shared + " a0 a1 a2 a3"),
+        (1, "b0 b1 b2 b3 b4 b5 " + shared),
+        (2, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        (3, inner + " m0 m1 m2 m3 " + inner + " m4 m5 m6 m7"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        tuple(r)
+        for r in repeated_spans(
+            docs, anchor_words=4, min_span_words=8
+        ).collect()
+    )
+    assert got == [(0, 0, 19, 20), (1, 6, 25, 20)], got
+
+
+def test_repeated_spans_randomized_vs_bruteforce(spark):
+    """Randomized sweep: repeated_spans agrees with a Python coverage-
+    union brute force (flag every k-window seen in >= 2 distinct docs,
+    union the covered token intervals, emit maximal runs >= min_span)
+    over random small-vocabulary corpora."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm.dedup import repeated_spans
+
+    def brute(rows, k, min_span):
+        toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+        from collections import defaultdict
+
+        occ = defaultdict(set)
+        for i, tk in toks.items():
+            for p in range(len(tk) - k + 1):
+                occ[" ".join(tk[p : p + k])].add(i)
+        flagged = {a for a, ds in occ.items() if len(ds) >= 2}
+        out = []
+        for i, tk in toks.items():
+            covered = [False] * len(tk)
+            for p in range(len(tk) - k + 1):
+                if " ".join(tk[p : p + k]) in flagged:
+                    for j in range(p, p + k):
+                        covered[j] = True
+            j = 0
+            while j < len(tk):
+                if covered[j]:
+                    s = j
+                    while j < len(tk) and covered[j]:
+                        j += 1
+                    if j - s >= min_span:
+                        out.append((i, s, j - 1, j - s))
+                else:
+                    j += 1
+        return sorted(out)
+
+    rng = np.random.default_rng(52)
+    for trial in range(4):
+        k, min_span = [(3, 5), (4, 8), (2, 4), (5, 10)][trial]
+        vocab = [f"w{v}" for v in range(6 + 2 * trial)]
+        rows = [
+            (
+                i,
+                " ".join(
+                    rng.choice(vocab, size=int(rng.integers(0, 40)))
+                ),
+            )
+            for i in range(12)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = sorted(
+            tuple(r)
+            for r in repeated_spans(
+                docs, anchor_words=k, min_span_words=min_span
+            ).collect()
+        )
+        assert got == brute(rows, k, min_span), (
+            f"trial {trial} (k={k}, min_span={min_span})"
+        )
+
+
+def test_e26_census_matches_components(spark):
+    """e26 is exactly its two components tagged and NULL-padded — the
+    merge layer adds no rows and changes no values."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        e6_funnel_steps,
+        e26_event_census,
+    )
+    from insect_observation_data_pipeline_spark.queries.testdata import (
+        e7_cohort_retention,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    census = e26_event_census(spark, sf).collect()
+    funnel = {
+        tuple(r) for r in e6_funnel_steps(spark, sf).collect()
+    }
+    cohort = {
+        tuple(r) for r in e7_cohort_retention(spark, sf).collect()
+    }
+    got_funnel = {
+        (r["user_id"], r["ts_view"], r["ts_click"], r["ts_purchase"],
+         r["funnel_depth"])
+        for r in census if r["grain"] == "funnel"
+    }
+    got_cohort = {
+        (r["cohort_week"], r["week_n"], r["n_users"])
+        for r in census if r["grain"] == "cohort"
+    }
+    assert got_funnel == funnel
+    assert got_cohort == cohort
+    assert len(census) == len(funnel) + len(cohort)
+
+
 def test_segment_dedup_randomized_vs_bruteforce(spark):
     """Randomized sweep: segment_dedup agrees with a Python brute
     force over random corpora across seg_words and min_df settings,

@@ -190,9 +190,33 @@ def main() -> int:
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     if json_out:
+        # provenance stamp (round-10): the HEAD this artifact was
+        # generated at, plus whether the package source had uncommitted
+        # changes (the normal flow: generate on a dirty tree, then
+        # commit artifact + source together — the freshness contract
+        # test asserts no LATER commit touches the package without a
+        # regenerated artifact). Key starts with "__" so row-iterating
+        # consumers skip it.
+        import subprocess
+
+        def _git(*args: str) -> str:
+            return subprocess.run(
+                ["git", *args], cwd="/root/repo",
+                capture_output=True, text=True,
+            ).stdout.strip()
+
+        results["__meta__"] = {
+            "generated_at_commit": _git("rev-parse", "HEAD"),
+            "package_dirty": bool(
+                _git("status", "--porcelain",
+                     "insect_observation_data_pipeline_spark/")
+            ),
+            "sf_dir": sf_dir,
+            "vanilla": vanilla,
+        }
         with open(json_out, "w") as f:
             json.dump(results, f, indent=2)
-        print(f"wrote {json_out} ({len(results)} queries)")
+        print(f"wrote {json_out} ({len(results) - 1} queries)")
     return 1 if n_fail else 0
 
 

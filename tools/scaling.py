@@ -109,6 +109,11 @@ SCALING_QUERIES = [
     "x48_histogram_quantiles",
     # journey trigrams: one per-user window sort + hash agg; linear
     "e9_path_trigrams",
+    # round-10 entrant: cross-doc repeated spans — anchor explode is
+    # token-count-sized, df count one hash agg, flag-back a broadcast
+    # semi join, interval merge one per-doc sort; should grow linearly
+    # (sub-quadratic is the requirement — never all-pairs)
+    "x52_repeated_spans",
     # classic warehouse shapes as linear controls
     "q1_pricing_summary",
     "flagship_top_part_supplier",
