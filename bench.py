@@ -204,10 +204,12 @@ EXTENDED_QUERIES = [
     "x50_langid_confusion",
     "x51_mixture_plan",
     # round 10: cross-doc exact repeated-span detection (anchor hash
-    # agg + broadcast semi join + one per-doc sort) and the e6+e7
-    # event census (rotation merge; times both component plans)
+    # agg + broadcast semi join + one per-doc sort), the e6+e7 event
+    # census, and the x22+x25 doc-signal census (rotation merges; each
+    # times both component plans)
     "x52_repeated_spans",
     "e26_event_census",
+    "x53_doc_signal_census",
 ]
 
 

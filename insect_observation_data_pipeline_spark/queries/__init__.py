@@ -193,6 +193,17 @@ ROTATION_EXEMPT: dict[str, str] = {
         "verbatim); stays in the bench extended set and the local "
         "oracle run every round"
     ),
+    # Round 10 (cont.): the per-doc signal pair folds into the rotating
+    # x53_doc_signal_census (same precedent) — buys the slot that keeps
+    # rotating headroom >= 2 once x50 re-exempts after its driver row.
+    "x22_repetition_signals": (
+        "repetition half of rotating x53_doc_signal_census (function "
+        "called verbatim); oracle-checked locally every round"
+    ),
+    "x25_token_prob_score": (
+        "fluency half of rotating x53_doc_signal_census (function "
+        "called verbatim); oracle-checked locally every round"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

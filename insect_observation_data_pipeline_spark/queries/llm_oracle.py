@@ -1856,3 +1856,21 @@ LLM_ORACLE["e26_event_census"] = f"""
            cohort_week, week_n, n_users
     FROM cohort
 """
+
+
+# x53 composes x22's repetition signals and x25's fluency score
+# VERBATIM (the e25/e26 census precedent) under a signal discriminator.
+LLM_ORACLE["x53_doc_signal_census"] = f"""
+    WITH rep AS ({LLM_ORACLE['x22_repetition_signals']}),
+    prob AS ({LLM_ORACLE['x25_token_prob_score']})
+    SELECT 'repetition' AS signal, doc_id, n_tokens,
+           n_distinct, top_token_n, distinct_frac, top_frac,
+           CAST(NULL AS DOUBLE) AS mean_tok_ppm
+    FROM rep
+    UNION ALL
+    SELECT 'fluency', doc_id, n_tokens,
+           CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           mean_tok_ppm
+    FROM prob
+"""

@@ -1067,6 +1067,39 @@ def e26_event_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel.unionByName(cohort)
 
 
+def x53_doc_signal_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document signal census (round-10 rotation-headroom merge,
+    the e25/e26 precedent): the Gopher-style repetition signals
+    (x22_repetition_signals) and the corpus-unigram fluency score
+    (x25_token_prob_score) unioned under a ``signal`` discriminator
+    with typed NULL padding. Both component functions execute VERBATIM
+    (called directly below) so one driver row re-verifies both
+    per-doc scan+agg kernels; each remains individually registered as
+    ROTATION_EXEMPT with every-round local oracle coverage. Cost is
+    the two component plans plus an append-only union."""
+    rep = x22_repetition_signals(spark, sf_dir).select(
+        F.lit("repetition").alias("signal"),
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        "top_token_n",
+        "distinct_frac",
+        "top_frac",
+        F.lit(None).cast("double").alias("mean_tok_ppm"),
+    )
+    prob = x25_token_prob_score(spark, sf_dir).select(
+        F.lit("fluency").alias("signal"),
+        "doc_id",
+        "n_tokens",
+        F.lit(None).cast("bigint").alias("n_distinct"),
+        F.lit(None).cast("bigint").alias("top_token_n"),
+        F.lit(None).cast("double").alias("distinct_frac"),
+        F.lit(None).cast("double").alias("top_frac"),
+        "mean_tok_ppm",
+    )
+    return rep.unionByName(prob)
+
+
 def x22_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition gate inputs: per-doc token repetition
     (distinct fraction, most-frequent-token fraction) — the boilerplate
@@ -1459,4 +1492,5 @@ LLM_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "x51_mixture_plan": x51_mixture_plan,
     "x52_repeated_spans": x52_repeated_spans,
     "e26_event_census": e26_event_census,
+    "x53_doc_signal_census": x53_doc_signal_census,
 }

@@ -410,6 +410,12 @@ def test_exempt_twins_still_rotate():
         ),
         "e6_funnel_steps": ("e26_event_census", "e6_funnel_steps"),
         "e7_cohort_retention": ("e26_event_census", "e7_cohort_retention"),
+        "x22_repetition_signals": (
+            "x53_doc_signal_census", "x22_repetition_signals",
+        ),
+        "x25_token_prob_score": (
+            "x53_doc_signal_census", "x25_token_prob_score",
+        ),
     }
     for exempt, (twin, kernel) in twin_kernel.items():
         assert twin in rotating, f"{exempt}'s twin {twin} no longer rotates"

@@ -1806,6 +1806,32 @@ def test_e26_census_matches_components(spark):
     assert len(census) == len(funnel) + len(cohort)
 
 
+def test_x53_census_matches_components(spark):
+    """x53 is exactly its two components tagged and NULL-padded."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        x22_repetition_signals,
+        x25_token_prob_score,
+        x53_doc_signal_census,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    census = x53_doc_signal_census(spark, sf).collect()
+    rep = {tuple(r) for r in x22_repetition_signals(spark, sf).collect()}
+    prob = {tuple(r) for r in x25_token_prob_score(spark, sf).collect()}
+    got_rep = {
+        (r["doc_id"], r["n_tokens"], r["n_distinct"], r["top_token_n"],
+         r["distinct_frac"], r["top_frac"])
+        for r in census if r["signal"] == "repetition"
+    }
+    got_prob = {
+        (r["doc_id"], r["n_tokens"], r["mean_tok_ppm"])
+        for r in census if r["signal"] == "fluency"
+    }
+    assert got_rep == rep
+    assert got_prob == prob
+    assert len(census) == len(rep) + len(prob)
+
+
 def test_segment_dedup_randomized_vs_bruteforce(spark):
     """Randomized sweep: segment_dedup agrees with a Python brute
     force over random corpora across seg_words and min_df settings,
