@@ -146,6 +146,18 @@ QUERY_NOTES: dict[str, str] = {
         "sub-linear at these scales; r8's 7.71x net ratio was the "
         "same floor-netting artifact on a ~0.27 s base."
     ),
+    "x52_repeated_spans": (
+        "round-10 entrant: net ratio ~5x per 10x data on a ~0.6 s "
+        "sf0.01 base — SUB-linear, as the plan predicts: the anchor "
+        "explode is token-count-sized (one anchor per token, ~8x "
+        "x42's non-overlapping segments), the df count and flag-back "
+        "are hash-partitioned (flagged side broadcasts at these "
+        "scales), and the interval merge is one per-doc sort whose "
+        "rollup aggs reuse the window partitioning. No pair join "
+        "anywhere, so no quadratic term exists to surface at larger "
+        "sf; contrast the exempt all-pairs baselines above it in any "
+        "worst-ratio sort (x34 ~22x, x32 ~13x)."
+    ),
 }
 
 
