@@ -245,12 +245,21 @@ def calibration_battery(spark, n_runs: int = 3) -> dict[str, float]:
     every query's delta matches the calibration delta, the machine
     changed, not the code.
 
-    Three ops so the probe covers the three cost regimes a query mixes
+    Four ops so the probe covers the cost regimes a query mixes
     (a single op was too thin to settle drift questions — round-5
     verdict): ``codegen`` = whole-stage-codegen arithmetic (identical
     to the pre-round-6 single probe, so the series stays comparable),
     ``shuffle`` = hash exchange + agg, ``sort`` = range exchange +
-    sort. No I/O in any of them."""
+    sort, and (round 10) ``sched`` = a 64-task no-compute job + noop
+    commit — the FIXED job-scheduling overhead that dominates the ~1 s
+    core queries at sf0.1 and does NOT move with compute speed (the
+    round-10 local run measured compute drift 0.97 vs epoch while
+    every query ran ~1.3x the epoch wall-clock — a scheduling-regime
+    machine difference the compute probes cannot see). ``sched`` is
+    reported in ``calib_ops`` for cross-round diagnosis; the drift
+    MEDIANS exclude it automatically against artifacts that predate it
+    (key intersection) and the epoch constants pin only the original
+    three. No I/O in any probe."""
     ops = {
         "codegen": spark.range(200_000_000).selectExpr("sum(id) AS s"),
         "shuffle": (
@@ -264,6 +273,7 @@ def calibration_battery(spark, n_runs: int = 3) -> dict[str, float]:
             .selectExpr("(id * 2654435761) % 16777216 AS k")
             .orderBy("k")
         ),
+        "sched": spark.range(1_000).repartition(64),
     }
     out = {}
     for name, df in ops.items():
