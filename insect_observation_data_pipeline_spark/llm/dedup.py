@@ -198,6 +198,31 @@ def repeated_spans(
     so nothing re-shuffles after the join. No all-pairs anywhere:
     cost is O(corpus tokens) map work + two corpus-token-scale
     shuffles, however many documents share a span."""
+    anchors = doc_anchors(
+        docs, text_col=text_col, id_col=id_col, anchor_words=anchor_words
+    )
+    flagged = (
+        anchors.groupBy("anchor")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("anchor")
+    )
+    hits = anchors.join(flagged, "anchor", "left_semi")
+    return anchor_spans(hits, anchor_words, min_span_words)
+
+
+def doc_anchors(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_words: int = 8,
+) -> DataFrame:
+    """(doc_id, pos, anchor): the md5 of every OVERLAPPING
+    ``anchor_words``-token window, one per 0-based token position —
+    the shared segmentation under :func:`repeated_spans` and the
+    streaming span-scrub sink (one definition, so their outputs
+    compose). Docs shorter than ``anchor_words`` produce zero rows."""
     k = anchor_words
     toked = docs.select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
@@ -207,7 +232,7 @@ def repeated_spans(
     starts = F.when(cnt >= k, F.sequence(F.lit(1), cnt - (k - 1))).otherwise(
         F.array().cast("array<int>")
     )
-    anchors = toked.select(
+    return toked.select(
         "doc_id",
         F.posexplode(
             F.transform(
@@ -216,17 +241,21 @@ def repeated_spans(
             )
         ).alias("pos", "anchor"),  # pos = 0-based anchor start
     )
-    flagged = (
-        anchors.groupBy("anchor")
-        .agg(F.count_distinct("doc_id").alias("df"))
-        .filter(F.col("df") >= 2)
-        .select("anchor")
-    )
-    hits = anchors.join(flagged, "anchor", "left_semi").select(
+
+
+def anchor_spans(
+    hits: DataFrame, anchor_words: int, min_span_words: int
+) -> DataFrame:
+    """Maximal repeated regions from FLAGGED anchor positions: per-doc
+    interval merge of the coverage [pos, pos+k-1] (classic
+    gaps-and-islands — new island when coverage starts past the running
+    max end + 1, so overlapping AND adjacent coverage merge), kept at
+    >= ``min_span_words`` tokens. ``hits`` must carry (doc_id, pos).
+    Both groupBys reuse the window's hash partitioning — one shuffle."""
+    k = anchor_words
+    hits = hits.select(
         "doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
     )
-    # interval merge: new island when this anchor's coverage starts
-    # past the running max end + 1 (adjacent coverage stays merged)
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
     islands = hits.withColumn(
@@ -244,6 +273,68 @@ def repeated_spans(
         )
         .filter(F.col("span_words") >= min_span_words)
         .select("doc_id", "span_start", "span_end", "span_words")
+    )
+
+
+def scrub_repeated_spans(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_words: int = 8,
+    min_span_words: int = 16,
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """The ACTING form of :func:`repeated_spans` — remove every token
+    covered by a qualifying cross-document repeated span (Lee et al.
+    2022 scrub the spans rather than drop whole documents, preserving
+    the unique remainder). Returns one row per input document:
+    ``(doc_id, n_tokens, kept_words, kept_text)`` — documents with no
+    qualifying span keep their text verbatim (``kept_text`` is the
+    space-rejoin of the kept tokens, which equals the original text
+    modulo collapsed whitespace — the same normalization ``tokens``
+    applies everywhere else).
+
+    Pass ``spans`` to scrub against an externally computed span set
+    (the streaming sink computes spans against cumulative cross-epoch
+    anchor counts); default is this corpus's own :func:`repeated_spans`.
+
+    Scale shape: spans are collected per document (bounded by
+    doc_len / min_span_words rows of two ints — never corpus-scale
+    driver state), joined back on doc_id, and the token filter is one
+    codegen'd HOF pass with an index lambda."""
+    sp = (
+        spans
+        if spans is not None
+        else repeated_spans(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            anchor_words=anchor_words,
+            min_span_words=min_span_words,
+        )
+    )
+    per_doc = sp.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toked = docs.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        "__spans",
+        lambda s: (i >= s["span_start"]) & (i <= s["span_end"]),
+    )
+    kept = F.when(
+        F.col("__spans").isNull(), F.col("__toks")
+    ).otherwise(F.filter("__toks", lambda t, i: ~covered(i)))
+    return (
+        toked.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("__toks").cast("int").alias("n_tokens"),
+            F.size(kept).cast("int").alias("kept_words"),
+            F.array_join(kept, " ").alias("kept_text"),
+        )
     )
 
 

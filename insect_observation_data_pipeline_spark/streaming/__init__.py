@@ -16,6 +16,8 @@ from insect_observation_data_pipeline_spark.streaming.sink import (
     dedup_ingest_sink,
     keyed_state_sink,
     merge_latest,
+    segment_scrub_sink,
+    span_scrub_sink,
 )
 
 __all__ = [
@@ -32,4 +34,6 @@ __all__ = [
     "dedup_ingest_sink",
     "keyed_state_sink",
     "merge_latest",
+    "segment_scrub_sink",
+    "span_scrub_sink",
 ]

@@ -945,3 +945,157 @@ def segment_scrub_sink(
             )
 
     return handle
+
+
+def span_scrub_sink(
+    path: str,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    anchor_words: int = 8,
+    min_span_words: int = 16,
+    min_df: int = 2,
+    index_buckets: int = 16,
+    compact_file_threshold: int | None = None,
+):
+    """``foreachBatch`` handler appending a REPEATED-SPAN-SCRUBBED
+    corpus at ``path`` — the streaming form of x52's cross-document
+    exact repeated-span detection (llm/dedup.py ``repeated_spans`` /
+    ``scrub_repeated_spans``; same ``doc_anchors`` segmentation and the
+    same ``anchor_spans`` interval merge, so the batch and streaming
+    forms compose). The segment-scrub sink strips ALIGNED fixed
+    windows; this one removes UNALIGNED repeated regions at any token
+    offset (the Lee et al. modality). Per epoch:
+
+    1. hash every overlapping ``anchor_words``-token window of the
+       batch and count each anchor's batch document frequency;
+    2. cumulative df = batch df + the standing per-anchor counts in the
+       index; anchors whose CUMULATIVE distinct-document count reaches
+       ``min_df`` flag, and the shared interval merge turns flagged
+       positions into maximal spans (>= ``min_span_words``) that are
+       scrubbed from the batch's documents before they append — when
+       the whole corpus arrives as one epoch this reduces EXACTLY to
+       the batch ``scrub_repeated_spans`` answer (pinned by test,
+       the segment sink's equivalence discipline);
+    3. append the batch's per-anchor doc counts to the index.
+
+    Append-only semantics (the segment sink's caveat verbatim):
+    documents appended in EARLIER epochs keep a span that only later
+    crosses ``min_df``; the guarantee is that once a span is known
+    repeated, no future document carries it in.
+
+    The index is the narrow (anchor, df) relation as an EXTERNAL
+    BUCKETED table at ``<path>__spandf`` — the full 128-bit md5 as 32
+    hex chars, never the window text (fixed-width digests at 100 TB;
+    collision odds ~2^-60 at 10^12 anchors, same budget as the segment
+    index). The df-lookup join and the count append both align to the
+    bucket layout, so the ever-growing index never re-shuffles — only
+    the epoch's batch moves. Exactly-once under replay via the epoch
+    staging protocol (``_epoch_begin`` with catalog refresh /
+    ``_publish_staged``); per-segment totals are SUM over appended
+    (epoch, anchor) rows, compacted past ``compact_file_threshold``
+    (default ``index_buckets * 16``) via the crash-safe swap."""
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        anchor_spans,
+        doc_anchors,
+        scrub_repeated_spans,
+    )
+
+    index_path = f"{path}__spandf"
+    suffix = hashlib.md5(path.encode()).hexdigest()[:10]
+    index_table = f"span_df_{suffix}"
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if not _epoch_begin(path, epoch_id, spark, tables=(index_table,)):
+            return
+        # cut lineage FIRST: anchors feeds the df count, the flag-back
+        # and (via the scrub) the reassembly — read the materialized
+        # epoch, don't re-drive the stream source per subtree
+        batch_df = batch_df.localCheckpoint(eager=True)
+        anchors = doc_anchors(
+            batch_df, text_col=text_col, id_col=id_col,
+            anchor_words=anchor_words,
+        )
+        # one (anchor, df) row per distinct batch anchor, persisted: it
+        # feeds both the cum/flag lookup and the index append
+        batch_counts = (
+            anchors.groupBy("anchor")
+            .agg(F.count_distinct("doc_id").alias("df"))
+            .persist()
+        )
+        if _recover_crashed_swap(index_path):
+            spark.sql(f"DROP TABLE IF EXISTS `{index_table}`")
+        if os.path.exists(index_path) and not spark.catalog.tableExists(
+            index_table
+        ):
+            _register_bucketed_table(
+                spark, index_table, index_path,
+                ("anchor",), ("anchor",), index_buckets,
+            )
+        if spark.catalog.tableExists(index_table):
+            prior = spark.table(index_table)
+            known = (
+                prior.join(
+                    batch_counts.select("anchor"), "anchor", "left_semi"
+                )
+                .groupBy("anchor")
+                .agg(F.sum("df").alias("prior_df"))
+            )
+            cum = batch_counts.join(known, "anchor", "left").select(
+                "anchor",
+                (
+                    F.col("df") + F.coalesce(F.col("prior_df"), F.lit(0))
+                ).alias("cum_df"),
+            )
+        else:
+            cum = batch_counts.select(
+                "anchor", F.col("df").cast("bigint").alias("cum_df")
+            )
+        flagged = cum.filter(F.col("cum_df") >= min_df).select("anchor")
+        spans = anchor_spans(
+            anchors.join(flagged, "anchor", "left_semi"),
+            anchor_words, min_span_words,
+        )
+        scrubbed = scrub_repeated_spans(
+            batch_df, text_col=text_col, id_col=id_col, spans=spans
+        ).select("doc_id", "kept_text")
+        out = (
+            batch_df.withColumnRenamed(text_col, "__orig")
+            .join(
+                scrubbed.withColumnRenamed("doc_id", id_col), id_col, "left"
+            )
+            .withColumn(
+                text_col, F.coalesce(F.col("kept_text"), F.lit(""))
+            )
+            .select(*batch_df.columns)
+        )
+        # lineage cut BEFORE the index append mutates the table this
+        # epoch's scrub was computed against
+        out = out.localCheckpoint(eager=True)
+        files: list[str] = []
+        corpus_stage = f"{path}.epoch-{epoch_id}.stage-corpus"
+        shutil.rmtree(corpus_stage, ignore_errors=True)
+        out.write.mode("overwrite").parquet(corpus_stage)
+        files = _publish_staged(corpus_stage, path, path, epoch_id, files)
+        spark.catalog.refreshByPath(path)
+        files = _stage_bucketed_append(
+            spark, batch_counts, index_table, index_path,
+            ("anchor",), ("anchor",), index_buckets,
+            path, epoch_id, files, "spandf",
+        )
+        batch_counts.unpersist()
+        # mark complete BEFORE compaction (crash-safe on its own)
+        _epoch_log_write(path, epoch_id, files, complete=True)
+        limit = (
+            compact_file_threshold
+            if compact_file_threshold is not None
+            else index_buckets * 16
+        )
+        if limit and len(_data_files(index_path)) >= limit:
+            _compact_bucketed_table(
+                spark, index_path, index_table,
+                ("anchor",), ("anchor",), index_buckets,
+            )
+
+    return handle

@@ -1806,6 +1806,68 @@ def test_e26_census_matches_components(spark):
     assert len(census) == len(funnel) + len(cohort)
 
 
+def test_scrub_repeated_spans_matches_bruteforce(spark):
+    """The acting form: every token covered by a qualifying repeated
+    span is removed, everything else survives in order, docs without a
+    qualifying span keep their (whitespace-normalized) text verbatim —
+    against a Python coverage brute force on random corpora."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        scrub_repeated_spans,
+    )
+
+    def brute(rows, k, min_span):
+        toks = {i: [t for t in txt.split(" ") if t] for i, txt in rows}
+        from collections import defaultdict
+
+        occ = defaultdict(set)
+        for i, tk in toks.items():
+            for p in range(len(tk) - k + 1):
+                occ[" ".join(tk[p : p + k])].add(i)
+        flagged = {a for a, ds in occ.items() if len(ds) >= 2}
+        out = {}
+        for i, tk in toks.items():
+            covered = [False] * len(tk)
+            for p in range(len(tk) - k + 1):
+                if " ".join(tk[p : p + k]) in flagged:
+                    for j in range(p, p + k):
+                        covered[j] = True
+            # qualifying runs only: shorter repeated runs are kept
+            drop = [False] * len(tk)
+            j = 0
+            while j < len(tk):
+                if covered[j]:
+                    s = j
+                    while j < len(tk) and covered[j]:
+                        j += 1
+                    if j - s >= min_span:
+                        for q in range(s, j):
+                            drop[q] = True
+                else:
+                    j += 1
+            kept = [t for t, d in zip(tk, drop) if not d]
+            out[i] = (len(tk), len(kept), " ".join(kept))
+        return out
+
+    rng = np.random.default_rng(54)
+    for trial in range(3):
+        k, min_span = [(3, 5), (4, 8), (2, 4)][trial]
+        vocab = [f"w{v}" for v in range(6 + 2 * trial)]
+        rows = [
+            (i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 40)))))
+            for i in range(10)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["kept_words"], r["kept_text"])
+            for r in scrub_repeated_spans(
+                docs, anchor_words=k, min_span_words=min_span
+            ).collect()
+        }
+        assert got == brute(rows, k, min_span), f"trial {trial}"
+
+
 def test_x53_census_matches_components(spark):
     """x53 is exactly its two components tagged and NULL-padded."""
     from insect_observation_data_pipeline_spark.queries.llm_testdata import (

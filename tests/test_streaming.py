@@ -1758,6 +1758,88 @@ def test_dedup_ingest_sink_replay_refreshes_rolled_back_index(
     assert spark.read.parquet(path + "__index").count() == 3
 
 
+def test_span_scrub_sink_one_epoch_matches_batch_scrub(spark, tmp_path):
+    """The streaming span scrubber reduces EXACTLY to the batch
+    scrub_repeated_spans answer when the whole corpus arrives as one
+    epoch (the segment sink's equivalence discipline), and the index
+    holds one df row per distinct batch anchor."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        scrub_repeated_spans,
+    )
+    from insect_observation_data_pipeline_spark.streaming.sink import span_scrub_sink
+
+    shared = " ".join(f"s{i}" for i in range(20))
+    rows = [
+        (1, shared + " a0 a1 a2 a3"),
+        (2, "b0 b1 b2 b3 b4 b5 " + shared),
+        (3, "c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+        (4, ""),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "scrubbed")
+    handle = span_scrub_sink(path, anchor_words=4, min_span_words=8)
+    handle(docs, 0)
+    got = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["doc_id"]: r["kept_text"]
+        for r in scrub_repeated_spans(
+            docs, anchor_words=4, min_span_words=8
+        ).collect()
+    }
+    assert got == want, (got, want)
+    assert got[1] == "a0 a1 a2 a3" and got[2] == "b0 b1 b2 b3 b4 b5"
+    idx = spark.read.parquet(path + "__spandf")
+    # df counts DISTINCT docs: the shared block's anchors are 2, all
+    # unique anchors 1 — nothing counts positions or epochs
+    assert idx.agg(F.max("df")).collect()[0][0] == 2
+    assert (
+        idx.filter(F.col("df") == 2).count()
+        == len(shared.split(" ")) - 4 + 1  # one anchor per span position
+    )
+    assert idx.filter(F.length("anchor") != 32).count() == 0
+
+
+def test_span_scrub_sink_learns_across_epochs_and_replays_once(
+    spark, tmp_path
+):
+    """Cross-epoch semantics + exactly-once: (a) a span unique in epoch
+    0 is kept; (b) an epoch-1 doc REUSING it crosses min_df via the
+    cumulative index and is scrubbed (the epoch-0 doc stays as
+    appended — append-only); (c) duplicate delivery of a completed
+    epoch is a no-op, so df counts never double and a later unique doc
+    is not falsely scrubbed."""
+    from insect_observation_data_pipeline_spark.streaming.sink import span_scrub_sink
+
+    span = " ".join(f"z{i}" for i in range(12))
+    path = str(tmp_path / "scrubbed")
+    handle = span_scrub_sink(path, anchor_words=4, min_span_words=10)
+    e0 = spark.createDataFrame(
+        [(1, span + " tail0 tail1"),
+         (2, "other words entirely here nothing shared at all")],
+        "doc_id long, text string",
+    )
+    handle(e0, 0)
+    handle(e0, 0)  # duplicate delivery: must be a no-op
+    got0 = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert got0[1] == span + " tail0 tail1"  # unique so far: kept
+    assert len(got0) == 2
+
+    e1 = spark.createDataFrame(
+        [(3, "lead0 lead1 " + span + " tail2")],
+        "doc_id long, text string",
+    )
+    handle(e1, 1)
+    got1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert span not in got1[3]  # cumulative df=2: scrubbed on arrival
+    assert got1[3].startswith("lead0 lead1")
+    assert got1[1] == span + " tail0 tail1"  # append-only: untouched
+
+
 def test_stateful_folds_drop_null_timestamps(spark):
     """Round-9 review fix, pinned: NaT event times must be DROPPED by
     the stateful folds — astype('int64') would turn them into int64
