@@ -984,17 +984,30 @@ def span_scrub_sink(
     crosses ``min_df``; the guarantee is that once a span is known
     repeated, no future document carries it in.
 
-    The index is the narrow (anchor, df) relation as an EXTERNAL
-    BUCKETED table at ``<path>__spandf`` — the full 128-bit md5 as 32
-    hex chars, never the window text (fixed-width digests at 100 TB;
-    collision odds ~2^-60 at 10^12 anchors, same budget as the segment
-    index). The df-lookup join and the count append both align to the
-    bucket layout, so the ever-growing index never re-shuffles — only
-    the epoch's batch moves. Exactly-once under replay via the epoch
-    staging protocol (``_epoch_begin`` with catalog refresh /
-    ``_publish_staged``); per-segment totals are SUM over appended
-    (epoch, anchor) rows, compacted past ``compact_file_threshold``
-    (default ``index_buckets * 16``) via the crash-safe swap."""
+    The index is the (anchor, df) relation as an EXTERNAL BUCKETED
+    table at ``<path>__spandf`` — the full 128-bit md5 as 32 hex
+    chars, never the window text (collision odds ~2^-60 at 10^12
+    anchors, same budget as the segment index). The df-lookup join and
+    the count append both align to the bucket layout, so the
+    ever-growing index never re-SHUFFLES — only the epoch's batch
+    moves. Exactly-once under replay via the epoch staging protocol
+    (``_epoch_begin`` with catalog refresh / ``_publish_staged``);
+    per-anchor totals are SUM over appended (epoch, anchor) rows,
+    compacted past ``compact_file_threshold`` (default
+    ``index_buckets * 16``) via the crash-safe swap.
+
+    HONEST 100 TB posture, vs the other sinks: unaligned repeated-span
+    detection is inherently TOKEN-granular — the index holds one row
+    per distinct anchor, i.e. ~one per corpus token (the same reason
+    Lee et al.'s suffix array is several times the text size), where
+    the segment index is 1/seg_words of that and the dedup fp index is
+    one row per DOCUMENT. Nothing re-shuffles per epoch, but the
+    df-lookup semi join READS the whole (narrow, bucketed) index, so
+    per-epoch scan cost grows with the corpus. At very large corpora
+    prefer the segment sink for streaming boilerplate control and run
+    the span pass as a periodic batch job (``scrub_repeated_spans``)
+    — this sink is the right tool when unaligned-span hygiene must be
+    enforced AT ingest and the index fits a routine scan."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
         anchor_spans,
         doc_anchors,
