@@ -318,11 +318,19 @@ def test_artifact_freshness():
     package-source commit made after the artifacts landed turns this
     red until both are regenerated. Artifacts from round 10 onward also
     carry a ``__meta__.generated_at_commit`` provenance stamp (written
-    by tools/compare.py --json)."""
+    by tools/compare.py --json).
+
+    ONE sanctioned escape: when the artifact's stamped
+    ``package_ast_fingerprint`` (docstring-stripped AST hash — comments
+    never reach the AST) equals the fingerprint of the CURRENT package
+    tree, every post-artifact package commit was provably cosmetic and
+    the evidence is behaviorally fresh; any code change still fails
+    until regeneration."""
     import json
     import os
     import re
     import subprocess
+    import sys
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -346,6 +354,7 @@ def test_artifact_freshness():
             key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
         )
         rnd = int(re.search(r"_r(\d+)\.json$", latest).group(1))
+        meta = None
         if rnd >= 10:
             meta = json.load(open(os.path.join(here, latest))).get("__meta__")
             assert meta and meta.get("generated_at_commit"), (
@@ -358,6 +367,14 @@ def test_artifact_freshness():
             ["git", "merge-base", "--is-ancestor", pkg_commit, art_commit],
             cwd=here,
         ).returncode == 0
+        if not fresh and meta and meta.get("package_ast_fingerprint"):
+            sys.path.insert(0, here)
+            from tools.compare import package_ast_fingerprint
+
+            fresh = (
+                package_ast_fingerprint(here)
+                == meta["package_ast_fingerprint"]
+            )
         assert fresh, (
             f"package source moved past {latest}: last package commit "
             f"{pkg_commit[:12]} postdates the artifact's last commit "
