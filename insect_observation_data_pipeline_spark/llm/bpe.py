@@ -94,7 +94,18 @@ def _pair_counts(
     adds no second exchange and the agg runs at exactly ``p`` tasks —
     without touching the session-global ``spark.sql.shuffle.partitions``
     (which a concurrent query on the shared session would silently
-    inherit; the round-9 ADVICE item)."""
+    inherit; the round-9 ADVICE item).
+
+    Known trade (round-10 review): because the user exchange sits
+    BELOW the aggregate, Catalyst plans no partial agg under it — the
+    exchange ships raw (pair, n) position rows instead of
+    map-side-combined partial counts. Acceptable here because the rows
+    come from the word-TYPE histogram, not the corpus: total volume is
+    sum(len(word)-1) over DISTINCT words (~vocab x avg word length
+    narrow rows), and ``p`` is sized at ~50k types/partition, so the
+    per-task shuffle stays ~10 MB however large the corpus; the
+    map-side combine the old session-conf form got was a constant-
+    factor saving on an already vocabulary-bounded exchange."""
     # guard the fully-merged single-symbol word: sequence(1, 0) would
     # DESCEND in Spark (the x42 lesson) and index past the array
     adj = F.when(

@@ -124,11 +124,15 @@ def _epoch_begin(path: str, epoch_id: int, spark=None,
     if log and log.get("epoch_id") == epoch_id:
         if log.get("complete"):
             return False
-        rolled_back: set[str] = set()
+        # refresh the dirs of ALL logged files, not only the ones THIS
+        # call managed to remove: a rollback interrupted between the
+        # remove loop and the refresh leaves files already deleted by
+        # attempt 1 (os.remove now ENOENTs) whose stale cached listing
+        # would otherwise survive into attempt 2's scan
+        rolled_back = {os.path.dirname(f) for f in log.get("files", [])}
         for f in log.get("files", []):
             try:
                 os.remove(f)
-                rolled_back.add(os.path.dirname(f))
             except OSError:
                 pass
         if spark is not None and rolled_back:
@@ -732,6 +736,142 @@ def keyed_state_sink(
     return handle
 
 
+def _df_index_scrub_sink(
+    path: str,
+    *,
+    key_col: str,
+    index_suffix: str,
+    table_prefix: str,
+    stage_tag: str,
+    batch_counts_fn,
+    scrub_fn,
+    text_col: str,
+    id_col: str,
+    min_df: int,
+    index_buckets: int,
+    compact_file_threshold: int | None,
+    audit_fn=None,
+):
+    """ONE definition of the df-index scrub-sink epoch skeleton shared
+    by :func:`segment_scrub_sink` and :func:`span_scrub_sink` (round-10
+    review: the protocol was copy-pasted per sink and the
+    first-epoch-crash guard fix landed in the dedup sink but not the
+    copies — a single scaffold makes every protocol fix apply to all
+    sinks at once). Per epoch: exactly-once replay gate, lineage cut,
+    ``batch_counts_fn(batch) -> (key_col, df)`` distinct-doc counts,
+    crashed-swap recovery, optional one-time ``audit_fn(spark,
+    index_path)``, cumulative df against the bucketed index, ``flagged
+    = cum_df >= min_df``, ``scrub_fn(batch, flagged) -> (doc_id,
+    __kept_text)``, staged corpus publish, bucketed count append,
+    complete mark, threshold compaction.
+
+    Crash-window guards (each pinned by a test on at least one sink):
+    the standing-index branch keys on DATA FILES, not the directory —
+    a first-epoch crash replay leaves an existing-but-EMPTIED index dir
+    whose schema inference would fail identically on every retry; a
+    registered-table scan over the emptied dir is safe (schema comes
+    from the catalog) and _epoch_begin refreshed its listing."""
+    index_path = f"{path}{index_suffix}"
+    suffix = hashlib.md5(path.encode()).hexdigest()[:10]
+    index_table = f"{table_prefix}_{suffix}"
+    audited = {"done": False}
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # exactly-once under foreachBatch's at-least-once replay:
+        # completed epochs skip, crashed attempts roll back their
+        # logged file-level writes (with catalog refresh) first
+        if not _epoch_begin(path, epoch_id, spark, tables=(index_table,)):
+            return
+        # cut lineage FIRST: the segmentation feeds both the df count
+        # and the reassembly, and batch_df is joined again for the
+        # append — all of it should read the materialized epoch, not
+        # re-drive the stream source per subtree
+        batch_df = batch_df.localCheckpoint(eager=True)
+        # one (key, df) row per distinct batch key, persisted: it feeds
+        # both the cum/flag lookup and the index append
+        batch_counts = batch_counts_fn(batch_df).persist()
+        # a crashed compaction swap leaves the live index dir missing
+        # with the complete replacement stranded in `.compacting` —
+        # restore it BEFORE the files-check: a lost index is
+        # unrecoverable (stripped text can't be recounted from the
+        # scrubbed corpus), so the rename is the only lossless path
+        if _recover_crashed_swap(index_path):
+            spark.sql(f"DROP TABLE IF EXISTS `{index_table}`")
+        if audit_fn is not None and not audited["done"]:
+            audit_fn(spark, index_path)
+            audited["done"] = True
+        if _data_files(index_path) and not spark.catalog.tableExists(
+            index_table
+        ):
+            _register_bucketed_table(
+                spark, index_table, index_path,
+                (key_col,), (key_col,), index_buckets,
+            )
+        if spark.catalog.tableExists(index_table):
+            prior = spark.table(index_table)
+            known = (
+                prior.join(
+                    batch_counts.select(key_col), key_col, "left_semi"
+                )
+                .groupBy(key_col)
+                .agg(F.sum("df").alias("prior_df"))
+            )
+            cum = batch_counts.join(known, key_col, "left").select(
+                key_col,
+                (
+                    F.col("df") + F.coalesce(F.col("prior_df"), F.lit(0))
+                ).alias("cum_df"),
+            )
+        else:
+            cum = batch_counts.select(
+                key_col, F.col("df").cast("bigint").alias("cum_df")
+            )
+        flagged = cum.filter(F.col("cum_df") >= min_df).select(key_col)
+        cleaned = scrub_fn(batch_df, flagged)  # (doc_id, __kept_text)
+        out = (
+            batch_df.withColumnRenamed(text_col, "__orig")
+            .join(
+                cleaned.withColumnRenamed("doc_id", id_col), id_col, "left"
+            )
+            .withColumn(
+                text_col, F.coalesce(F.col("__kept_text"), F.lit(""))
+            )
+            .select(*batch_df.columns)
+        )
+        # lineage cut BEFORE the index append below mutates the table
+        # this epoch's scrub was computed against (the dedup_ingest_sink
+        # lesson: a recompute past the append would double-count df)
+        out = out.localCheckpoint(eager=True)
+        files: list[str] = []
+        corpus_stage = f"{path}.epoch-{epoch_id}.stage-corpus"
+        shutil.rmtree(corpus_stage, ignore_errors=True)
+        out.write.mode("overwrite").parquet(corpus_stage)
+        files = _publish_staged(corpus_stage, path, path, epoch_id, files)
+        spark.catalog.refreshByPath(path)
+        files = _stage_bucketed_append(
+            spark, batch_counts, index_table, index_path,
+            (key_col,), (key_col,), index_buckets,
+            path, epoch_id, files, stage_tag,
+        )
+        batch_counts.unpersist()
+        # mark complete BEFORE compaction (which is crash-safe on its
+        # own): a crash mid-compaction must not replay the appends
+        _epoch_log_write(path, epoch_id, files, complete=True)
+        limit = (
+            compact_file_threshold
+            if compact_file_threshold is not None
+            else index_buckets * 16
+        )
+        if limit and len(_data_files(index_path)) >= limit:
+            _compact_bucketed_table(
+                spark, index_path, index_table,
+                (key_col,), (key_col,), index_buckets,
+            )
+
+    return handle
+
+
 def segment_scrub_sink(
     path: str,
     *,
@@ -782,169 +922,103 @@ def segment_scrub_sink(
     (they still block future dups by id); zero-token docs append with
     ``''`` too.
     """
-    from insect_observation_data_pipeline_spark.llm.dedup import doc_segments
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        doc_segments,
+        kept_text_agg,
+    )
 
-    index_path = f"{path}__segdf"
-    suffix = hashlib.md5(path.encode()).hexdigest()[:10]
-    index_table = f"segment_df_{suffix}"
-    # one legacy-key audit per handler lifetime: the index key changed
-    # from a 16-hex md5 PREFIX to the full 32-hex digest, and a prefix
-    # cannot be extended back to the full hash (the segment text is —
-    # by design — not stored), so a pre-change index can never match
-    # new batch hashes: its learned df counts would be silently
-    # orphaned and stripping would regress. Detect and fail loudly —
-    # the one lossless repair is re-counting from a raw (unscrubbed)
-    # corpus copy, which only the operator can point at.
-    key_audited = False
-
-    def _audit_index_key(spark) -> None:
-        nonlocal key_audited
-        if key_audited or not os.path.exists(index_path):
-            key_audited = True
-            return
-        # aggregate over the WHOLE index, not a sampled row: a mixed
-        # dir (legacy 16-hex files plus newer 32-hex appends) would
-        # pass or fail nondeterministically on .first(), letting
-        # orphaned legacy counts slip through silently
-        row = (
-            spark.read.parquet(index_path)
-            .agg(
-                F.min(F.length("seg_hash")).alias("lo"),
-                F.max(F.length("seg_hash")).alias("hi"),
-            )
-            .first()
-        )
-        if row is not None and row["lo"] is not None and (
-            row["lo"] != 32 or row["hi"] != 32
-        ):
-            raise ValueError(
-                f"segment index at {index_path} carries "
-                f"{row['lo']}..{row['hi']}-char seg_hash keys, but this sink writes "
-                "full 32-hex md5 digests: the index predates the "
-                "128-bit key change and its counts can never match new "
-                "batches (a hash prefix is not recoverable to the full "
-                "digest). Rebuild the index by re-counting segments "
-                "from a raw corpus copy, or move the legacy index "
-                "aside explicitly if losing its counts is acceptable."
-            )
-        key_audited = True
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        # exactly-once under replay (round-9 review: a replayed epoch
-        # used to append its segment counts a SECOND time — a segment
-        # seen in one document would sum to df=2 and be stripped as
-        # boilerplate from every later document — and duplicate the
-        # epoch's corpus docs): completed epochs skip, crashed attempts
-        # roll back their logged file-level writes first
-        if not _epoch_begin(path, epoch_id, spark, tables=(index_table,)):
-            return
-        # cut lineage FIRST: segs feeds both the df count and the
-        # reassembly, and batch_df is joined again for the append — all
-        # of it should read the materialized epoch, not re-drive the
-        # stream source per subtree
-        batch_df = batch_df.localCheckpoint(eager=True)
-        segs = doc_segments(
-            batch_df, text_col=text_col, id_col=id_col, seg_words=seg_words
+    def _segs(batch: DataFrame) -> DataFrame:
+        return doc_segments(
+            batch, text_col=text_col, id_col=id_col, seg_words=seg_words
         ).withColumn("seg_hash", F.md5(F.col("seg")))
-        # one (seg_hash, df) row per distinct batch segment, persisted:
-        # it feeds both the cum/boiler lookup and the index append, and
-        # without the pin each materialization re-runs the segmentation
-        # explode + count_distinct shuffle from scratch
-        batch_counts = (
-            segs.groupBy("seg_hash")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .persist()
+
+    def batch_counts_fn(batch: DataFrame) -> DataFrame:
+        return _segs(batch).groupBy("seg_hash").agg(
+            F.count_distinct("doc_id").alias("df")
         )
-        # a crashed compaction swap leaves the live index dir missing
-        # with the complete replacement stranded in `.compacting` —
-        # restore it BEFORE the exists-check: for this sink a lost
-        # index is unrecoverable (stripped boilerplate can't be
-        # recounted from the scrubbed corpus), so the rename is the
-        # only lossless path
-        if _recover_crashed_swap(index_path):
-            spark.sql(f"DROP TABLE IF EXISTS `{index_table}`")
-        _audit_index_key(spark)
-        if os.path.exists(index_path) and not spark.catalog.tableExists(
-            index_table
-        ):
-            _register_bucketed_table(
-                spark, index_table, index_path,
-                ("seg_hash",), ("seg_hash",), index_buckets,
-            )
-        if spark.catalog.tableExists(index_table):
-            prior = spark.table(index_table)
-            known = (
-                prior.join(
-                    batch_counts.select("seg_hash"), "seg_hash", "left_semi"
-                )
-                .groupBy("seg_hash")
-                .agg(F.sum("df").alias("prior_df"))
-            )
-            cum = batch_counts.join(known, "seg_hash", "left").select(
-                "seg_hash",
-                (
-                    F.col("df") + F.coalesce(F.col("prior_df"), F.lit(0))
-                ).alias("cum_df"),
-            )
-        else:
-            cum = batch_counts.select(
-                "seg_hash", F.col("df").cast("bigint").alias("cum_df")
-            )
-        boiler = cum.filter(F.col("cum_df") >= min_df).select("seg_hash")
+
+    def scrub_fn(batch: DataFrame, boiler: DataFrame) -> DataFrame:
         # reassembly is segment_dedup's own aggregate (one definition:
         # a drift between the two would silently break the pinned
         # one-epoch == batch equivalence)
-        from insect_observation_data_pipeline_spark.llm.dedup import kept_text_agg
-
-        cleaned = (
-            segs.join(
+        return (
+            _segs(batch)
+            .join(
                 boiler.withColumn("__boiler", F.lit(True)), "seg_hash", "left"
             )
             .groupBy("doc_id")
             .agg(kept_text_agg("__boiler").alias("__kept_text"))
         )
-        out = (
-            batch_df.withColumnRenamed(text_col, "__orig")
-            .join(
-                cleaned.withColumnRenamed("doc_id", id_col), id_col, "left"
-            )
-            .withColumn(
-                text_col, F.coalesce(F.col("__kept_text"), F.lit(""))
-            )
-            .select(*batch_df.columns)
-        )
-        # lineage cut BEFORE the index append below mutates the table
-        # this epoch's scrub was computed against (the dedup_ingest_sink
-        # lesson: a recompute past the append would double-count df)
-        out = out.localCheckpoint(eager=True)
-        files: list[str] = []
-        corpus_stage = f"{path}.epoch-{epoch_id}.stage-corpus"
-        shutil.rmtree(corpus_stage, ignore_errors=True)
-        out.write.mode("overwrite").parquet(corpus_stage)
-        files = _publish_staged(corpus_stage, path, path, epoch_id, files)
-        spark.catalog.refreshByPath(path)
-        files = _stage_bucketed_append(
-            spark, batch_counts, index_table, index_path,
-            ("seg_hash",), ("seg_hash",), index_buckets,
-            path, epoch_id, files, "segdf",
-        )
-        batch_counts.unpersist()
-        # mark complete BEFORE compaction (which is crash-safe on its
-        # own): a crash mid-compaction must not replay the appends
-        _epoch_log_write(path, epoch_id, files, complete=True)
-        limit = (
-            compact_file_threshold
-            if compact_file_threshold is not None
-            else index_buckets * 16
-        )
-        if limit and len(_data_files(index_path)) >= limit:
-            _compact_bucketed_table(
-                spark, index_path, index_table,
-                ("seg_hash",), ("seg_hash",), index_buckets,
-            )
 
-    return handle
+    return _df_index_scrub_sink(
+        path,
+        key_col="seg_hash",
+        index_suffix="__segdf",
+        table_prefix="segment_df",
+        stage_tag="segdf",
+        batch_counts_fn=batch_counts_fn,
+        scrub_fn=scrub_fn,
+        text_col=text_col,
+        id_col=id_col,
+        min_df=min_df,
+        index_buckets=index_buckets,
+        compact_file_threshold=compact_file_threshold,
+        audit_fn=_audit_seg_hash_width,
+    )
+
+
+def _audit_seg_hash_width(spark, index_path: str) -> None:
+    """One legacy-key audit per handler lifetime (the index key changed
+    from a 16-hex md5 PREFIX to the full 32-hex digest; a prefix cannot
+    be extended back, so a pre-change index can never match new batch
+    hashes — its learned df counts would be silently orphaned and
+    stripping would regress). Detect and fail loudly; the one lossless
+    repair is re-counting from a raw (unscrubbed) corpus copy.
+
+    EVERY file is checked, never a sampled row (round-9 ADVICE: a mixed
+    dir passed or failed nondeterministically on .first()), but via
+    parquet FOOTER statistics — O(files) metadata reads instead of a
+    corpus-scale index scan on every stream (re)start (round-10
+    review). Per-file min/max value lengths identify the era exactly
+    because a parquet part is written whole by one writer version, so
+    a single file never mixes key widths; a file without usable stats
+    falls back to reading just that file's key column."""
+    files = _data_files(index_path)
+    if not files:
+        return
+    import pyarrow.parquet as pq
+
+    bad: dict[str, set[int]] = {}
+    for fn in sorted(files):
+        fpath = os.path.join(index_path, fn)
+        pf = pq.ParquetFile(fpath)
+        col_idx = pf.schema_arrow.get_field_index("seg_hash")
+        lengths: set[int] = set()
+        stats_ok = True
+        for rg in range(pf.metadata.num_row_groups):
+            st = pf.metadata.row_group(rg).column(col_idx).statistics
+            if st is None or not st.has_min_max:
+                stats_ok = False
+                break
+            lengths.add(len(st.min))
+            lengths.add(len(st.max))
+        if not stats_ok:
+            col = pq.read_table(fpath, columns=["seg_hash"]).column(0)
+            lengths = {len(v.as_py()) for v in col}
+        wrong = {n for n in lengths if n != 32}
+        if wrong:
+            bad[fn] = wrong
+    if bad:
+        raise ValueError(
+            f"segment index at {index_path} carries non-32-hex seg_hash "
+            f"keys ({sorted(set().union(*bad.values()))}-char, files "
+            f"{sorted(bad)[:3]}...): the index predates the 128-bit key "
+            "change and its counts can never match new batches (a hash "
+            "prefix is not recoverable to the full digest). Rebuild the "
+            "index by re-counting segments from a raw corpus copy, or "
+            "move the legacy index aside explicitly if losing its "
+            "counts is acceptable."
+        )
 
 
 def span_scrub_sink(
@@ -1014,101 +1088,37 @@ def span_scrub_sink(
         scrub_repeated_spans,
     )
 
-    index_path = f"{path}__spandf"
-    suffix = hashlib.md5(path.encode()).hexdigest()[:10]
-    index_table = f"span_df_{suffix}"
-
-    def handle(batch_df: DataFrame, epoch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if not _epoch_begin(path, epoch_id, spark, tables=(index_table,)):
-            return
-        # cut lineage FIRST: anchors feeds the df count, the flag-back
-        # and (via the scrub) the reassembly — read the materialized
-        # epoch, don't re-drive the stream source per subtree
-        batch_df = batch_df.localCheckpoint(eager=True)
-        anchors = doc_anchors(
-            batch_df, text_col=text_col, id_col=id_col,
+    def _anchors(batch: DataFrame) -> DataFrame:
+        return doc_anchors(
+            batch, text_col=text_col, id_col=id_col,
             anchor_words=anchor_words,
         )
-        # one (anchor, df) row per distinct batch anchor, persisted: it
-        # feeds both the cum/flag lookup and the index append
-        batch_counts = (
-            anchors.groupBy("anchor")
-            .agg(F.count_distinct("doc_id").alias("df"))
-            .persist()
+
+    def batch_counts_fn(batch: DataFrame) -> DataFrame:
+        return _anchors(batch).groupBy("anchor").agg(
+            F.count_distinct("doc_id").alias("df")
         )
-        if _recover_crashed_swap(index_path):
-            spark.sql(f"DROP TABLE IF EXISTS `{index_table}`")
-        if os.path.exists(index_path) and not spark.catalog.tableExists(
-            index_table
-        ):
-            _register_bucketed_table(
-                spark, index_table, index_path,
-                ("anchor",), ("anchor",), index_buckets,
-            )
-        if spark.catalog.tableExists(index_table):
-            prior = spark.table(index_table)
-            known = (
-                prior.join(
-                    batch_counts.select("anchor"), "anchor", "left_semi"
-                )
-                .groupBy("anchor")
-                .agg(F.sum("df").alias("prior_df"))
-            )
-            cum = batch_counts.join(known, "anchor", "left").select(
-                "anchor",
-                (
-                    F.col("df") + F.coalesce(F.col("prior_df"), F.lit(0))
-                ).alias("cum_df"),
-            )
-        else:
-            cum = batch_counts.select(
-                "anchor", F.col("df").cast("bigint").alias("cum_df")
-            )
-        flagged = cum.filter(F.col("cum_df") >= min_df).select("anchor")
+
+    def scrub_fn(batch: DataFrame, flagged: DataFrame) -> DataFrame:
         spans = anchor_spans(
-            anchors.join(flagged, "anchor", "left_semi"),
+            _anchors(batch).join(flagged, "anchor", "left_semi"),
             anchor_words, min_span_words,
         )
-        scrubbed = scrub_repeated_spans(
-            batch_df, text_col=text_col, id_col=id_col, spans=spans
-        ).select("doc_id", "kept_text")
-        out = (
-            batch_df.withColumnRenamed(text_col, "__orig")
-            .join(
-                scrubbed.withColumnRenamed("doc_id", id_col), id_col, "left"
-            )
-            .withColumn(
-                text_col, F.coalesce(F.col("kept_text"), F.lit(""))
-            )
-            .select(*batch_df.columns)
-        )
-        # lineage cut BEFORE the index append mutates the table this
-        # epoch's scrub was computed against
-        out = out.localCheckpoint(eager=True)
-        files: list[str] = []
-        corpus_stage = f"{path}.epoch-{epoch_id}.stage-corpus"
-        shutil.rmtree(corpus_stage, ignore_errors=True)
-        out.write.mode("overwrite").parquet(corpus_stage)
-        files = _publish_staged(corpus_stage, path, path, epoch_id, files)
-        spark.catalog.refreshByPath(path)
-        files = _stage_bucketed_append(
-            spark, batch_counts, index_table, index_path,
-            ("anchor",), ("anchor",), index_buckets,
-            path, epoch_id, files, "spandf",
-        )
-        batch_counts.unpersist()
-        # mark complete BEFORE compaction (crash-safe on its own)
-        _epoch_log_write(path, epoch_id, files, complete=True)
-        limit = (
-            compact_file_threshold
-            if compact_file_threshold is not None
-            else index_buckets * 16
-        )
-        if limit and len(_data_files(index_path)) >= limit:
-            _compact_bucketed_table(
-                spark, index_path, index_table,
-                ("anchor",), ("anchor",), index_buckets,
-            )
+        return scrub_repeated_spans(
+            batch, text_col=text_col, id_col=id_col, spans=spans
+        ).select("doc_id", F.col("kept_text").alias("__kept_text"))
 
-    return handle
+    return _df_index_scrub_sink(
+        path,
+        key_col="anchor",
+        index_suffix="__spandf",
+        table_prefix="span_df",
+        stage_tag="spandf",
+        batch_counts_fn=batch_counts_fn,
+        scrub_fn=scrub_fn,
+        text_col=text_col,
+        id_col=id_col,
+        min_df=min_df,
+        index_buckets=index_buckets,
+        compact_file_threshold=compact_file_threshold,
+    )

@@ -1514,7 +1514,7 @@ def test_segment_scrub_sink_rejects_legacy_16char_index(spark, tmp_path):
         [(1, "alpha beta gamma delta epsilon zeta")],
         "doc_id long, text string",
     )
-    with pytest.raises(ValueError, match="16-char seg_hash"):
+    with pytest.raises(ValueError, match="non-32-hex"):
         handle(docs, 0)
     # nothing may have appended past the failed audit
     assert not os.path.exists(path)
@@ -1838,6 +1838,107 @@ def test_span_scrub_sink_learns_across_epochs_and_replays_once(
     assert span not in got1[3]  # cumulative df=2: scrubbed on arrival
     assert got1[3].startswith("lead0 lead1")
     assert got1[1] == span + " tail0 tail1"  # append-only: untouched
+
+
+def test_scrub_sinks_recover_first_epoch_index_crash(spark, tmp_path):
+    """Round-10 review, pinned for BOTH df-index scrub sinks via the
+    shared scaffold: a first-epoch crash AFTER the index files
+    published (before complete=True) leaves the replay's rollback with
+    an existing-but-EMPTIED index dir; keying the standing-index branch
+    on os.path.exists would make schema inference fail identically on
+    every retry — the guard must read data files. The replay must
+    complete and later epochs must keep learning."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming import sink as sinkmod
+
+    span = " ".join(f"z{i}" for i in range(12))
+    # the segment sink strips ALIGNED windows only, so its epoch-1 doc
+    # reuses the span at a segment boundary; the span sink's reuses it
+    # at an arbitrary offset (the capability it exists for)
+    for maker, kwargs, e1_text in (
+        (
+            sinkmod.segment_scrub_sink,
+            {"seg_words": 4, "min_df": 2},
+            span + " tail2 tail3",
+        ),
+        (
+            sinkmod.span_scrub_sink,
+            {"anchor_words": 4, "min_span_words": 10, "min_df": 2},
+            "lead0 lead1 " + span + " tail2",
+        ),
+    ):
+        path = str(tmp_path / f"scrub_{maker.__name__}")
+        handle = maker(path, **kwargs)
+        e0 = spark.createDataFrame(
+            [(1, span + " tail0 tail1"),
+             (2, "other words entirely here nothing shared at all")],
+            "doc_id long, text string",
+        )
+        real_write = sinkmod._epoch_log_write
+        calls = {"n": 0}
+
+        def crash_on_complete(p, e, files, complete, _real=real_write):
+            # let the staged publishes record their manifests, crash at
+            # the completion mark: index + corpus files are LIVE on
+            # disk, epoch incomplete -> full rollback on replay
+            if complete:
+                calls["n"] += 1
+                raise RuntimeError("injected crash at complete mark")
+            _real(p, e, files, complete)
+
+        sinkmod._epoch_log_write = crash_on_complete
+        try:
+            with pytest.raises(RuntimeError):
+                handle(e0, 0)
+        finally:
+            sinkmod._epoch_log_write = real_write
+        assert calls["n"] == 1
+        # replay epoch 0: rollback empties BOTH the corpus and index
+        # dirs (they exist, with zero data files) — must complete
+        handle(e0, 0)
+        assert spark.read.parquet(path).count() == 2
+        # and the index keeps learning: a later doc reusing the span
+        # crosses min_df and is scrubbed
+        handle(
+            spark.createDataFrame(
+                [(3, e1_text)], "doc_id long, text string"
+            ),
+            1,
+        )
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert span not in got[3], maker.__name__
+        assert got[1] == span + " tail0 tail1", maker.__name__
+
+
+def test_segment_audit_detects_legacy_via_footers(spark, tmp_path):
+    """The legacy 16-hex key audit must flag a mixed dir from parquet
+    FOOTER stats alone (O(files), no index scan) — including when only
+    SOME files are legacy — and pass a pure 32-hex index."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _audit_seg_hash_width,
+    )
+
+    idx = str(tmp_path / "seg__segdf")
+    good = spark.createDataFrame(
+        [("a" * 32, 1), ("b" * 32, 2)], "seg_hash string, df long"
+    )
+    good.coalesce(1).write.mode("overwrite").parquet(idx)
+    # rename to the part- prefix _data_files expects (write already
+    # emits part-*.parquet, so this is a no-op safeguard)
+    _audit_seg_hash_width(spark, idx)  # pure 32-hex: passes
+
+    legacy = spark.createDataFrame(
+        [("c" * 16, 3)], "seg_hash string, df long"
+    )
+    legacy.coalesce(1).write.mode("append").parquet(idx)
+    with pytest.raises(ValueError, match="non-32-hex"):
+        _audit_seg_hash_width(spark, idx)
 
 
 def test_stateful_folds_drop_null_timestamps(spark):
