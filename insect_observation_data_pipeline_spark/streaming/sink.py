@@ -864,6 +864,15 @@ def _df_index_scrub_sink(
             else index_buckets * 16
         )
         if limit and len(_data_files(index_path)) >= limit:
+            # re-audit (un-memoized) RIGHT BEFORE compaction: merging
+            # is the only event that can produce a MIXED-width file —
+            # per-file footer stats cannot prove a mixed file pure, so
+            # the per-file-purity invariant the fast audit relies on is
+            # enforced by refusing to merge a dir that fails the audit
+            # (e.g. a legacy index restored out-of-band after the
+            # first-epoch audit already ran)
+            if audit_fn is not None:
+                audit_fn(spark, index_path)
             _compact_bucketed_table(
                 spark, index_path, index_table,
                 (key_col,), (key_col,), index_buckets,
@@ -981,8 +990,14 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
     corpus-scale index scan on every stream (re)start (round-10
     review). Per-file min/max value lengths identify the era exactly
     because a parquet part is written whole by one writer version, so
-    a single file never mixes key widths; a file without usable stats
-    falls back to reading just that file's key column."""
+    a single file never mixes key widths — an invariant the scaffold
+    ENFORCES by re-running this audit immediately before every
+    compaction (the only operation that merges files; a mixed DIR is
+    caught while its files are still pure). A file without usable
+    stats (e.g. all-null row groups) falls back to reading just that
+    file's key column; a file missing the key column, or carrying
+    NULL keys, fails with the same actionable error (never an opaque
+    TypeError/IndexError — round-10 review)."""
     files = _data_files(index_path)
     if not files:
         return
@@ -993,6 +1008,9 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
         fpath = os.path.join(index_path, fn)
         pf = pq.ParquetFile(fpath)
         col_idx = pf.schema_arrow.get_field_index("seg_hash")
+        if col_idx < 0:
+            bad[fn] = {-2}  # no seg_hash column at all
+            continue
         lengths: set[int] = set()
         stats_ok = True
         for rg in range(pf.metadata.num_row_groups):
@@ -1004,7 +1022,9 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
             lengths.add(len(st.max))
         if not stats_ok:
             col = pq.read_table(fpath, columns=["seg_hash"]).column(0)
-            lengths = {len(v.as_py()) for v in col}
+            lengths = {
+                -1 if v is None else len(v) for v in col.to_pylist()
+            }  # -1 flags NULL keys as wrong width
         wrong = {n for n in lengths if n != 32}
         if wrong:
             bad[fn] = wrong

@@ -363,18 +363,29 @@ def test_artifact_freshness():
             )
         art_commit = _git("log", "-1", "--format=%H", "--", latest)
         assert art_commit, f"{latest} tracked but has no commit"
+        if meta and meta.get("package_ast_fingerprint"):
+            # the strongest form (round-10 review: artifacts generated
+            # from a dirty tree record a pre-commit HEAD, which confuses
+            # auditors): ALWAYS require the stamped behavior fingerprint
+            # to equal the current tree's — the committed evidence then
+            # provably corresponds to the committed code regardless of
+            # where in the commit dance the generation happened, and
+            # cosmetic (comment/docstring-only) drift still passes
+            sys.path.insert(0, here)
+            from tools.compare import package_ast_fingerprint
+
+            current = package_ast_fingerprint(here)
+            assert current == meta["package_ast_fingerprint"], (
+                f"{latest} was generated from package code whose "
+                "behavior fingerprint differs from the current tree "
+                f"({meta['package_ast_fingerprint'][:16]} != "
+                f"{current[:16]}) — regenerate CORRECTNESS_{kind}_r*.json"
+            )
+            continue
         fresh = subprocess.run(
             ["git", "merge-base", "--is-ancestor", pkg_commit, art_commit],
             cwd=here,
         ).returncode == 0
-        if not fresh and meta and meta.get("package_ast_fingerprint"):
-            sys.path.insert(0, here)
-            from tools.compare import package_ast_fingerprint
-
-            fresh = (
-                package_ast_fingerprint(here)
-                == meta["package_ast_fingerprint"]
-            )
         assert fresh, (
             f"package source moved past {latest}: last package commit "
             f"{pkg_commit[:12]} postdates the artifact's last commit "

@@ -1929,8 +1929,6 @@ def test_segment_audit_detects_legacy_via_footers(spark, tmp_path):
         [("a" * 32, 1), ("b" * 32, 2)], "seg_hash string, df long"
     )
     good.coalesce(1).write.mode("overwrite").parquet(idx)
-    # rename to the part- prefix _data_files expects (write already
-    # emits part-*.parquet, so this is a no-op safeguard)
     _audit_seg_hash_width(spark, idx)  # pure 32-hex: passes
 
     legacy = spark.createDataFrame(
@@ -1939,6 +1937,87 @@ def test_segment_audit_detects_legacy_via_footers(spark, tmp_path):
     legacy.coalesce(1).write.mode("append").parquet(idx)
     with pytest.raises(ValueError, match="non-32-hex"):
         _audit_seg_hash_width(spark, idx)
+
+    # degenerate files must produce the SAME actionable error, never an
+    # opaque TypeError/IndexError (round-10 review): all-NULL keys
+    # (footer stats absent -> fallback column read) and a file missing
+    # the key column entirely
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nulls = str(tmp_path / "nulls__segdf")
+    os.makedirs(nulls)
+    pq.write_table(
+        pa.table(
+            {"seg_hash": pa.array([None, None], pa.string()),
+             "df": pa.array([1, 2], pa.int64())}
+        ),
+        os.path.join(nulls, "part-00000-nulls.parquet"),
+    )
+    with pytest.raises(ValueError, match="non-32-hex"):
+        _audit_seg_hash_width(spark, nulls)
+
+    nocol = str(tmp_path / "nocol__segdf")
+    os.makedirs(nocol)
+    pq.write_table(
+        pa.table({"df": pa.array([1], pa.int64())}),
+        os.path.join(nocol, "part-00000-nocol.parquet"),
+    )
+    with pytest.raises(ValueError, match="non-32-hex"):
+        _audit_seg_hash_width(spark, nocol)
+
+
+def test_compaction_reaudits_key_width(spark, tmp_path):
+    """The only operation that can MERGE index files is compaction; the
+    scaffold must re-run the key-width audit (un-memoized) right before
+    it, so a legacy file restored out-of-band AFTER the first-epoch
+    audit ran cannot be merged into a mixed-width file the footer audit
+    could no longer prove impure."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming.sink import segment_scrub_sink
+
+    path = str(tmp_path / "scrubbed")
+    # threshold 1: every epoch triggers the compaction branch
+    handle = segment_scrub_sink(
+        path, seg_words=4, min_df=2, index_buckets=2,
+        compact_file_threshold=1,
+    )
+    handle(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+            "doc_id long, text string",
+        ),
+        0,
+    )  # first epoch: audit (empty dir) + append + compaction, all fine
+    # drop a legacy 16-hex file in OUT-OF-BAND, after the memoized
+    # first-epoch audit already ran; bucket-suffixed name so the
+    # bucketed scan accepts it (the dangerous case — a plain-named file
+    # would already fail the scan loudly as 'Invalid bucket file')
+    pq.write_table(
+        pa.table(
+            {"seg_hash": pa.array(["c" * 16], pa.string()),
+             "df": pa.array([3], pa.int64())}
+        ),
+        os.path.join(
+            path + "__segdf",
+            "part-99999-legacy_00000.c000.snappy.parquet",
+        ),
+    )
+    with pytest.raises(ValueError, match="non-32-hex"):
+        handle(
+            spark.createDataFrame(
+                [(2, "iota kappa lam mu nu xi omicron pi")],
+                "doc_id long, text string",
+            ),
+            1,
+        )
 
 
 def test_stateful_folds_drop_null_timestamps(spark):
