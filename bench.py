@@ -373,6 +373,22 @@ def _prev_bench() -> dict:
     return {}
 
 
+def _current_round() -> int:
+    """The round this run's evidence belongs to: 1 + the newest round
+    number among the committed driver artifacts (BENCH_r*/CORRECTNESS_r*
+    are written by the driver at the END of their round, so during
+    round N the newest on disk is N-1). Used to name the full-line
+    BENCH_LOCAL_r{N}.json this process writes alongside stdout."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    newest = 0
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        for p in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"_r(\d+)\.json$", p)
+            if m:
+                newest = max(newest, int(m.group(1)))
+    return newest + 1
+
+
 def time_set(
     spark,
     sf_dir: str,
@@ -501,47 +517,68 @@ def main() -> None:
     )
 
     # Key order is deliberate: the driver's artifact keeps only the
-    # LAST 2000 chars of output, so the derived diagnostics (deltas)
-    # come first and the raw per-query timings + calibration — what
-    # the next round's _prev_bench needs — come last, inside the
-    # truncation window.
-    print(
-        json.dumps(
-            {
-                "metric": "headline query wall-clock, noop sink",
-                "value": total,
-                "unit": "sec",
-                "methodology": "evict-per-run",
-                "total_delta_vs_prev": total_delta,
-                "total_delta_calib_normalized": total_norm,
-                "prev_src": prev.get("_src"),
-                "epoch_src": EPOCH_SRC,
-                "calib_drift_vs_epoch": drift_epoch,
-                "calib_drift_ops_vs_epoch": drift_ops_epoch,
-                "index_raw_vs_epoch_total": index_raw_total,
-                "index_norm_vs_epoch_total": index_norm_total,
-                "index_raw_vs_epoch": index_raw,
-                "index_norm_vs_epoch": index_norm,
-                "deltas_vs_prev": deltas,
-                "deltas_calib_normalized": deltas_norm,
-                "calib_drift_vs_prev": calib_drift,
-                "calib_drift_ops_vs_prev": drift_ops_prev,
-                "errors": errors,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n": n_runs,
-                # the LAST ~700 chars of the line — what the driver's
-                # 2000-char tail capture is guaranteed to keep — are the
-                # core timings + calibration, exactly what the next
-                # round's _prev_bench needs; the (longer) extended set
-                # sits just ahead of them and front-truncates first
-                "extended_queries": ext_timings,
-                "extended_total": round(sum(ext_timings.values()), 3),
-                "queries": timings,
-                "calib_sec": calib,
-                "calib_ops": calib_ops,
-            }
-        )
+    # LAST 2000 chars of output, so the derived diagnostics (the long
+    # per-query delta/index dicts) come first and front-truncate, while
+    # everything the evidence chain NEEDS comes last, inside the
+    # window: the raw per-query timings + calibration (next round's
+    # _prev_bench input) and — round-11 fix for the round-10 verdict's
+    # top defect — the EPOCH-INDEX SCALARS themselves (~150 chars),
+    # which README's regression-judging rule depends on and which
+    # BENCH_r10.json truncated away when they sat at the head.
+    line = json.dumps(
+        {
+            "metric": "headline query wall-clock, noop sink",
+            "value": total,
+            "unit": "sec",
+            "methodology": "evict-per-run",
+            "total_delta_vs_prev": total_delta,
+            "total_delta_calib_normalized": total_norm,
+            "prev_src": prev.get("_src"),
+            "epoch_src": EPOCH_SRC,
+            "index_raw_vs_epoch": index_raw,
+            "index_norm_vs_epoch": index_norm,
+            "deltas_vs_prev": deltas,
+            "deltas_calib_normalized": deltas_norm,
+            "calib_drift_vs_prev": calib_drift,
+            "calib_drift_ops_vs_prev": drift_ops_prev,
+            "errors": errors,
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "n": n_runs,
+            # the LAST ~900 chars of the line — what the driver's
+            # 2000-char tail capture is guaranteed to keep — are the
+            # core timings + calibration + epoch scalars; the (longer)
+            # extended set sits just ahead and front-truncates first
+            "extended_queries": ext_timings,
+            "extended_total": round(sum(ext_timings.values()), 3),
+            "queries": timings,
+            "calib_sec": calib,
+            "calib_ops": calib_ops,
+            "calib_drift_vs_epoch": drift_epoch,
+            "calib_drift_ops_vs_epoch": drift_ops_epoch,
+            "index_raw_vs_epoch_total": index_raw_total,
+            "index_norm_vs_epoch_total": index_norm_total,
+        }
     )
+    print(line)
+    # Belt to the tail-window braces: persist the FULL line as
+    # BENCH_LOCAL_r{N}.json (the CORRECTNESS_LOCAL pattern) so the
+    # complete per-query series is committed evidence regardless of
+    # what any capture truncates. N = current round, inferred as
+    # 1 + the newest committed round artifact; override with
+    # $SPARK_GRAFT_BENCH_OUT (empty string disables the write).
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            f"BENCH_LOCAL_r{_current_round():02d}.json",
+        ),
+    )
+    if out_path:
+        try:
+            with open(out_path, "w") as f:
+                f.write(line + "\n")
+        except OSError as e:  # the printed line is still the artifact
+            print(f"WARN: could not write {out_path}: {e}", file=sys.stderr)
 
 
 if __name__ == "__main__":

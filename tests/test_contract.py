@@ -143,9 +143,11 @@ def test_prev_bench_reads_latest_artifact():
 
 
 def test_bench_line_survives_truncation():
-    """The emitted key order must keep queries/calib inside the
-    driver's 2000-char tail window, and _parse_bench_line must fully
-    recover a line truncated to that window."""
+    """The emitted key order must keep queries/calib AND the epoch-index
+    scalars (round-10 verdict #1: BENCH_r10 truncated away the numbers
+    README's regression rule judges on) inside the driver's 2000-char
+    tail window, and _parse_bench_line must fully recover a line
+    truncated to that window. The fake mirrors main()'s emit order."""
     import json
 
     import bench
@@ -154,19 +156,52 @@ def test_bench_line_survives_truncation():
         "metric": "m", "value": 1.0, "unit": "sec",
         "total_delta_vs_prev": 1.0, "total_delta_calib_normalized": 1.0,
         "prev_src": "BENCH_r06.json",
+        "index_raw_vs_epoch": {q: 1.0 for q in bench.BENCH_QUERIES},
+        "index_norm_vs_epoch": {q: 1.0 for q in bench.BENCH_QUERIES},
         "deltas_vs_prev": {q: 1.234 for q in bench.BENCH_QUERIES},
         "deltas_calib_normalized": {q: 1.0 for q in bench.BENCH_QUERIES},
         "calib_drift_vs_prev": 1.0, "errors": {}, "sf": 0.1, "n": 5,
-        "calib_sec": 2.0,
-        "calib_ops": {"codegen": 0.1, "shuffle": 0.4, "sort": 1.5},
-        "queries": {q: 0.5 for q in bench.BENCH_QUERIES},
         "extended_queries": {q: 0.5 for q in bench.EXTENDED_QUERIES},
         "extended_total": 9.0,
+        "queries": {q: 0.5 for q in bench.BENCH_QUERIES},
+        "calib_sec": 2.0,
+        "calib_ops": {"codegen": 0.1, "shuffle": 0.4, "sort": 1.5},
+        "calib_drift_vs_epoch": 1.02,
+        "calib_drift_ops_vs_epoch": {
+            "codegen": 1.1, "shuffle": 1.0, "sort": 0.97,
+        },
+        "index_raw_vs_epoch_total": 1.04,
+        "index_norm_vs_epoch_total": 1.02,
     }
     got = bench._parse_bench_line(json.dumps(fake)[-2000:])
     assert got["queries"] == fake["queries"]
-    assert got["extended_queries"] == fake["extended_queries"]
     assert got["calib_ops"] == fake["calib_ops"]
+    # the epoch scalars the judge reads must survive the tail window
+    assert got["calib_drift_vs_epoch"] == 1.02
+    assert got["index_raw_vs_epoch_total"] == 1.04
+    assert got["index_norm_vs_epoch_total"] == 1.02
+    assert got["calib_drift_ops_vs_epoch"] == fake["calib_drift_ops_vs_epoch"]
+
+
+def test_bench_current_round_and_local_artifact_name():
+    """bench.py names its full-line artifact after the CURRENT round
+    (1 + newest committed driver artifact) so the committed
+    BENCH_LOCAL_r{N}.json lines up with the driver's BENCH_r{N}.json."""
+    import os
+    import re
+    import subprocess
+
+    import bench
+
+    here = os.path.dirname(bench.__file__)
+    tracked = subprocess.run(
+        ["git", "ls-files", "BENCH_r*.json", "CORRECTNESS_r*.json"],
+        cwd=here, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    newest = max(
+        int(re.search(r"_r(\d+)\.json$", p).group(1)) for p in tracked
+    )
+    assert bench._current_round() >= newest + 1
 
 
 def test_entry_runs(spark):
