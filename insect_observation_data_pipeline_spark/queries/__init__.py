@@ -29,19 +29,50 @@ from insect_observation_data_pipeline_spark.queries.llm_oracle import LLM_ORACLE
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
-def _last_green_round() -> dict[str, int]:
+def _fold_green(
+    last: dict[str, int], rnd: int, rows: dict
+) -> None:
+    """Fold one driver CORRECTNESS artifact's hash-green rows into the
+    name -> latest-green-round map (shared by import and the
+    GREEN_SUMMARY.json regenerator in tools/green_summary.py)."""
+    for name, row in rows.items():
+        if isinstance(row, dict) and row.get("hash_match"):
+            last[name] = max(last.get(name, 0), rnd)
+
+
+def _last_green_round(root: Path = _REPO_ROOT) -> dict[str, int]:
     """query name -> latest round whose committed driver CORRECTNESS file
-    shows it hash-green. Missing/NEW queries simply aren't in the map."""
+    shows it hash-green. Missing/NEW queries simply aren't in the map.
+
+    Round-11 (verdict #5): the fold no longer re-parses every
+    CORRECTNESS_r*.json at import forever. GREEN_SUMMARY.json (written
+    by ``python tools/green_summary.py``, committed per round) carries
+    the fold through its ``folded_through`` round; import parses only
+    artifacts NEWER than that — normally zero or one file. A corrupt
+    newer artifact is skipped WITHOUT discarding the summary's
+    evidence, so a bad file can age the map by at most one round
+    instead of re-rotating the whole set; a missing/corrupt summary
+    degrades to the original full fold (correct, just slower)."""
     last: dict[str, int] = {}
-    for f in sorted(_REPO_ROOT.glob("CORRECTNESS_r*.json")):
+    base = 0
+    try:
+        d = json.loads((root / "GREEN_SUMMARY.json").read_text())
+        base = int(d["folded_through"])
+        last = {str(k): int(v) for k, v in d["last_green"].items()}
+    except (OSError, ValueError, TypeError, KeyError, json.JSONDecodeError):
+        base, last = 0, {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
         try:
             rnd = int(f.stem.rsplit("r", 1)[-1])
-            rows = json.loads(f.read_text())
-        except (ValueError, OSError, json.JSONDecodeError):
+        except ValueError:
             continue
-        for name, row in rows.items():
-            if isinstance(row, dict) and row.get("hash_match"):
-                last[name] = max(last.get(name, 0), rnd)
+        if rnd <= base:
+            continue
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, json.JSONDecodeError):
+            continue
+        _fold_green(last, rnd, rows)
     return last
 
 
@@ -171,11 +202,20 @@ ROTATION_EXEMPT: dict[str, str] = {
         "before the keep policy); propagation convergence "
         "pytest-pinned; stays in the bench extended set"
     ),
-    # Round 10: x50 swaps INTO rotation for (at least) one round — the
-    # round-9 verdict flagged that its confusion-matrix aggregation was
-    # born exempt with only self-reported evidence; once a driver row
-    # lands it can re-exempt on the x3 kernel rationale if headroom
-    # demands (the slot came from the e6+e7 -> e26 census merge below).
+    # Round 10: x50 swapped INTO rotation (the round-9 verdict flagged
+    # that its confusion-matrix aggregation was born exempt with only
+    # self-reported evidence). Round 11: the driver row landed
+    # (CORRECTNESS_r10, hash-green), so it re-exempts on the x3-kernel
+    # rationale the round-10 note planned, restoring rotation headroom
+    # to 2: the matrix is a corpus-grain rollup of the SAME lang_id
+    # expression rotating x3_text_quality driver-verifies per document.
+    "x50_langid_confusion": (
+        "corpus-grain rollup of the lang_id expression driver-verified "
+        "via rotating x3_text_quality (pred_lang/is_correct carried "
+        "verbatim; own driver row hash-green in r10); matrix agreement "
+        "with x3's groupBy pinned by tests/test_llm.py; stays in the "
+        "bench extended set and the local oracle run every round"
+    ),
     #
     # Round 10 (cont.): the event-analytics pair folds into the
     # rotating e26_event_census, which CALLS both component functions

@@ -95,6 +95,79 @@ def test_rotation_no_starvation():
     )
 
 
+def test_green_summary_fresh_and_fold_equal():
+    """GREEN_SUMMARY.json (round-11, verdict #5) must be committed,
+    folded through the newest committed driver artifact (so import
+    parses at most the artifacts of rounds newer than the summary —
+    normally zero), and the summary-backed map must equal the brute
+    full fold over every artifact."""
+    import json
+    import re
+    import subprocess
+    from pathlib import Path
+
+    from insect_observation_data_pipeline_spark.queries import (
+        _fold_green,
+        _last_green_round,
+    )
+
+    root = Path(__file__).resolve().parents[1]
+    tracked = subprocess.run(
+        ["git", "ls-files", "GREEN_SUMMARY.json", "CORRECTNESS_r*.json"],
+        cwd=root, capture_output=True, text=True, check=True,
+    ).stdout.split()
+    assert "GREEN_SUMMARY.json" in tracked, (
+        "GREEN_SUMMARY.json not committed — run tools/green_summary.py"
+    )
+    newest = max(
+        int(re.search(r"_r(\d+)\.json$", p).group(1))
+        for p in tracked if p.startswith("CORRECTNESS_r")
+    )
+    summary = json.loads((root / "GREEN_SUMMARY.json").read_text())
+    assert summary["folded_through"] >= newest, (
+        f"GREEN_SUMMARY folded through r{summary['folded_through']} but "
+        f"CORRECTNESS_r{newest:02d}.json exists — rerun tools/green_summary.py"
+    )
+    full: dict[str, int] = {}
+    for f in sorted(root.glob("CORRECTNESS_r*.json")):
+        _fold_green(
+            full, int(f.stem.rsplit("r", 1)[-1]), json.loads(f.read_text())
+        )
+    assert _last_green_round() == full
+
+
+def test_last_green_round_corrupt_artifact(tmp_path):
+    """A corrupt CORRECTNESS artifact newer than the summary must be
+    skipped WITHOUT discarding the summary's evidence (the old full
+    fold silently treated corrupt files as 'no evidence', which could
+    re-rotate the whole set); a valid newer artifact still folds in;
+    a corrupt/missing summary degrades to the full fold."""
+    import json
+
+    from insect_observation_data_pipeline_spark.queries import _last_green_round
+
+    (tmp_path / "GREEN_SUMMARY.json").write_text(json.dumps(
+        {"folded_through": 9, "last_green": {"qa": 9, "qb": 8}}
+    ))
+    # corrupt newer artifact: must not wipe qa/qb
+    (tmp_path / "CORRECTNESS_r10.json").write_text("{not json")
+    # valid even-newer artifact: must fold on top of the summary
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps(
+        {"qa": {"hash_match": True}, "qc": {"hash_match": True},
+         "qd": {"hash_match": False}}
+    ))
+    # artifact at or below folded_through must NOT be re-read (a stale
+    # green there would already be in the summary; prove it's skipped
+    # by making it unparseable garbage too)
+    (tmp_path / "CORRECTNESS_r09.json").write_text("garbage")
+    got = _last_green_round(root=tmp_path)
+    assert got == {"qa": 11, "qb": 8, "qc": 11}
+    # corrupt summary: degrade to the full fold of parseable artifacts
+    (tmp_path / "GREEN_SUMMARY.json").write_text("{broken")
+    got = _last_green_round(root=tmp_path)
+    assert got == {"qa": 11, "qc": 11}
+
+
 def test_prev_bench_reads_latest_artifact():
     """Regression for the round-6 verdict's top defect: committed
     BENCH_r4+ artifacts carry ``parsed: null`` with the JSON body
@@ -479,6 +552,7 @@ def test_exempt_twins_still_rotate():
         "x25_token_prob_score": (
             "x53_doc_signal_census", "x25_token_prob_score",
         ),
+        "x50_langid_confusion": ("x3_text_quality", "lang_id"),
     }
     for exempt, (twin, kernel) in twin_kernel.items():
         assert twin in rotating, f"{exempt}'s twin {twin} no longer rotates"

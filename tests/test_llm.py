@@ -2648,6 +2648,27 @@ def test_langid_confusion_hand_corpus(spark):
     assert got == {("en", "en"): 2, ("de", "de"): 1, ("en", "und"): 1}
 
 
+def test_langid_confusion_agrees_with_x3_rollup(spark):
+    """x50's exemption contract (round 11): the confusion matrix must
+    equal rotating x3_text_quality's own (lang, pred_lang) rollup —
+    x3's driver row then re-verifies the lang_id expression x50
+    aggregates, every time x3 rotates."""
+    from insect_observation_data_pipeline_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r["lang"], r["pred_lang"]): r["n_docs"]
+        for r in QUERIES["x50_langid_confusion"](spark, sf).collect()
+    }
+    want = {
+        (r["lang"], r["pred_lang"]): r["n"]
+        for r in QUERIES["x3_text_quality"](spark, sf)
+        .groupBy("lang", "pred_lang").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert got == want
+
+
 def test_unicode_census_plan_is_one_scan_mapinpandas(spark):
     """x49 must plan as ONE documents scan through a single MapInPandas
     boundary into a partial-aggregated groupBy — no row-at-a-time
