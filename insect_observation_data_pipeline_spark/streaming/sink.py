@@ -751,6 +751,7 @@ def _df_index_scrub_sink(
     index_buckets: int,
     compact_file_threshold: int | None,
     audit_fn=None,
+    index_min_df: int = 1,
 ):
     """ONE definition of the df-index scrub-sink epoch skeleton shared
     by :func:`segment_scrub_sink` and :func:`span_scrub_sink` (round-10
@@ -764,6 +765,19 @@ def _df_index_scrub_sink(
     = cum_df >= min_df``, ``scrub_fn(batch, flagged) -> (doc_id,
     __kept_text)``, staged corpus publish, bucketed count append,
     complete mark, threshold compaction.
+
+    ``index_min_df`` bounds the index (round-11): only keys whose
+    CUMULATIVE df has reached it persist — i.e. keys repeated within
+    some single epoch, plus keys already in the index. Since most keys
+    of a real corpus are singletons this shrinks the index by roughly
+    the singleton fraction, at a precisely-stated cost: a key whose
+    occurrences arrive one-per-epoch across separate epochs is never
+    learned (the periodic batch form catches those; an index that
+    remembered every singleton would too). The scrub OUTPUT of any
+    single epoch never depends on the bound applied to THAT epoch's
+    append (flagging precedes appending), so the one-epoch-run ==
+    batch equivalence is exactly preserved. Default 1 = unbounded
+    (every key persists, the pre-round-11 behavior).
 
     Crash-window guards (each pinned by a test on at least one sink):
     the standing-index branch keys on DATA FILES, not the directory —
@@ -828,6 +842,19 @@ def _df_index_scrub_sink(
                 key_col, F.col("df").cast("bigint").alias("cum_df")
             )
         flagged = cum.filter(F.col("cum_df") >= min_df).select(key_col)
+        # bounded index: persist only keys at cum_df >= index_min_df —
+        # batch-repeated keys plus keys the index already holds (their
+        # prior_df > 0 lifts cum past the bound). Computed from the
+        # SAME cum frame the flag derives from, before the append.
+        if index_min_df > 1:
+            append_counts = batch_counts.join(
+                cum.filter(F.col("cum_df") >= index_min_df)
+                .select(key_col),
+                key_col,
+                "left_semi",
+            )
+        else:
+            append_counts = batch_counts
         cleaned = scrub_fn(batch_df, flagged)  # (doc_id, __kept_text)
         out = (
             batch_df.withColumnRenamed(text_col, "__orig")
@@ -850,7 +877,7 @@ def _df_index_scrub_sink(
         files = _publish_staged(corpus_stage, path, path, epoch_id, files)
         spark.catalog.refreshByPath(path)
         files = _stage_bucketed_append(
-            spark, batch_counts, index_table, index_path,
+            spark, append_counts, index_table, index_path,
             (key_col,), (key_col,), index_buckets,
             path, epoch_id, files, stage_tag,
         )
@@ -994,50 +1021,97 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
     ENFORCES by re-running this audit immediately before every
     compaction (the only operation that merges files; a mixed DIR is
     caught while its files are still pure). A file without usable
-    stats (e.g. all-null row groups) falls back to reading just that
-    file's key column; a file missing the key column, or carrying
-    NULL keys, fails with the same actionable error (never an opaque
-    TypeError/IndexError — round-10 review)."""
+    stats (e.g. all-null row groups) — or whose stats report a width
+    OTHER than the two widths any version of this sink ever wrote
+    (writers may truncate binary min/max statistics, so an odd stats
+    width is not proof of odd data — round-11 ADVICE) — falls back to
+    reading just that file's key column. Failures are diagnosed per
+    CAUSE, each with its own repair path: 16-hex legacy prefixes
+    (rebuild from a raw corpus copy), unexpected key widths or NULL
+    keys (corrupted/foreign files — quarantine), or a missing key
+    column (foreign data — remove); never an opaque
+    TypeError/IndexError (round-10 review) and never a legacy
+    diagnosis for a corrupted file (round-11 ADVICE)."""
     files = _data_files(index_path)
     if not files:
         return
     import pyarrow.parquet as pq
 
-    bad: dict[str, set[int]] = {}
+    missing_col: list[str] = []
+    null_keys: list[str] = []
+    legacy: list[str] = []
+    foreign: dict[str, set[int]] = {}
     for fn in sorted(files):
         fpath = os.path.join(index_path, fn)
         pf = pq.ParquetFile(fpath)
         col_idx = pf.schema_arrow.get_field_index("seg_hash")
         if col_idx < 0:
-            bad[fn] = {-2}  # no seg_hash column at all
+            missing_col.append(fn)
             continue
         lengths: set[int] = set()
+        has_nulls = False
         stats_ok = True
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(col_idx).statistics
             if st is None or not st.has_min_max:
                 stats_ok = False
                 break
+            if st.null_count:
+                has_nulls = True
             lengths.add(len(st.min))
             lengths.add(len(st.max))
-        if not stats_ok:
+        # Footer stats are a FAST PATH trusted only for the two widths
+        # an index written by any version of this sink can contain (16
+        # legacy / 32 current): a writer is allowed to TRUNCATE binary
+        # min/max statistics, so any other reported width may be a
+        # statistics artifact, not a data one (round-11 ADVICE) —
+        # confirm from the key column itself before accusing the file.
+        if not stats_ok or (lengths - {16, 32}):
             col = pq.read_table(fpath, columns=["seg_hash"]).column(0)
-            lengths = {
-                -1 if v is None else len(v) for v in col.to_pylist()
-            }  # -1 flags NULL keys as wrong width
-        wrong = {n for n in lengths if n != 32}
-        if wrong:
-            bad[fn] = wrong
-    if bad:
+            vals = col.to_pylist()
+            has_nulls = any(v is None for v in vals)
+            lengths = {len(v) for v in vals if v is not None}
+        if has_nulls:
+            null_keys.append(fn)
+        if lengths == {16}:
+            legacy.append(fn)
+        elif lengths - {32}:
+            foreign[fn] = lengths - {32}
+    problems = []
+    if legacy:
+        problems.append(
+            f"files {legacy[:3]} carry 16-hex (non-32-hex) seg_hash keys: "
+            "they predate the 128-bit key change and their counts can "
+            "never match new batches (a hash prefix is not recoverable "
+            "to the full digest) — rebuild the index by re-counting "
+            "segments from a raw corpus copy, or move the legacy index "
+            "aside explicitly if losing its counts is acceptable"
+        )
+    if foreign:
+        widths = sorted(set().union(*foreign.values()))
+        problems.append(
+            f"files {sorted(foreign)[:3]} carry non-32-hex seg_hash keys "
+            f"of widths {widths}: no version of this sink ever wrote "
+            "such keys — the files are corrupted or foreign; quarantine "
+            "them and re-count their epochs from a raw corpus copy"
+        )
+    if null_keys:
+        problems.append(
+            f"files {null_keys[:3]} carry NULL seg_hash keys: the sink "
+            "never writes NULL keys — the files are corrupted writer "
+            "output; quarantine them and re-count their epochs from a "
+            "raw corpus copy"
+        )
+    if missing_col:
+        problems.append(
+            f"files {missing_col[:3]} lack the seg_hash column "
+            "entirely: not segment-index data — remove the foreign "
+            "files from the index directory"
+        )
+    if problems:
         raise ValueError(
-            f"segment index at {index_path} carries non-32-hex seg_hash "
-            f"keys ({sorted(set().union(*bad.values()))}-char, files "
-            f"{sorted(bad)[:3]}...): the index predates the 128-bit key "
-            "change and its counts can never match new batches (a hash "
-            "prefix is not recoverable to the full digest). Rebuild the "
-            "index by re-counting segments from a raw corpus copy, or "
-            "move the legacy index aside explicitly if losing its "
-            "counts is acceptable."
+            f"segment index audit failed at {index_path}: "
+            + "; ".join(problems)
         )
 
 
@@ -1051,6 +1125,7 @@ def span_scrub_sink(
     min_df: int = 2,
     index_buckets: int = 16,
     compact_file_threshold: int | None = None,
+    index_min_df: int = 1,
 ):
     """``foreachBatch`` handler appending a REPEATED-SPAN-SCRUBBED
     corpus at ``path`` — the streaming form of x52's cross-document
@@ -1091,17 +1166,32 @@ def span_scrub_sink(
     ``index_buckets * 16``) via the crash-safe swap.
 
     HONEST 100 TB posture, vs the other sinks: unaligned repeated-span
-    detection is inherently TOKEN-granular — the index holds one row
-    per distinct anchor, i.e. ~one per corpus token (the same reason
-    Lee et al.'s suffix array is several times the text size), where
-    the segment index is 1/seg_words of that and the dedup fp index is
-    one row per DOCUMENT. Nothing re-shuffles per epoch, but the
-    df-lookup semi join READS the whole (narrow, bucketed) index, so
-    per-epoch scan cost grows with the corpus. At very large corpora
-    prefer the segment sink for streaming boilerplate control and run
-    the span pass as a periodic batch job (``scrub_repeated_spans``)
-    — this sink is the right tool when unaligned-span hygiene must be
-    enforced AT ingest and the index fits a routine scan."""
+    detection is inherently TOKEN-granular — the UNBOUNDED index holds
+    one row per distinct anchor, i.e. ~one per corpus token (the same
+    reason Lee et al.'s suffix array is several times the text size),
+    where the segment index is 1/seg_words of that and the dedup fp
+    index is one row per DOCUMENT. Nothing re-shuffles per epoch, but
+    the df-lookup semi join READS the whole (narrow, bucketed) index,
+    so per-epoch scan cost grows with the corpus.
+
+    ``index_min_df`` (round-11) is the scale lever for exactly that:
+    with ``index_min_df=2`` only anchors whose cumulative df reached 2
+    persist — anchors repeated within some epoch, plus anchors already
+    indexed — so the index shrinks from one row per distinct corpus
+    anchor to one per REPEATED anchor (~the boilerplate fraction;
+    measured 20.8x smaller on the sf0.001 documents corpus — 1,115 of
+    23,172 distinct anchors have df >= 2 — pinned by test at a
+    conservative >= 5x). Semantics under the bound, stated exactly: a one-epoch run
+    still equals batch ``scrub_repeated_spans`` (flagging precedes
+    appending, so an epoch's own output never depends on the bound),
+    and within-epoch repeats are learned forever; what is given up is
+    the cross-epoch SINGLETON pair — a span whose two occurrences
+    arrive in different epochs, each unique within its own. The
+    recommended large-corpus posture is therefore ``index_min_df=2``
+    at ingest + a periodic batch ``scrub_repeated_spans`` pass to
+    sweep cross-epoch stragglers (or the segment sink for streaming
+    boilerplate control when aligned windows suffice). Default 1 =
+    the exact unbounded index."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
         anchor_spans,
         doc_anchors,
@@ -1141,4 +1231,5 @@ def span_scrub_sink(
         min_df=min_df,
         index_buckets=index_buckets,
         compact_file_threshold=compact_file_threshold,
+        index_min_df=index_min_df,
     )

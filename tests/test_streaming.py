@@ -1520,6 +1520,64 @@ def test_segment_scrub_sink_rejects_legacy_16char_index(spark, tmp_path):
     assert not os.path.exists(path)
 
 
+def test_segment_index_audit_branches_on_cause(spark, tmp_path):
+    """Round-11 ADVICE: the audit must diagnose each failure cause with
+    its own repair path — a corrupted/foreign file must NOT be told it
+    'predates the 128-bit key change' (the legacy prescription). Also
+    exercises the stats-distrust fallback: a width outside {16, 32} in
+    footer stats is confirmed from the key column before accusing."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _audit_seg_hash_width,
+    )
+
+    # NULL keys -> corrupted-writer diagnosis, not legacy
+    p = str(tmp_path / "idx_null")
+    spark.createDataFrame(
+        [(None, 3), ("0" * 32, 2)], "seg_hash string, df long"
+    ).coalesce(1).write.parquet(p)
+    with pytest.raises(ValueError, match="NULL seg_hash keys") as ei:
+        _audit_seg_hash_width(spark, p)
+    assert "predates" not in str(ei.value)
+
+    # missing key column -> foreign-data diagnosis
+    p = str(tmp_path / "idx_foreign_schema")
+    spark.createDataFrame(
+        [("a", 1)], "other string, df long"
+    ).coalesce(1).write.parquet(p)
+    with pytest.raises(ValueError, match="lack the seg_hash column") as ei:
+        _audit_seg_hash_width(spark, p)
+    assert "predates" not in str(ei.value)
+
+    # unexpected width (neither 16 nor 32) -> corrupted/foreign, with
+    # the explicit quarantine prescription; the footer stats report 24
+    # so this also walks the read-the-column confirmation fallback
+    p = str(tmp_path / "idx_width24")
+    spark.createDataFrame(
+        [("f" * 24, 1)], "seg_hash string, df long"
+    ).coalesce(1).write.parquet(p)
+    with pytest.raises(ValueError, match="corrupted or foreign") as ei:
+        _audit_seg_hash_width(spark, p)
+    assert "predates" not in str(ei.value)
+
+    # pure legacy still gets the legacy diagnosis + rebuild path
+    p = str(tmp_path / "idx_legacy")
+    spark.createDataFrame(
+        [("0123456789abcdef", 3)], "seg_hash string, df long"
+    ).coalesce(1).write.parquet(p)
+    with pytest.raises(ValueError, match="predate") as ei:
+        _audit_seg_hash_width(spark, p)
+    assert "non-32-hex" in str(ei.value)
+
+    # healthy index passes
+    p = str(tmp_path / "idx_ok")
+    spark.createDataFrame(
+        [("a" * 32, 1), ("b" * 32, 4)], "seg_hash string, df long"
+    ).coalesce(1).write.parquet(p)
+    _audit_seg_hash_width(spark, p)
+
+
 def test_dedup_ingest_sink_exactly_once_under_replay(spark, tmp_path):
     """Round-9 fix, pinned: (a) a crash BETWEEN the corpus append and
     the index append no longer duplicates the epoch on replay — the
@@ -1838,6 +1896,112 @@ def test_span_scrub_sink_learns_across_epochs_and_replays_once(
     assert span not in got1[3]  # cumulative df=2: scrubbed on arrival
     assert got1[3].startswith("lead0 lead1")
     assert got1[1] == span + " tail0 tail1"  # append-only: untouched
+
+
+def test_span_scrub_sink_bounded_index_parity_and_size(spark, tmp_path):
+    """index_min_df=2 (round-11, the span sink's scale lever): on the
+    REAL sf0.001 documents corpus arriving as one epoch, (a) the
+    scrubbed output still equals batch scrub_repeated_spans exactly
+    (flagging precedes appending, so the bound never changes an
+    epoch's own output), and (b) the persisted index holds exactly the
+    df>=2 anchors — measured 20.8x fewer rows than the unbounded
+    index (1,115 of 23,172 distinct anchors), pinned conservatively
+    at >= 5x."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.llm.dedup import (
+        doc_anchors,
+        scrub_repeated_spans,
+    )
+    from insect_observation_data_pipeline_spark.streaming.sink import span_scrub_sink
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    path = str(tmp_path / "scrubbed_bounded")
+    handle = span_scrub_sink(
+        path, anchor_words=8, min_span_words=16, index_min_df=2
+    )
+    handle(docs, 0)
+    got = {
+        r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()
+    }
+    want = {
+        r["doc_id"]: r["kept_text"]
+        for r in scrub_repeated_spans(
+            docs, anchor_words=8, min_span_words=16
+        ).collect()
+    }
+    assert got == want
+    per_anchor = (
+        doc_anchors(docs, text_col="text", id_col="doc_id", anchor_words=8)
+        .groupBy("anchor")
+        .agg(F.count_distinct("doc_id").alias("df"))
+    )
+    n_all = per_anchor.count()
+    n_repeated = per_anchor.filter("df >= 2").count()
+    idx = spark.read.parquet(path + "__spandf")
+    assert idx.count() == n_repeated  # exactly the df>=2 anchors persist
+    assert n_all >= 5 * n_repeated, (
+        f"bounded-index reduction collapsed: {n_all} distinct anchors "
+        f"vs {n_repeated} repeated — the scale rationale needs re-measuring"
+    )
+
+
+def test_span_scrub_sink_bounded_index_cross_epoch_semantics(
+    spark, tmp_path
+):
+    """The bound's semantics, stated exactly and pinned: (a) a span
+    repeated WITHIN an epoch is learned forever — a later doc carrying
+    it is scrubbed on arrival; (b) the cross-epoch SINGLETON pair is
+    the documented giveaway — each occurrence unique within its own
+    epoch, so the bounded index never learns it (the unbounded sink
+    does, asserted as the contrast); (c) an already-indexed anchor
+    keeps appending df rows (prior_df lifts cum past the bound), so
+    counts stay monotone."""
+    from insect_observation_data_pipeline_spark.streaming.sink import span_scrub_sink
+
+    within = " ".join(f"w{i}" for i in range(12))
+    cross = " ".join(f"c{i}" for i in range(12))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+
+    for bounded in (True, False):
+        path = str(tmp_path / f"scrub_{bounded}")
+        handle = span_scrub_sink(
+            path, anchor_words=4, min_span_words=10,
+            index_min_df=2 if bounded else 1,
+        )
+        # epoch 0: `within` shared by two docs (learned either way);
+        # `cross` appears once (singleton — bounded index drops it)
+        handle(mk([
+            (1, within + " t0 t1"),
+            (2, "x0 x1 " + within),
+            (3, cross + " u0 u1"),
+        ]), 0)
+        # epoch 1: one doc reuses each span at new offsets
+        handle(mk([
+            (4, "lead0 lead1 " + within + " t2"),
+            (5, "lead2 lead3 " + cross + " u2"),
+        ]), 1)
+        got = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert within not in got[4]  # (a) within-epoch repeat: learned
+        if bounded:
+            assert cross in got[5], (
+                "bounded index unexpectedly learned a cross-epoch "
+                "singleton pair"
+            )
+        else:
+            assert cross not in got[5]  # unbounded learns it: contrast
+        # (c) epoch 2: the learned span's anchors must keep counting
+        handle(mk([(6, within + " t3 t4")]), 2)
+        got2 = {
+            r["doc_id"]: r["text"]
+            for r in spark.read.parquet(path).collect()
+        }
+        assert within not in got2[6]
 
 
 def test_scrub_sinks_recover_first_epoch_index_crash(spark, tmp_path):

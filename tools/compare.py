@@ -30,7 +30,14 @@ import traceback
 
 import duckdb
 
-sys.path.insert(0, "/root/repo")
+# repo root derived from this file's location, NOT hardcoded (round-11
+# ADVICE: running from another checkout stamped empty/wrong-repo
+# provenance into the artifact, which the freshness gate then judged
+# against the real tree)
+import os as _os
+
+REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
 
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from insect_observation_data_pipeline_spark import get_spark  # noqa: E402
@@ -63,51 +70,62 @@ def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     return h.hexdigest()[:16]
 
 
-def package_ast_fingerprint(root: str = "/root/repo") -> str:
-    """Behavior fingerprint of the package source: sha256 over the
-    docstring-stripped AST dump of every .py file under
-    ``insect_observation_data_pipeline_spark/``, in sorted path order. Comments never
-    reach the AST and docstrings are removed before dumping, so the
+def package_ast_fingerprint(root: str = REPO_ROOT) -> str:
+    """Behavior fingerprint of the artifact-determining source: sha256
+    over the docstring-stripped AST dump of every .py file under
+    ``insect_observation_data_pipeline_spark/`` PLUS the files that define what the
+    artifact attests — ``__spark_entry__.py`` (the registry adapter)
+    and ``tools/compare.py`` itself (table_hash, oracle session, the
+    DuckDB comparison) — in sorted path order. Comments never reach
+    the AST and docstrings are removed before dumping, so the
     fingerprint changes iff something that can affect runtime behavior
     changed — the freshness contract test uses it to let provably
-    cosmetic (comment/docstring-only) package commits pass without a
-    full artifact regeneration, while any code change still turns the
-    suite red until the artifacts are regenerated."""
+    cosmetic (comment/docstring-only) commits pass without a full
+    artifact regeneration, while any code change (round-11 ADVICE:
+    including to the comparison harness, which the package-only
+    fingerprint let drift silently) turns the suite red until the
+    artifacts are regenerated."""
     import ast
     import os
 
     pkg = os.path.join(root, "insect_observation_data_pipeline_spark")
-    h = hashlib.sha256()
+    paths = [
+        os.path.join(root, "__spark_entry__.py"),
+        os.path.join(root, "tools", "compare.py"),
+    ]
     for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
         dirnames.sort()
-        for fn in sorted(filenames):
-            if not fn.endswith(".py"):
-                continue
-            path = os.path.join(dirpath, fn)
-            with open(path, encoding="utf-8") as f:
-                tree = ast.parse(f.read())
-            for node in ast.walk(tree):
-                body = getattr(node, "body", None)
-                if (
-                    isinstance(
-                        node,
-                        (
-                            ast.Module,
-                            ast.FunctionDef,
-                            ast.AsyncFunctionDef,
-                            ast.ClassDef,
-                        ),
-                    )
-                    and body
-                    and isinstance(body[0], ast.Expr)
-                    and isinstance(body[0].value, ast.Constant)
-                    and isinstance(body[0].value.value, str)
-                ):
-                    body[0] = ast.Pass()  # docstring -> inert placeholder
-            h.update(os.path.relpath(path, root).encode())
-            h.update(b"\x00")
-            h.update(ast.dump(tree).encode())
-            h.update(b"\x01")
+        paths.extend(
+            os.path.join(dirpath, fn)
+            for fn in sorted(filenames)
+            if fn.endswith(".py")
+        )
+    h = hashlib.sha256()
+    for path in sorted(paths, key=lambda p: os.path.relpath(p, root)):
+        with open(path, encoding="utf-8") as f:
+            tree = ast.parse(f.read())
+        for node in ast.walk(tree):
+            body = getattr(node, "body", None)
+            if (
+                isinstance(
+                    node,
+                    (
+                        ast.Module,
+                        ast.FunctionDef,
+                        ast.AsyncFunctionDef,
+                        ast.ClassDef,
+                    ),
+                )
+                and body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                body[0] = ast.Pass()  # docstring -> inert placeholder
+        h.update(os.path.relpath(path, root).encode())
+        h.update(b"\x00")
+        h.update(ast.dump(tree).encode())
+        h.update(b"\x01")
     return h.hexdigest()
 
 
@@ -249,7 +267,7 @@ def main() -> int:
 
         def _git(*args: str) -> str:
             return subprocess.run(
-                ["git", *args], cwd="/root/repo",
+                ["git", *args], cwd=REPO_ROOT,
                 capture_output=True, text=True,
             ).stdout.strip()
 
