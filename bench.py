@@ -210,6 +210,10 @@ EXTENDED_QUERIES = [
     "x52_repeated_spans",
     "e26_event_census",
     "x53_doc_signal_census",
+    # round 11: w2's HLL-register scale variant — benched alongside the
+    # exact w2 (headline set) so the exact-vs-sketch cost is measured,
+    # not asserted
+    "w2b_best_month_sketch",
 ]
 
 

@@ -235,3 +235,43 @@ def hll_registers(
     return keyed.groupBy(*group_cols, "bucket").agg(
         F.max("rho").alias("max_rho")
     )
+
+
+# HLL readback constants (p=8): m=256 registers over the top 8 of a
+# 60-bit md5 prefix; alpha_m * m^2 for the harmonic estimate. The SAME
+# literals are embedded in the DuckDB oracles (x40, w2b) so both
+# engines run the identical float expression on identical exact
+# integers.
+HLL_M = 256
+HLL_AM2 = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M
+HLL_INV53 = 2.0**-53
+
+
+def hll_state(regs: DataFrame, group_cols: Sequence[str]) -> DataFrame:
+    """Collapse a :func:`hll_registers` table to one exact-integer row
+    per group: ``regs_used`` (registers hit) and ``sum_scaled`` =
+    sum(2^(53 - max_rho)) — each term a dyadic power, the total an
+    exact BIGINT < 2^63, so the whole reduction is integer-exact and
+    cross-shard mergeable state stays mergeable (a merged register
+    table folds to the same row)."""
+    return regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("regs_used"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(53) - F.col("max_rho")).cast("long")
+        ).alias("sum_scaled"),
+    )
+
+
+def hll_estimate(regs_used: Column, sum_scaled: Column) -> Column:
+    """Deterministic HLL readback from the :func:`hll_state` integers
+    (p=8, m=256): the only float ops are one add + one divide (plus ln
+    on the small-range linear-counting branch) from exact integer
+    inputs, so any engine embedding the same literals computes the
+    bit-identical double — the property the x40/w2b DuckDB oracles
+    replay."""
+    zeros = (F.lit(HLL_M) - regs_used).cast("double")
+    raw = F.lit(HLL_AM2) / (zeros + sum_scaled * F.lit(HLL_INV53))
+    return F.when(
+        (zeros > 0) & (raw <= F.lit(2.5 * HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
+    ).otherwise(raw)

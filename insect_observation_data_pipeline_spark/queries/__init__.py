@@ -244,6 +244,20 @@ ROTATION_EXEMPT: dict[str, str] = {
         "fluency half of rotating x53_doc_signal_census (function "
         "called verbatim); oracle-checked locally every round"
     ),
+    # Round 11: w2's scale variant — the steepest §2-core scaling curve
+    # was the exact countDistinct rollup (data-linear by nature, not a
+    # plan defect); w2b is the same join/rank shape over the x40 HLL
+    # register kernel (shuffle capped at 256 rows/group instead of one
+    # row per distinct combination). Both halves are driver-verified
+    # via their rotating carriers, the inverse of the x13/x26 pattern.
+    "w2b_best_month_sketch": (
+        "HLL-register scale variant of rotating w2_best_month_per_customer "
+        "(same join/rank shape) over the kernel rotating x40_hll_distinct "
+        "driver-verifies (approx.hll_registers/hll_state/hll_estimate, "
+        "called verbatim); 20%-accuracy vs w2's exact counts "
+        "pytest-pinned; in the bench extended set and the local oracle "
+        "run every round"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

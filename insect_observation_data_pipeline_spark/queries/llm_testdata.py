@@ -1155,13 +1155,14 @@ def h2_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_representatives(comps, scored)
 
 
-# HLL readback constants (p=8): m=256 registers over the top 8 of a
-# 60-bit md5 prefix; alpha_m * m^2 for the harmonic estimate. The SAME
-# literals are embedded in the DuckDB oracle so both engines run the
-# identical float expression on identical exact integers.
-_HLL_M = 256
-_HLL_AM2 = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M
-_HLL_INV53 = 2.0**-53
+# HLL readback constants: single-sourced in functions/approx.py since
+# round 11 (w2b shares the kernel); re-exported here because the
+# DuckDB oracle builder imports them from this module.
+from insect_observation_data_pipeline_spark.functions.approx import (  # noqa: E402
+    HLL_AM2 as _HLL_AM2,
+    HLL_INV53 as _HLL_INV53,
+    HLL_M as _HLL_M,
+)
 
 
 def x40_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,21 +1193,11 @@ def x40_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     regs = approx.hll_registers(toks, "term", ["source"], p=8)
-    per = regs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("regs_used"),
-        F.sum(
-            F.pow(F.lit(2.0), F.lit(53) - F.col("max_rho")).cast("long")
-        ).alias("sum_scaled"),
-    )
+    per = approx.hll_state(regs, ["source"])
     exact = toks.groupBy("source").agg(
         F.countDistinct("term").alias("n_exact")
     )
-    zeros = (F.lit(_HLL_M) - F.col("regs_used")).cast("double")
-    raw = F.lit(_HLL_AM2) / (zeros + F.col("sum_scaled") * F.lit(_HLL_INV53))
-    est = F.when(
-        (zeros > 0) & (raw <= F.lit(2.5 * _HLL_M)),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
-    ).otherwise(raw)
+    est = approx.hll_estimate(F.col("regs_used"), F.col("sum_scaled"))
     return per.join(exact, "source").select(
         "source",
         F.col("n_exact").cast("bigint").alias("n_exact"),

@@ -138,6 +138,10 @@ ORACLE: dict[str, str] = {
         ORDER BY distinct_suppliers DESC, c_name, month_year
         LIMIT 10
     """,
+    # w2b: rebuilt below from the shared HLL literals (must match the
+    # Spark kernel bit-for-bit); placeholder replaced right after the
+    # dict literal so the entry keeps the w2-family position.
+    "w2b_best_month_sketch": "",
     "s1_scan_prune": """
         SELECT l_orderkey, l_linenumber, l_quantity
         FROM lineitem
@@ -627,3 +631,72 @@ ORACLE["f_levenshtein_fuzzy"] = """
 """
 
 
+
+
+def _w2b_oracle_sql() -> str:
+    """w2b: rebuild the identical per-(customer, month) md5-register HLL
+    (p=8, m=256) and its readback, then w2's rank/top-10 shape on the
+    estimate. Literals come from functions/approx.py (the x40 oracle's
+    discipline): everything upstream of the one add+divide (+ ln on the
+    linear-counting branch) is integer-exact, so both engines rank the
+    identical doubles."""
+    from insect_observation_data_pipeline_spark.functions.approx import (
+        HLL_AM2,
+        HLL_INV53,
+        HLL_M,
+    )
+
+    h60 = "('0x' || substr(md5(supp), 1, 15))::BIGINT"
+    rest = f"({h60} & 4503599627370495)"
+    raw = (
+        f"{HLL_AM2!r} / (({HLL_M} - regs_used) + sum_scaled * {HLL_INV53!r})"
+    )
+    est = (
+        f"CASE WHEN ({HLL_M} - regs_used) > 0 AND ({raw}) <= {2.5 * HLL_M!r} "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - regs_used)) "
+        f"ELSE {raw} END"
+    )
+    return f"""
+    -- w2 at scale: deterministic HLL estimate per (customer, month)
+    WITH rows_ AS (
+        SELECT o.o_custkey,
+               strftime(o.o_orderdate, '%Y-%m') AS month_year,
+               CAST(l.l_suppkey AS VARCHAR) AS supp
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    hb AS (
+        SELECT o_custkey, month_year,
+               {h60} >> 52 AS bucket,
+               CASE WHEN {rest} = 0 THEN 53
+                    ELSE 53 - length(bin({rest})) END AS rho
+        FROM rows_
+    ),
+    regs AS (
+        SELECT o_custkey, month_year, bucket, max(rho) AS max_rho
+        FROM hb GROUP BY 1, 2, 3
+    ),
+    per AS (
+        SELECT o_custkey, month_year, count(*) AS regs_used,
+               sum(CAST(power(2, 53 - max_rho) AS BIGINT)) AS sum_scaled
+        FROM regs GROUP BY 1, 2
+    ),
+    est_t AS (
+        SELECT o_custkey, month_year, {est} AS est FROM per
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY o_custkey ORDER BY est DESC, month_year
+        ) AS rn
+        FROM est_t
+    )
+    SELECT c.c_name, r.month_year, {_sr('r.est', 2)} AS est_suppliers
+    FROM ranked r
+    JOIN customer c ON r.o_custkey = c.c_custkey
+    WHERE rn = 1
+    ORDER BY r.est DESC, c.c_name, r.month_year
+    LIMIT 10
+"""
+
+
+ORACLE["w2b_best_month_sketch"] = _w2b_oracle_sql()

@@ -271,6 +271,76 @@ def w2_best_month_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w2b_best_month_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w2's 100x-scale variant (round-11): the exact per-(customer,
+    month) COUNT(DISTINCT supplier) replaced by the deterministic
+    md5-register HLL (functions/approx.py — x40's kernel behind the
+    same join/rank shape).
+
+    Why this is the scale lever and the salted rewrite is not: Catalyst
+    already plans w2's single countDistinct as the two-phase
+    dedup-then-count (`.explain` shows the (custkey, month, suppkey)
+    Exchange feeding the re-agg), which is operators/skew.py's
+    salted_count_distinct by construction — skew-safe, but its first
+    shuffle still carries one row per DISTINCT (customer, month,
+    supplier) combination, i.e. grows with the data (profiled
+    data-linear in SCALING; the round-10 verdict's steepest §2-core
+    curve). The register form's map-side partial agg caps the shuffle
+    at 256 rows per (customer, month) group per task REGARDLESS of how
+    many suppliers a hot customer touches — at 100x the fact data the
+    exact form's shuffle is 100x, this one's is flat in the group
+    count. The trade is exactness: estimates carry ~6.5% rsd at m=256
+    (every group within 20% at sf0.001, pytest-pinned), and the
+    best-month pick can flip between months whose true counts are
+    within the noise — use w2 when the answer must be exact, this form
+    when the corpus no longer fits the exact shuffle (README
+    "Switching w2 at scale" note). Deterministic: same md5 registers
+    on every engine, so the DuckDB oracle replays the ranking
+    bit-identically."""
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    rows = (
+        l.select("l_orderkey", F.col("l_suppkey").cast("string").alias("supp"))
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("month_year", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    regs = approx.hll_registers(rows, "supp", ["o_custkey", "month_year"])
+    per = approx.hll_state(regs, ["o_custkey", "month_year"])
+    monthly = per.select(
+        "o_custkey",
+        "month_year",
+        approx.hll_estimate(
+            F.col("regs_used"), F.col("sum_scaled")
+        ).alias("__est"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("__est"), F.asc("month_year")
+    )
+    best = (
+        monthly.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .join(
+            F.broadcast(c.select("c_custkey", "c_name")),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    return top_k(
+        best,
+        [F.desc("__est"), F.asc("c_name"), F.asc("month_year")],
+        10,
+    ).select(
+        "c_name",
+        "month_year",
+        stable_round(F.col("__est"), 2).alias("est_suppliers"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scans / sources / sinks (S*)
 # ---------------------------------------------------------------------------
@@ -1238,6 +1308,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "a2_monthly_revenue_no_january": a2_monthly_revenue_no_january,
     "a8_top_nation_months": a8_top_nation_months,
     "w2_best_month_per_customer": w2_best_month_per_customer,
+    "w2b_best_month_sketch": w2b_best_month_sketch,
     "s1_scan_prune": s1_scan_prune,
     "s4_seed_static_union": s4_seed_static_union,
     "s8_quarantine_events": s8_quarantine_events,

@@ -553,6 +553,7 @@ def test_exempt_twins_still_rotate():
             "x53_doc_signal_census", "x25_token_prob_score",
         ),
         "x50_langid_confusion": ("x3_text_quality", "lang_id"),
+        "w2b_best_month_sketch": ("x40_hll_distinct", "hll_estimate"),
     }
     for exempt, (twin, kernel) in twin_kernel.items():
         assert twin in rotating, f"{exempt}'s twin {twin} no longer rotates"

@@ -132,6 +132,61 @@ def test_salted_count_distinct_matches_exact(spark):
     assert salted == exact
 
 
+def test_w2b_sketch_accuracy_and_plan(spark):
+    """w2b's exemption contract (round 11): (a) every (customer, month)
+    HLL estimate is within 20% of w2's exact distinct-supplier count
+    at sf0.001 (3 sigma at m=256 is ~19.5%); (b) the plan is the
+    register form — no exact count(distinct) anywhere, and the
+    register agg partial-aggregates map-side (the property that caps
+    shuffle rows at 256/group at any scale)."""
+    from insect_observation_data_pipeline_spark.functions import approx
+    from insect_observation_data_pipeline_spark.queries import QUERIES
+    from insect_observation_data_pipeline_spark.sources.parquet import read_table
+
+    sf = "/root/testdata/sf0.001"
+    l = read_table(spark, sf, "lineitem")
+    o = read_table(spark, sf, "orders")
+    rows = (
+        l.select("l_orderkey", F.col("l_suppkey").cast("string").alias("supp"))
+        .join(
+            o.select("o_orderkey", "o_custkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .withColumn("month_year", F.date_format("o_orderdate", "yyyy-MM"))
+    )
+    exact = rows.groupBy("o_custkey", "month_year").agg(
+        F.countDistinct("supp").alias("n_exact")
+    )
+    regs = approx.hll_registers(rows, "supp", ["o_custkey", "month_year"])
+    per = approx.hll_state(regs, ["o_custkey", "month_year"])
+    est = per.select(
+        "o_custkey",
+        "month_year",
+        approx.hll_estimate(F.col("regs_used"), F.col("sum_scaled")).alias(
+            "est"
+        ),
+    )
+    joined = exact.join(est, ["o_custkey", "month_year"]).select(
+        (F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact")).alias(
+            "rel_err"
+        )
+    )
+    stats = joined.agg(
+        F.max("rel_err").alias("mx"), F.avg("rel_err").alias("avg")
+    ).collect()[0]
+    assert stats["mx"] <= 0.2, f"worst group error {stats['mx']:.3f} > 20%"
+    assert stats["avg"] <= 0.08, f"mean error {stats['avg']:.3f} > 8%"
+
+    plan = (
+        QUERIES["w2b_best_month_sketch"](spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "distinct" not in plan.lower()
+    assert "partial_max" in plan  # register agg combines map-side
+
+
 def test_merge_upsert_semantics(spark):
     """Updates win on key collision, unmatched current survives,
     new keys insert — ON CONFLICT DO UPDATE as recompute."""
