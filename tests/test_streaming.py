@@ -2102,10 +2102,11 @@ def test_segment_audit_detects_legacy_via_footers(spark, tmp_path):
     with pytest.raises(ValueError, match="non-32-hex"):
         _audit_seg_hash_width(spark, idx)
 
-    # degenerate files must produce the SAME actionable error, never an
-    # opaque TypeError/IndexError (round-10 review): all-NULL keys
-    # (footer stats absent -> fallback column read) and a file missing
-    # the key column entirely
+    # degenerate files must produce an actionable error, never an
+    # opaque TypeError/IndexError (round-10 review) — and since round
+    # 11 (ADVICE) each cause gets its OWN diagnosis instead of the
+    # legacy-rebuild prescription: all-NULL keys (footer stats absent
+    # -> fallback column read) and a file missing the key column
     import os
 
     import pyarrow as pa
@@ -2120,7 +2121,7 @@ def test_segment_audit_detects_legacy_via_footers(spark, tmp_path):
         ),
         os.path.join(nulls, "part-00000-nulls.parquet"),
     )
-    with pytest.raises(ValueError, match="non-32-hex"):
+    with pytest.raises(ValueError, match="NULL seg_hash keys"):
         _audit_seg_hash_width(spark, nulls)
 
     nocol = str(tmp_path / "nocol__segdf")
@@ -2129,7 +2130,7 @@ def test_segment_audit_detects_legacy_via_footers(spark, tmp_path):
         pa.table({"df": pa.array([1], pa.int64())}),
         os.path.join(nocol, "part-00000-nocol.parquet"),
     )
-    with pytest.raises(ValueError, match="non-32-hex"):
+    with pytest.raises(ValueError, match="lack the seg_hash column"):
         _audit_seg_hash_width(spark, nocol)
 
 
