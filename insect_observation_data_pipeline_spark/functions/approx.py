@@ -275,3 +275,35 @@ def hll_estimate(regs_used: Column, sum_scaled: Column) -> Column:
         (zeros > 0) & (raw <= F.lit(2.5 * HLL_M)),
         F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / zeros),
     ).otherwise(raw)
+
+
+def hll_sql(value_expr: str) -> dict[str, str]:
+    """DuckDB fragments mirroring :func:`hll_bucket_rho` /
+    :func:`hll_estimate` bit-for-bit at p=8 — the ONE place the SQL
+    twin of the register kernel is spelled (round-11 review: the x40
+    and w2b oracle builders each hand-copied these strings; a drift in
+    one would silently attest a stale formula). Returns:
+
+    - ``bucket`` / ``rho``: per-value register coordinates from
+      ``md5(value_expr)`` (60-bit prefix, top 8 bits the register,
+      53-wide leading-zero rank on the rest — ``4503599627370495`` is
+      the 52-bit rest mask);
+    - ``est``: the readback, assuming columns ``regs_used`` and
+      ``sum_scaled`` (from the :func:`hll_state` shape) are in scope.
+    """
+    h60 = f"('0x' || substr(md5({value_expr}), 1, 15))::BIGINT"
+    rest = f"({h60} & 4503599627370495)"
+    raw = (
+        f"{HLL_AM2!r} / (({HLL_M} - regs_used) + sum_scaled * {HLL_INV53!r})"
+    )
+    est = (
+        f"CASE WHEN ({HLL_M} - regs_used) > 0 AND ({raw}) <= {2.5 * HLL_M!r} "
+        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - regs_used)) "
+        f"ELSE {raw} END"
+    )
+    return {
+        "bucket": f"{h60} >> 52",
+        "rho": f"CASE WHEN {rest} = 0 THEN 53"
+               f" ELSE 53 - length(bin({rest})) END",
+        "est": est,
+    }

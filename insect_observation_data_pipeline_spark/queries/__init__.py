@@ -30,14 +30,20 @@ _REPO_ROOT = Path(__file__).resolve().parents[2]
 
 
 def _fold_green(
-    last: dict[str, int], rnd: int, rows: dict
-) -> None:
+    last: dict[str, int], rnd: int, rows: object
+) -> bool:
     """Fold one driver CORRECTNESS artifact's hash-green rows into the
     name -> latest-green-round map (shared by import and the
-    GREEN_SUMMARY.json regenerator in tools/green_summary.py)."""
+    GREEN_SUMMARY.json regenerator in tools/green_summary.py). Returns
+    False without folding when the parsed JSON is not the expected
+    dict-of-rows shape (a half-written or foreign artifact must be
+    skippable, never an AttributeError — round-11 review)."""
+    if not isinstance(rows, dict):
+        return False
     for name, row in rows.items():
         if isinstance(row, dict) and row.get("hash_match"):
             last[name] = max(last.get(name, 0), rnd)
+    return True
 
 
 def _last_green_round(root: Path = _REPO_ROOT) -> dict[str, int]:
@@ -70,7 +76,12 @@ def _last_green_round(root: Path = _REPO_ROOT) -> dict[str, int]:
             continue
         try:
             rows = json.loads(f.read_text())
-        except (OSError, json.JSONDecodeError):
+        except (OSError, ValueError):
+            # ValueError covers JSONDecodeError AND UnicodeDecodeError
+            # (non-UTF8 bytes) — a corrupt artifact must never crash
+            # package import (round-11 review; the round-10 code's
+            # except ValueError caught this, the first round-11 cut
+            # narrowed it and regressed)
             continue
         _fold_green(last, rnd, rows)
     return last

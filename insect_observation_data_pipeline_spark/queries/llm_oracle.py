@@ -1137,26 +1137,17 @@ LLM_ORACLE["e6_funnel_steps"] = """
 def _hll_oracle_sql() -> str:
     """x40: rebuild the identical 256-register md5 HLL and its readback.
 
-    Literals match queries/llm_testdata.py exactly (_HLL_AM2/_HLL_INV53
-    repr round-trips to the same double); everything upstream of the
+    The bucket/rho/est fragments come from functions/approx.py hll_sql
+    — the single spelling of the SQL twin (round-11 dedup; literals
+    repr round-trip to the same doubles); everything upstream of the
     single add+divide (+ ln on the linear-counting branch) is integer-
     exact, so both engines feed identical doubles into identical
     expressions.
     """
-    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
-        _HLL_AM2,
-        _HLL_INV53,
-        _HLL_M,
-    )
+    from insect_observation_data_pipeline_spark.functions.approx import hll_sql
 
-    h60 = "('0x' || substr(md5(term), 1, 15))::BIGINT"
-    rest = f"({h60} & 4503599627370495)"
-    raw = f"{_HLL_AM2!r} / (({_HLL_M} - regs_used) + sum_scaled * {_HLL_INV53!r})"
-    est = (
-        f"CASE WHEN ({_HLL_M} - regs_used) > 0 AND ({raw}) <= {2.5 * _HLL_M!r} "
-        f"THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / ({_HLL_M} - regs_used)) "
-        f"ELSE {raw} END"
-    )
+    frag = hll_sql("term")
+    est = frag["est"]
     return f"""
     -- deterministic HLL distinct-shingle audit per source (x40)
     WITH toked AS (
@@ -1171,9 +1162,8 @@ def _hll_oracle_sql() -> str:
     ),
     hb AS (
         SELECT source,
-               {h60} >> 52 AS bucket,
-               CASE WHEN {rest} = 0 THEN 53
-                    ELSE 53 - length(bin({rest})) END AS rho
+               {frag["bucket"]} AS bucket,
+               {frag["rho"]} AS rho
         FROM toks
     ),
     regs AS (SELECT source, bucket, max(rho) AS max_rho FROM hb GROUP BY 1, 2),

@@ -1155,14 +1155,9 @@ def h2_cluster_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.cluster_representatives(comps, scored)
 
 
-# HLL readback constants: single-sourced in functions/approx.py since
-# round 11 (w2b shares the kernel); re-exported here because the
-# DuckDB oracle builder imports them from this module.
-from insect_observation_data_pipeline_spark.functions.approx import (  # noqa: E402
-    HLL_AM2 as _HLL_AM2,
-    HLL_INV53 as _HLL_INV53,
-    HLL_M as _HLL_M,
-)
+# HLL readback constants and the SQL twin of the register kernel are
+# single-sourced in functions/approx.py since round 11 (w2b shares the
+# kernel; the oracle builders consume approx.hll_sql).
 
 
 def x40_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

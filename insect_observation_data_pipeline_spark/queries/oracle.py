@@ -640,22 +640,10 @@ def _w2b_oracle_sql() -> str:
     discipline): everything upstream of the one add+divide (+ ln on the
     linear-counting branch) is integer-exact, so both engines rank the
     identical doubles."""
-    from insect_observation_data_pipeline_spark.functions.approx import (
-        HLL_AM2,
-        HLL_INV53,
-        HLL_M,
-    )
+    from insect_observation_data_pipeline_spark.functions.approx import hll_sql
 
-    h60 = "('0x' || substr(md5(supp), 1, 15))::BIGINT"
-    rest = f"({h60} & 4503599627370495)"
-    raw = (
-        f"{HLL_AM2!r} / (({HLL_M} - regs_used) + sum_scaled * {HLL_INV53!r})"
-    )
-    est = (
-        f"CASE WHEN ({HLL_M} - regs_used) > 0 AND ({raw}) <= {2.5 * HLL_M!r} "
-        f"THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / ({HLL_M} - regs_used)) "
-        f"ELSE {raw} END"
-    )
+    frag = hll_sql("supp")
+    est = frag["est"]
     return f"""
     -- w2 at scale: deterministic HLL estimate per (customer, month)
     WITH rows_ AS (
@@ -667,9 +655,8 @@ def _w2b_oracle_sql() -> str:
     ),
     hb AS (
         SELECT o_custkey, month_year,
-               {h60} >> 52 AS bucket,
-               CASE WHEN {rest} = 0 THEN 53
-                    ELSE 53 - length(bin({rest})) END AS rho
+               {frag["bucket"]} AS bucket,
+               {frag["rho"]} AS rho
         FROM rows_
     ),
     regs AS (

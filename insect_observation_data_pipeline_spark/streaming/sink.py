@@ -1020,18 +1020,20 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
     a single file never mixes key widths — an invariant the scaffold
     ENFORCES by re-running this audit immediately before every
     compaction (the only operation that merges files; a mixed DIR is
-    caught while its files are still pure). A file without usable
-    stats (e.g. all-null row groups) — or whose stats report a width
-    OTHER than the two widths any version of this sink ever wrote
-    (writers may truncate binary min/max statistics, so an odd stats
-    width is not proof of odd data — round-11 ADVICE) — falls back to
-    reading just that file's key column. Failures are diagnosed per
-    CAUSE, each with its own repair path: 16-hex legacy prefixes
-    (rebuild from a raw corpus copy), unexpected key widths or NULL
-    keys (corrupted/foreign files — quarantine), or a missing key
-    column (foreign data — remove); never an opaque
-    TypeError/IndexError (round-10 review) and never a legacy
-    diagnosis for a corrupted file (round-11 ADVICE)."""
+    caught while its files are still pure). Footer stats may only PASS
+    a file (pure 32-hex): for any other reported shape — missing
+    stats, all-null row groups, or ANY width other than exactly 32,
+    the legacy-looking 16 included — the audit reads just that file's
+    key column before accusing, because writers may truncate binary
+    min/max statistics and an odd stats width is not proof of odd
+    data (round-11 ADVICE + review). Failures are diagnosed per
+    CAUSE, each with its own repair path: confirmed 16-hex legacy
+    prefixes, pure or mixed in by a bad merge (rebuild from a raw
+    corpus copy), unexpected key widths or NULL keys
+    (corrupted/foreign files — quarantine), or a missing key column
+    (foreign data — remove); never an opaque TypeError/IndexError
+    (round-10 review) and never a legacy diagnosis for a corrupted
+    file (round-11 ADVICE)."""
     files = _data_files(index_path)
     if not files:
         return
@@ -1060,23 +1062,26 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
                 has_nulls = True
             lengths.add(len(st.min))
             lengths.add(len(st.max))
-        # Footer stats are a FAST PATH trusted only for the two widths
-        # an index written by any version of this sink can contain (16
-        # legacy / 32 current): a writer is allowed to TRUNCATE binary
-        # min/max statistics, so any other reported width may be a
-        # statistics artifact, not a data one (round-11 ADVICE) —
-        # confirm from the key column itself before accusing the file.
-        if not stats_ok or (lengths - {16, 32}):
+        # Footer stats are a FAST PATH trusted only to PASS a file
+        # (pure 32-hex): a writer is allowed to TRUNCATE binary min/max
+        # statistics, so ANY other reported width — the legacy-looking
+        # 16 included; a truncated healthy file reports 16-char mins —
+        # may be a statistics artifact, not a data one (round-11
+        # ADVICE + review). Confirm from the key column itself before
+        # accusing the file; reading is the error path's cost only.
+        if not stats_ok or lengths != {32}:
             col = pq.read_table(fpath, columns=["seg_hash"]).column(0)
             vals = col.to_pylist()
             has_nulls = any(v is None for v in vals)
             lengths = {len(v) for v in vals if v is not None}
         if has_nulls:
             null_keys.append(fn)
-        if lengths == {16}:
+        if 16 in lengths:
+            # any confirmed 16-wide key is an orphaned legacy prefix,
+            # whether the file is pure-legacy or mixed by a bad merge
             legacy.append(fn)
-        elif lengths - {32}:
-            foreign[fn] = lengths - {32}
+        if lengths - {16, 32}:
+            foreign[fn] = lengths - {16, 32}
     problems = []
     if legacy:
         problems.append(

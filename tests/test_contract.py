@@ -166,6 +166,13 @@ def test_last_green_round_corrupt_artifact(tmp_path):
     (tmp_path / "CORRECTNESS_r09.json").write_text("garbage")
     got = _last_green_round(root=tmp_path)
     assert got == {"qa": 11, "qb": 8, "qc": 11}
+    # non-UTF8 bytes and valid-JSON-but-wrong-shape artifacts must be
+    # skipped too, not crash the fold (round-11 review: the first cut
+    # caught JSONDecodeError but not UnicodeDecodeError/AttributeError)
+    (tmp_path / "CORRECTNESS_r12.json").write_bytes(b"\xff\xfe\x00corrupt")
+    (tmp_path / "CORRECTNESS_r13.json").write_text('[{"qa": 1}]')
+    got = _last_green_round(root=tmp_path)
+    assert got == {"qa": 11, "qb": 8, "qc": 11}
     # corrupt summary: degrade to the full fold of parseable artifacts
     (tmp_path / "GREEN_SUMMARY.json").write_text("{broken")
     got = _last_green_round(root=tmp_path)

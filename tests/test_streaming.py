@@ -1578,6 +1578,60 @@ def test_segment_index_audit_branches_on_cause(spark, tmp_path):
     _audit_seg_hash_width(spark, p)
 
 
+def test_segment_index_audit_distrusts_truncated_stats(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 review: footer stats may only PASS a file. A healthy
+    32-hex index whose writer truncated binary min/max statistics to 16
+    chars must NOT be accused of being legacy — the audit has to read
+    the key column and confirm before failing. (pyarrow 16 can't write
+    truncated stats, so the footer metadata is faked; read_table stays
+    real and sees the true 32-char keys.)"""
+    import pyarrow.parquet as pq
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _audit_seg_hash_width,
+    )
+
+    p = str(tmp_path / "idx_truncstats")
+    spark.createDataFrame(
+        [("a" * 32, 1), ("b" * 32, 2)], "seg_hash string, df long"
+    ).coalesce(1).write.parquet(p)
+
+    real_pf = pq.ParquetFile
+
+    class _St:  # a truncated rendering of healthy 32-char keys
+        has_min_max = True
+        null_count = 0
+        min = "a" * 16
+        max = "b" * 16
+
+    class _Col:
+        statistics = _St()
+
+    class _RG:
+        def column(self, i):
+            return _Col()
+
+    class _Meta:
+        num_row_groups = 1
+
+        def row_group(self, i):
+            return _RG()
+
+    class FakePF:
+        def __init__(self, path):
+            self._real = real_pf(path)
+            self.metadata = _Meta()
+
+        @property
+        def schema_arrow(self):
+            return self._real.schema_arrow
+
+    monkeypatch.setattr(pq, "ParquetFile", FakePF)
+    _audit_seg_hash_width(spark, p)  # passes: the column read confirms 32
+
+
 def test_dedup_ingest_sink_exactly_once_under_replay(spark, tmp_path):
     """Round-9 fix, pinned: (a) a crash BETWEEN the corpus append and
     the index append no longer duplicates the epoch on replay — the

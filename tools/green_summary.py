@@ -32,10 +32,16 @@ def build() -> dict:
         try:
             rnd = int(f.stem.rsplit("r", 1)[-1])
             rows = json.loads(f.read_text())
-        except (ValueError, OSError, json.JSONDecodeError):
+        except (ValueError, OSError):
+            # ValueError covers the round-number parse, JSONDecodeError
+            # and UnicodeDecodeError alike
             skipped.append(f.name)  # loud, unlike the old silent import
             continue
-        _fold_green(last, rnd, rows)
+        if not _fold_green(last, rnd, rows):
+            # valid JSON, wrong shape (e.g. a top-level array): same
+            # loud skip, never an AttributeError (round-11 review)
+            skipped.append(f.name)
+            continue
         folded_through = max(folded_through, rnd)
     if skipped:
         print(f"WARNING: unparseable artifacts skipped: {skipped}",
