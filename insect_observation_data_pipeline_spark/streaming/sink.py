@@ -917,6 +917,7 @@ def segment_scrub_sink(
     min_df: int = 2,
     index_buckets: int = 16,
     compact_file_threshold: int | None = None,
+    index_min_df: int = 1,
 ):
     """``foreachBatch`` handler appending a BOILERPLATE-SCRUBBED corpus
     at ``path`` — the streaming form of x42's repeated-segment removal
@@ -957,6 +958,14 @@ def segment_scrub_sink(
     whose every segment is boilerplate append with ``text_col = ''``
     (they still block future dups by id); zero-token docs append with
     ``''`` too.
+
+    ``index_min_df`` (round-11, the span sink's scale lever made
+    symmetric): with 2, only segments whose cumulative df reached 2
+    persist — the index shrinks from one row per distinct corpus
+    segment (~1/seg_words of the tokens) to one per REPEATED segment,
+    trading away cross-epoch singleton pairs exactly as documented on
+    :func:`span_scrub_sink`; a one-epoch run still equals batch
+    ``segment_dedup``. Default 1 = the exact unbounded index.
     """
     from insect_observation_data_pipeline_spark.llm.dedup import (
         doc_segments,
@@ -1000,6 +1009,7 @@ def segment_scrub_sink(
         index_buckets=index_buckets,
         compact_file_threshold=compact_file_threshold,
         audit_fn=_audit_seg_hash_width,
+        index_min_df=index_min_df,
     )
 
 

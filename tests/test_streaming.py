@@ -1952,6 +1952,56 @@ def test_span_scrub_sink_learns_across_epochs_and_replays_once(
     assert got1[1] == span + " tail0 tail1"  # append-only: untouched
 
 
+def test_segment_scrub_sink_bounded_index(spark, tmp_path):
+    """index_min_df=2 on the segment sink (round-11 symmetry with the
+    span sink): one-epoch run still equals batch segment_dedup, the
+    index persists exactly the df>=2 segments, and a within-epoch
+    repeat is learned for later epochs while a cross-epoch singleton
+    pair is (documentedly) not."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.llm.dedup import segment_dedup
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        segment_scrub_sink,
+    )
+
+    boiler = "b0 b1 b2 b3"
+    cross = "c0 c1 c2 c3"
+    e0 = spark.createDataFrame(
+        [
+            (1, boiler + " u0 u1 u2 u3"),
+            (2, boiler + " v0 v1 v2 v3"),
+            (3, cross + " w0 w1 w2 w3"),
+        ],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "scrubbed_seg_bounded")
+    handle = segment_scrub_sink(path, seg_words=4, min_df=2, index_min_df=2)
+    handle(e0, 0)
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    want = {
+        r["doc_id"]: r["kept_text"]
+        for r in segment_dedup(e0, seg_words=4, min_df=2).collect()
+    }
+    assert got == want  # one-epoch == batch, unaffected by the bound
+    idx = spark.read.parquet(path + "__segdf")
+    # only the repeated boiler segment persisted (df>=2), none of the
+    # 7 singleton segments
+    assert idx.count() == 1
+    assert idx.agg(F.max("df")).collect()[0][0] == 2
+
+    # epoch 1: learned boiler still strips; the cross-epoch singleton
+    # pair does not (each occurrence unique within its epoch)
+    e1 = spark.createDataFrame(
+        [(4, boiler + " x0 x1 x2 x3"), (5, cross + " y0 y1 y2 y3")],
+        "doc_id long, text string",
+    )
+    handle(e1, 1)
+    got1 = {r["doc_id"]: r["text"] for r in spark.read.parquet(path).collect()}
+    assert got1[4] == "x0 x1 x2 x3"
+    assert got1[5] == cross + " y0 y1 y2 y3"
+
+
 def test_span_scrub_sink_bounded_index_parity_and_size(spark, tmp_path):
     """index_min_df=2 (round-11, the span sink's scale lever): on the
     REAL sf0.001 documents corpus arriving as one epoch, (a) the
