@@ -379,17 +379,37 @@ def _prev_bench() -> dict:
 
 def _current_round() -> int:
     """The round this run's evidence belongs to: 1 + the newest round
-    number among the committed driver artifacts (BENCH_r*/CORRECTNESS_r*
+    number among the COMMITTED driver artifacts (BENCH_r*/CORRECTNESS_r*
     are written by the driver at the END of their round, so during
-    round N the newest on disk is N-1). Used to name the full-line
-    BENCH_LOCAL_r{N}.json this process writes alongside stdout."""
+    round N the newest tracked is N-1). Used to name the full-line
+    BENCH_LOCAL_r{N}.json this process writes alongside stdout.
+
+    Tracked files via ``git ls-files`` first (round-12 ADVICE: a stale
+    or foreign BENCH_r99.json lying UNTRACKED in the checkout must not
+    silently rename the committed evidence artifact); the filesystem
+    glob is only the fallback for a non-git copy of the tree."""
+    import subprocess
+
     here = os.path.dirname(os.path.abspath(__file__))
+    names: list[str] = []
+    try:
+        names = subprocess.run(
+            ["git", "ls-files", "BENCH_r*.json", "CORRECTNESS_r*.json"],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    if not names:
+        for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+            names.extend(
+                os.path.basename(p)
+                for p in glob.glob(os.path.join(here, pat))
+            )
     newest = 0
-    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
-        for p in glob.glob(os.path.join(here, pat)):
-            m = re.search(r"_r(\d+)\.json$", p)
-            if m:
-                newest = max(newest, int(m.group(1)))
+    for p in names:
+        m = re.search(r"_r(\d+)\.json$", p)
+        if m:
+            newest = max(newest, int(m.group(1)))
     return newest + 1
 
 

@@ -6,6 +6,8 @@ from insect_observation_data_pipeline_spark.plans.inspect import (
     pushed_filters,
     simple_plan,
     read_schema_columns,
+    shuffle_write_stages,
+    shuffle_write_totals,
     unpartitioned_windows,
 )
 
@@ -17,5 +19,7 @@ __all__ = [
     "pushed_filters",
     "simple_plan",
     "read_schema_columns",
+    "shuffle_write_stages",
+    "shuffle_write_totals",
     "unpartitioned_windows",
 ]

@@ -167,3 +167,63 @@ def plan_flags(df: DataFrame) -> dict[str, bool]:
         "take_ordered": "TakeOrderedAndProject" in plan,
         "python_udf": "BatchEvalPython" in plan or "ArrowEvalPython" in plan,
     }
+
+
+def _stage_seq(spark):
+    """All stages the app status store knows about, as a py4j Seq of
+    v1.StageData (py4j needs the scala default args passed explicitly;
+    ``stageList$default$4`` is the unresolved-quantiles array)."""
+    store = spark._jsc.sc().statusStore()
+    jvm = spark._jvm
+    d4 = getattr(store, "stageList$default$4")()
+    return store.stageList(
+        jvm.java.util.ArrayList(), False, False, d4, jvm.java.util.ArrayList()
+    )
+
+
+def shuffle_write_stages(df: DataFrame) -> list[dict]:
+    """Execute the DataFrame (collect) and return the shuffle-WRITE
+    metrics of exactly the stages that ran for it: one dict per new
+    non-skipped stage with ``bytes``/``records``/``name``. This is the
+    measured form of the plan-shape claims — "this agg's shuffle is
+    bounded by groups x 256 registers" (w2b) becomes an assertable
+    number instead of an explain-text argument (round-11 verdict #2).
+
+    Implementation: the driver's AppStatusStore accumulates every
+    stage's executor-aggregated metrics; snapshot the known stage ids,
+    run, drain the listener bus (the store is fed asynchronously),
+    and report only stages that appeared. Driver-side introspection —
+    scale-safe (metrics are O(stages), pre-aggregated by the engine),
+    but a test/evidence aid, never a runtime dependency."""
+    spark = df.sparkSession
+    before = set()
+    seq = _stage_seq(spark)
+    for i in range(seq.length()):
+        before.add(seq.apply(i).stageId())
+    df.collect()
+    spark._jsc.sc().listenerBus().waitUntilEmpty()
+    out: list[dict] = []
+    seq = _stage_seq(spark)
+    for i in range(seq.length()):
+        s = seq.apply(i)
+        if s.stageId() in before or s.status().toString() == "SKIPPED":
+            continue
+        out.append(
+            {
+                "stage_id": s.stageId(),
+                "bytes": s.shuffleWriteBytes(),
+                "records": s.shuffleWriteRecords(),
+                "name": str(s.name()),
+            }
+        )
+    return sorted(out, key=lambda d: d["stage_id"])
+
+
+def shuffle_write_totals(df: DataFrame) -> tuple[int, int]:
+    """(total shuffle bytes written, total records) for one execution
+    of ``df`` — the sum over :func:`shuffle_write_stages`."""
+    stages = shuffle_write_stages(df)
+    return (
+        sum(s["bytes"] for s in stages),
+        sum(s["records"] for s in stages),
+    )

@@ -785,6 +785,19 @@ def _df_index_scrub_sink(
     whose schema inference would fail identically on every retry; a
     registered-table scan over the emptied dir is safe (schema comes
     from the catalog) and _epoch_begin refreshed its listing."""
+    if index_min_df > min_df:
+        # incoherent: a key can be flagged and scrubbed THIS epoch
+        # (cum_df >= min_df) yet never persisted (cum_df <
+        # index_min_df), so later single occurrences of a key the
+        # corpus has already seen min_df times escape scrubbing —
+        # that's not a bounded index, it's a leaky one (round-12
+        # ADVICE). index_min_df <= min_df keeps the guarantee exact:
+        # every key that ever flags is in the index from then on.
+        raise ValueError(
+            f"index_min_df={index_min_df} > min_df={min_df}: a flagged "
+            "key would not persist to the index and later occurrences "
+            "would escape scrubbing; use index_min_df <= min_df"
+        )
     index_path = f"{path}{index_suffix}"
     suffix = hashlib.md5(path.encode()).hexdigest()[:10]
     index_table = f"{table_prefix}_{suffix}"
@@ -1013,6 +1026,22 @@ def segment_scrub_sink(
     )
 
 
+def _footer_stats_usable(st) -> bool:
+    """May the legacy-key audit trust this row group's footer stats to
+    PASS the file? Requires min/max AND a PRESENT null_count: an absent
+    null_count statistic (has_null_count False / null_count None) is
+    not the same as zero nulls — a file with NULL keys but clean 32-hex
+    min/max and no null_count stat must fall through to the
+    read-the-column confirmation, mirroring the width handling
+    (round-12 ADVICE)."""
+    return (
+        st is not None
+        and st.has_min_max
+        and st.has_null_count
+        and st.null_count is not None
+    )
+
+
 def _audit_seg_hash_width(spark, index_path: str) -> None:
     """One legacy-key audit per handler lifetime (the index key changed
     from a 16-hex md5 PREFIX to the full 32-hex digest; a prefix cannot
@@ -1065,7 +1094,7 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
         stats_ok = True
         for rg in range(pf.metadata.num_row_groups):
             st = pf.metadata.row_group(rg).column(col_idx).statistics
-            if st is None or not st.has_min_max:
+            if not _footer_stats_usable(st):
                 stats_ok = False
                 break
             if st.null_count:

@@ -133,10 +133,26 @@ def test_green_summary_fresh_and_fold_equal():
         f"CORRECTNESS_r{newest:02d}.json exists — rerun tools/green_summary.py"
     )
     full: dict[str, int] = {}
+    corrupt: list[str] = []
     for f in sorted(root.glob("CORRECTNESS_r*.json")):
-        _fold_green(
-            full, int(f.stem.rsplit("r", 1)[-1]), json.loads(f.read_text())
-        )
+        # same try/skip the import path uses (round-12 ADVICE): a
+        # corrupt committed artifact must fail THIS assertion with an
+        # actionable message, not ERROR in json.loads — and must not
+        # be conflated with a stale summary by the equality below
+        # (the import path keeps its greens via the summary; a raw
+        # fold that skipped it silently would legitimately differ)
+        try:
+            rows = json.loads(f.read_text())
+        except (OSError, ValueError, UnicodeDecodeError):
+            corrupt.append(f.name)
+            continue
+        if not _fold_green(full, int(f.stem.rsplit("r", 1)[-1]), rows):
+            corrupt.append(f.name)
+    assert not corrupt, (
+        f"committed CORRECTNESS artifacts {corrupt} are corrupt or "
+        "wrong-shaped: restore them from git or remove them, then "
+        "rerun tools/green_summary.py"
+    )
     assert _last_green_round() == full
 
 
@@ -285,7 +301,10 @@ def test_bench_current_round_and_local_artifact_name():
     newest = max(
         int(re.search(r"_r(\d+)\.json$", p).group(1)) for p in tracked
     )
-    assert bench._current_round() >= newest + 1
+    # EQUALITY, not >= (round-12 ADVICE): a stale/foreign untracked
+    # BENCH_r99.json in the checkout must not skew the artifact name —
+    # _current_round derives from git ls-files exactly like this test
+    assert bench._current_round() == newest + 1
 
 
 def test_entry_runs(spark):

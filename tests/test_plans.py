@@ -269,3 +269,64 @@ def test_weighted_sample_topk_is_take_ordered(spark):
     )
     out = weighted_sample(df, weight_col="w", key_col="doc_id", k=10, seed="s")
     assert "TakeOrderedAndProject" in simple_plan(out)
+
+
+def test_w2b_register_shuffle_bounded_vs_exact_distinct(spark):
+    """MEASURED pin for w2b's scale claim (round-11 verdict #2): the
+    register form's aggregation shuffle is bounded by tasks x groups x
+    256 registers REGARDLESS of distinct-value cardinality, while the
+    exact COUNT(DISTINCT) form's first shuffle carries one record per
+    distinct combination — i.e. grows linearly with the data. Asserted
+    from the engine's own shuffle-write metrics at two input scales
+    (10x apart) where the cap actually binds — TPC-H at sf<=0.1 never
+    reaches 256 distinct suppliers per customer-month, which is why
+    SCALING could only note the claim; synthetic high-cardinality
+    groups make it measurable."""
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.functions.approx import (
+        hll_registers,
+        hll_state,
+    )
+    from insect_observation_data_pipeline_spark.plans import shuffle_write_totals
+
+    TASKS, GROUPS = 8, 4
+
+    def frame(n):
+        # n globally-distinct string values spread over GROUPS groups,
+        # TASKS fixed input partitions (range slices — no repartition
+        # shuffle polluting the measurement)
+        return spark.range(0, n, 1, TASKS).select(
+            (F.col("id") % GROUPS).alias("g"),
+            F.col("id").cast("string").alias("v"),
+        )
+
+    def exact(n):
+        return frame(n).groupBy("g").agg(F.countDistinct("v").alias("d"))
+
+    def register(n):
+        return hll_state(hll_registers(frame(n), "v", ["g"]), ["g"])
+
+    # big enough that the 256-register cap BINDS at both scales (at
+    # ~2.5k distinct per group-task essentially every bucket is hit);
+    # below saturation the register shuffle still grows with data
+    # (5118 -> 8196 records from 8k -> 80k rows, measured) — the claim
+    # is the CAP, not sub-saturation behavior
+    small, large = 80_000, 800_000
+    _, exact_small = shuffle_write_totals(exact(small))
+    _, exact_large = shuffle_write_totals(exact(large))
+    _, reg_small = shuffle_write_totals(register(small))
+    _, reg_large = shuffle_write_totals(register(large))
+
+    # exact distinct: the dedup shuffle carries every distinct (g, v)
+    # combination — 10x the data is ~10x the shuffle records
+    assert exact_large >= 5 * exact_small, (exact_small, exact_large)
+    # register form: partial agg caps each task at GROUPS x 256 rows,
+    # so 10x the data moves the shuffle record count not at all
+    # (the bound: register shuffle + state shuffle + final rows)
+    cap = TASKS * GROUPS * 256 + GROUPS * 256 + GROUPS
+    assert reg_large <= cap, (reg_large, cap)
+    assert reg_large <= 1.2 * reg_small, (reg_small, reg_large)
+    # and the direction the switch rule promises: at the larger scale
+    # the register shuffle is already far below the exact one
+    assert reg_large < exact_large / 2, (reg_large, exact_large)

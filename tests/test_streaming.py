@@ -1602,6 +1602,7 @@ def test_segment_index_audit_distrusts_truncated_stats(
 
     class _St:  # a truncated rendering of healthy 32-char keys
         has_min_max = True
+        has_null_count = True
         null_count = 0
         min = "a" * 16
         max = "b" * 16
@@ -2316,3 +2317,106 @@ def test_stateful_folds_drop_null_timestamps(spark):
 
     fun = {r["user_id"]: r for r in funnel_stateful(events).collect()}
     assert fun[7]["funnel_depth"] == 2   # view -> click; null purchase ignored
+
+
+def test_bounded_index_rejects_min_df_incoherence(spark, tmp_path):
+    """index_min_df > min_df is incoherent, not just aggressive: a key
+    can be flagged and scrubbed THIS epoch (cum_df >= min_df) yet never
+    persisted (cum_df < index_min_df), so later single occurrences of a
+    key the corpus has already seen min_df times escape scrubbing.
+    Rejected loudly at sink construction (round-12 ADVICE)."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        segment_scrub_sink,
+        span_scrub_sink,
+    )
+
+    with pytest.raises(ValueError, match="index_min_df"):
+        segment_scrub_sink(str(tmp_path / "seg"), min_df=2, index_min_df=3)
+    with pytest.raises(ValueError, match="index_min_df"):
+        span_scrub_sink(str(tmp_path / "span"), min_df=2, index_min_df=3)
+    # the boundary is fine: index_min_df == min_df persists exactly the
+    # keys that can ever flag
+    segment_scrub_sink(str(tmp_path / "ok"), min_df=2, index_min_df=2)
+
+
+def test_footer_stats_absent_null_count_not_trusted():
+    """The audit's fast path may only trust footer stats that carry a
+    PRESENT null_count: pyarrow returns None when has_null_count is
+    false, and `if st.null_count:` treated that like zero — a file with
+    NULL keys but clean 32-hex min/max and no null_count stat sailed
+    through without the confirming column read (round-12 ADVICE)."""
+    from insect_observation_data_pipeline_spark.streaming.sink import (
+        _footer_stats_usable,
+    )
+
+    class St:
+        def __init__(self, has_min_max, has_null_count, null_count):
+            self.has_min_max = has_min_max
+            self.has_null_count = has_null_count
+            self.null_count = null_count
+
+    assert _footer_stats_usable(St(True, True, 0))
+    assert _footer_stats_usable(St(True, True, 3))
+    assert not _footer_stats_usable(None)
+    assert not _footer_stats_usable(St(False, True, 0))
+    # the round-12 case: min/max present, null_count statistic absent
+    assert not _footer_stats_usable(St(True, False, None))
+    assert not _footer_stats_usable(St(True, True, None))
+
+
+def test_large_corpus_posture_bounded_sink_plus_batch_sweep(spark, tmp_path):
+    """The documented large-corpus posture — bounded
+    ``span_scrub_sink(index_min_df=2)`` at ingest plus a PERIODIC batch
+    ``scrub_repeated_spans`` sweep over the published corpus — tested
+    as the composition it is documented as (round-11 verdict #3), not
+    just its two halves: epochs include the cross-epoch singleton pair
+    the bounded index provably gives up on (pinned by
+    test_span_scrub_sink_bounded_index_cross_epoch_semantics); ONE
+    batch sweep must catch exactly those stragglers, landing the final
+    corpus equal to the all-at-once batch scrub of every epoch's
+    input."""
+    from insect_observation_data_pipeline_spark.llm.dedup import scrub_repeated_spans
+    from insect_observation_data_pipeline_spark.streaming.sink import span_scrub_sink
+
+    within = " ".join(f"w{i}" for i in range(12))
+    cross = " ".join(f"c{i}" for i in range(12))
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")  # noqa: E731
+    epochs = [
+        # `within` repeated inside epoch 0 (the bounded index learns
+        # it); `cross` a singleton here...
+        [(1, within + " t0 t1"), (2, "x0 x1 " + within), (3, cross + " u0 u1")],
+        # ...and a singleton again in epoch 1: the documented giveaway
+        [(4, "lead0 lead1 " + within + " t2"), (5, "lead2 lead3 " + cross + " u2")],
+        [(6, within + " t3 t4")],
+    ]
+    path = str(tmp_path / "posture")
+    handle = span_scrub_sink(
+        path, anchor_words=4, min_span_words=10, index_min_df=2
+    )
+    for i, rows in enumerate(epochs):
+        handle(mk(rows), i)
+    published = spark.read.parquet(path).select("doc_id", "text")
+    streamed = {r["doc_id"]: r["text"] for r in published.collect()}
+    # the stragglers the bound gave up: both cross-epoch occurrences
+    # survived ingest (each unique within its own epoch)
+    assert cross in streamed[3] and cross in streamed[5]
+
+    # the sweep: one batch pass over the published corpus
+    swept = {
+        r["doc_id"]: r["kept_text"]
+        for r in scrub_repeated_spans(
+            published, anchor_words=4, min_span_words=10
+        ).collect()
+    }
+    # equals the all-at-once batch scrub of every epoch's raw input
+    want = {
+        r["doc_id"]: r["kept_text"]
+        for r in scrub_repeated_spans(
+            mk([row for rows in epochs for row in rows]),
+            anchor_words=4, min_span_words=10,
+        ).collect()
+    }
+    assert swept == want
+    assert cross not in swept[3] and cross not in swept[5]

@@ -76,22 +76,33 @@ def package_ast_fingerprint(root: str = REPO_ROOT) -> str:
     ``insect_observation_data_pipeline_spark/`` PLUS the files that define what the
     artifact attests — ``__spark_entry__.py`` (the registry adapter)
     and ``tools/compare.py`` itself (table_hash, oracle session, the
-    DuckDB comparison) — in sorted path order. Comments never reach
-    the AST and docstrings are removed before dumping, so the
-    fingerprint changes iff something that can affect runtime behavior
-    changed — the freshness contract test uses it to let provably
-    cosmetic (comment/docstring-only) commits pass without a full
-    artifact regeneration, while any code change (round-11 ADVICE:
-    including to the comparison harness, which the package-only
-    fingerprint let drift silently) turns the suite red until the
-    artifacts are regenerated."""
+    DuckDB comparison) — in sorted path order. Round 12 (verdict #1)
+    extends it to the REST of the evidence harness: ``bench.py``
+    (defines what a BENCH number means), ``tools/audit_plans.py``
+    (defines what "0 plan violations" attests), ``tools/scaling.py``
+    (defines the scaling curves) and ``tools/green_summary.py`` (the
+    fold the freshness test compares against) — previously a commit
+    changing any of them could not turn the freshness gate red, the
+    same drift-hole shape the driver flagged for compare.py. Comments
+    never reach the AST and docstrings are removed before dumping, so
+    the fingerprint changes iff something that can affect runtime
+    behavior changed — the freshness contract test uses it to let
+    provably cosmetic (comment/docstring-only) commits pass without a
+    full artifact regeneration, while any code change to the package
+    OR the harness turns the suite red until the artifacts are
+    regenerated."""
     import ast
     import os
 
     pkg = os.path.join(root, "insect_observation_data_pipeline_spark")
     paths = [
         os.path.join(root, "__spark_entry__.py"),
+        os.path.join(root, "bench.py"),
         os.path.join(root, "tools", "compare.py"),
+        os.path.join(root, "tools", "audit_plans.py"),
+        os.path.join(root, "tools", "scaling.py"),
+        os.path.join(root, "tools", "green_summary.py"),
+        os.path.join(root, "tools", "shuffle_evidence.py"),
     ]
     for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
         dirnames.sort()
