@@ -599,8 +599,20 @@ def main() -> None:
     )
     if out_path:
         try:
+            # the file is the printed line's dict PLUS the __meta__
+            # provenance stamp (round-12: every committed evidence
+            # artifact self-attests the tree it measured; the stdout
+            # line stays unchanged so the epoch scalars keep their
+            # end-of-tail position and the driver capture is
+            # byte-stable)
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from tools.compare import artifact_meta
+
+            data = json.loads(line)
+            data["__meta__"] = artifact_meta()
             with open(out_path, "w") as f:
-                f.write(line + "\n")
+                json.dump(data, f)
+                f.write("\n")
         except OSError as e:  # the printed line is still the artifact
             print(f"WARN: could not write {out_path}: {e}", file=sys.stderr)
 

@@ -533,6 +533,55 @@ def test_artifact_freshness():
         )
 
 
+def test_evidence_artifacts_self_attest():
+    """Round-12 closure of the fingerprint drift-hole one level up:
+    every per-round evidence artifact — not just CORRECTNESS — must
+    carry the shared ``__meta__`` stamp and its fingerprint must equal
+    the current tree's, so PLANS' "0 violations", SCALING's curves and
+    BENCH_LOCAL's timings are provably evidence FOR the committed
+    code. Enforced from round 12 (the r12 artifacts were regenerated
+    with the stamp in the same change); earlier artifacts predate it. SHUFFLE_EVIDENCE is
+    stamped but NOT gated: it is a one-time illustrative measurement
+    whose invariant is re-pinned fresh on every suite run by
+    test_w2b_register_shuffle_bounded_vs_exact_distinct."""
+    import json
+    import os
+    import re
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, here)
+    from tools.compare import package_ast_fingerprint
+
+    current = package_ast_fingerprint(here)
+    for kind in ("PLANS", "SCALING", "BENCH_LOCAL"):
+        tracked = subprocess.run(
+            ["git", "ls-files", f"{kind}_r*.json"],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        assert tracked, f"no committed {kind} artifact"
+        latest = max(
+            tracked,
+            key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1)),
+        )
+        rnd = int(re.search(r"_r(\d+)\.json$", latest).group(1))
+        if rnd < 12:
+            continue
+        meta = json.load(open(os.path.join(here, latest))).get("__meta__")
+        assert meta and meta.get("package_ast_fingerprint"), (
+            f"{latest} lacks the __meta__ provenance stamp — regenerate "
+            "with its tool (tools/audit_plans.py / tools/scaling.py / "
+            "bench.py)"
+        )
+        assert meta["package_ast_fingerprint"] == current, (
+            f"{latest} was generated from a tree whose behavior "
+            f"fingerprint differs from the current one "
+            f"({meta['package_ast_fingerprint'][:16]} != {current[:16]}) "
+            f"— regenerate {kind}_r*.json"
+        )
+
+
 def test_exempt_twins_still_rotate():
     """Keeps the exempt set honest mechanically (round-8 verdict #6):
     every ROTATION_EXEMPT rationale must name at least one REGISTERED,

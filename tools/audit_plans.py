@@ -71,9 +71,15 @@ def main() -> None:
         for n, r in results.items()
         if r["python_udf"] or r["cartesian_product"] or r["unpartitioned_windows"]
     }
+    from tools.compare import artifact_meta
+
+    results["__meta__"] = artifact_meta({"sf_dir": sf_dir})
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1, sort_keys=True)
-    print(f"{len(results)} queries audited, {len(bad)} violations -> {out_path}")
+    print(
+        f"{len(results) - 1} queries audited, {len(bad)} violations "
+        f"-> {out_path}"
+    )
     if bad:
         print("VIOLATIONS:", sorted(bad))
         sys.exit(1)

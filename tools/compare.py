@@ -58,6 +58,38 @@ def norm_cell(v) -> str:
     return str(v)
 
 
+def artifact_meta(extra: dict | None = None) -> dict:
+    """The ``__meta__`` provenance stamp every committed evidence
+    artifact carries (round-12: CORRECTNESS had it since round 10;
+    PLANS/SCALING/BENCH_LOCAL/SHUFFLE_EVIDENCE now share the SAME
+    stamp from the SAME code, so the freshness contract test can hold
+    any of them to the current tree): the HEAD the artifact was
+    generated at, whether the package source had uncommitted changes
+    (the normal flow: generate on a dirty tree, then commit artifact +
+    source together), and the behavior fingerprint of the tree that
+    produced it. Key starts with "__" so row-iterating consumers skip
+    it."""
+    import subprocess
+
+    def _git(*args: str) -> str:
+        return subprocess.run(
+            ["git", *args], cwd=REPO_ROOT,
+            capture_output=True, text=True,
+        ).stdout.strip()
+
+    meta = {
+        "generated_at_commit": _git("rev-parse", "HEAD"),
+        "package_dirty": bool(
+            _git("status", "--porcelain",
+                 "insect_observation_data_pipeline_spark/")
+        ),
+        "package_ast_fingerprint": package_ast_fingerprint(),
+    }
+    if extra:
+        meta.update(extra)
+    return meta
+
+
 def table_hash(rows: list[tuple], colnames: list[str]) -> str:
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
     lines = sorted(
@@ -267,31 +299,9 @@ def main() -> int:
             n_pass += 1
     print(f"\n{n_pass} passed, {n_fail} failed")
     if json_out:
-        # provenance stamp (round-10): the HEAD this artifact was
-        # generated at, plus whether the package source had uncommitted
-        # changes (the normal flow: generate on a dirty tree, then
-        # commit artifact + source together — the freshness contract
-        # test asserts no LATER commit touches the package without a
-        # regenerated artifact). Key starts with "__" so row-iterating
-        # consumers skip it.
-        import subprocess
-
-        def _git(*args: str) -> str:
-            return subprocess.run(
-                ["git", *args], cwd=REPO_ROOT,
-                capture_output=True, text=True,
-            ).stdout.strip()
-
-        results["__meta__"] = {
-            "generated_at_commit": _git("rev-parse", "HEAD"),
-            "package_dirty": bool(
-                _git("status", "--porcelain",
-                     "insect_observation_data_pipeline_spark/")
-            ),
-            "package_ast_fingerprint": package_ast_fingerprint(),
-            "sf_dir": sf_dir,
-            "vanilla": vanilla,
-        }
+        results["__meta__"] = artifact_meta(
+            {"sf_dir": sf_dir, "vanilla": vanilla}
+        )
         with open(json_out, "w") as f:
             json.dump(results, f, indent=2)
         print(f"wrote {json_out} ({len(results) - 1} queries)")

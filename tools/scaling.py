@@ -266,6 +266,8 @@ def main() -> None:
             indent=1,
         )
     )
+    from tools.compare import artifact_meta
+
     with open(out_path, "w") as f:
         json.dump(
             {
@@ -277,6 +279,7 @@ def main() -> None:
                 "errors": errors,
                 "notes": QUERY_NOTES,
                 "queries": queries,
+                "__meta__": artifact_meta(),
             },
             f,
             indent=1,

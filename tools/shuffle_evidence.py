@@ -89,8 +89,10 @@ def main() -> int:
         out_path = os.path.join(
             here, f"SHUFFLE_EVIDENCE_r{bench._current_round():02d}.json"
         )
+    from tools.compare import artifact_meta
+
     spark = get_spark()
-    result: dict = {"queries": {}, "context": {}}
+    result: dict = {"queries": {}, "context": {}, "__meta__": artifact_meta()}
     for sf_dir in SF_DIRS:
         sf = sf_dir.rsplit("sf", 1)[-1]
         result["context"][sf] = _context_counts(spark, sf_dir)
