@@ -335,6 +335,27 @@ def _parse_bench_line(line: str) -> dict:
     return {}
 
 
+def _tracked_evidence_names(patterns: tuple[str, ...]) -> list[str] | None:
+    """Names of GIT-TRACKED evidence artifacts matching ``patterns``
+    (relative to the repo root), or ``None`` when git itself is
+    unavailable/failed (a non-git copy of the tree). An empty LIST is a
+    trusted answer — git ran and nothing is committed yet — and must
+    NOT trigger a filesystem fallback: an untracked stray
+    BENCH_r99.json in a fresh evidence repo would otherwise skew both
+    the artifact name and the deltas baseline (round-12 review; the
+    same threat _current_round's round-12 ADVICE fix named)."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        return subprocess.run(
+            ["git", "ls-files", *patterns],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.split()
+    except (OSError, subprocess.CalledProcessError):
+        return None
+
+
 def _prev_bench() -> dict:
     """Parsed JSON body of the latest committed BENCH_r*.json.
 
@@ -346,17 +367,29 @@ def _prev_bench() -> dict:
     (round-6 verdict: without this, every deltas_vs_prev since r4
     silently compared to round 3 while claiming "last round"). The
     returned dict carries ``_src`` = artifact filename so the emitted
-    ``prev_src`` makes the comparison base auditable."""
+    ``prev_src`` makes the comparison base auditable.
+
+    Candidates come from ``git ls-files`` like _current_round's
+    (round-12 review: the ADVICE fix landed only on the artifact NAME;
+    an untracked foreign BENCH_r99.json could still silently become
+    the deltas_vs_prev baseline while ``prev_src`` claimed it was the
+    last round). Filesystem glob only for a non-git copy."""
     here = os.path.dirname(os.path.abspath(__file__))
+    names = _tracked_evidence_names(("BENCH_r*.json",))
+    if names is None:
+        names = [
+            os.path.basename(p)
+            for p in glob.glob(os.path.join(here, "BENCH_r*.json"))
+        ]
     # sort on the PARSED round number, not the filename: lexicographic
-    # order breaks at r100 (BENCH_r100 < BENCH_r99). Skip glob hits
-    # whose suffix is not numeric (e.g. a stray BENCH_rtest.json)
-    # instead of crashing on .group(None).
+    # order breaks at r100 (BENCH_r100 < BENCH_r99). Skip hits whose
+    # suffix is not numeric (e.g. a stray BENCH_rtest.json) instead of
+    # crashing on .group(None).
     numbered = []
-    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", p)
+    for name in names:
+        m = re.search(r"BENCH_r(\d+)\.json$", name)
         if m:
-            numbered.append((int(m.group(1)), p))
+            numbered.append((int(m.group(1)), os.path.join(here, name)))
     files = [p for _, p in sorted(numbered)]
     for path in reversed(files):
         try:
@@ -387,19 +420,15 @@ def _current_round() -> int:
     Tracked files via ``git ls-files`` first (round-12 ADVICE: a stale
     or foreign BENCH_r99.json lying UNTRACKED in the checkout must not
     silently rename the committed evidence artifact); the filesystem
-    glob is only the fallback for a non-git copy of the tree."""
-    import subprocess
-
+    glob is ONLY for a non-git copy of the tree (git failed), never
+    for "git ran and found nothing" — in a fresh repo with zero
+    committed artifacts the trusted answer is round 1, and falling
+    through to the glob there would reintroduce the exact skew the
+    ADVICE fix closed (round-12 review)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    names: list[str] = []
-    try:
-        names = subprocess.run(
-            ["git", "ls-files", "BENCH_r*.json", "CORRECTNESS_r*.json"],
-            cwd=here, capture_output=True, text=True, check=True,
-        ).stdout.split()
-    except (OSError, subprocess.CalledProcessError):
-        pass
-    if not names:
+    names = _tracked_evidence_names(("BENCH_r*.json", "CORRECTNESS_r*.json"))
+    if names is None:
+        names = []
         for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
             names.extend(
                 os.path.basename(p)
@@ -613,7 +642,12 @@ def main() -> None:
             with open(out_path, "w") as f:
                 json.dump(data, f)
                 f.write("\n")
-        except OSError as e:  # the printed line is still the artifact
+        except Exception as e:  # noqa: BLE001 — the printed line is
+            # still the artifact: the stamp import (tools.compare pulls
+            # duckdb + the query registry) or the JSON round-trip can
+            # fail in ways OSError never covers (round-12 review: an
+            # ImportError here exited nonzero AFTER a fully successful
+            # benchmark, losing the artifact the except existed to save)
             print(f"WARN: could not write {out_path}: {e}", file=sys.stderr)
 
 

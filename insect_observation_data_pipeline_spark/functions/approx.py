@@ -42,17 +42,6 @@ def approx_quantiles(
     )
 
 
-def cm_bucket(term: Column, row: int, width: int) -> Column:
-    """Count-min hash: row ``row``'s bucket for ``term`` in a width-
-    ``width`` sketch. md5-prefix arithmetic (no engine-private hash), so
-    any engine — and the DuckDB oracle — lands every term in the same
-    bucket: bucket = int(md5(row ':' term)[:8], 16) % width."""
-    h = F.md5(F.concat(F.lit(f"{row}:"), term))
-    return (
-        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % width
-    ).alias(f"bucket_{row}")
-
-
 def cm_weights(term_counts, term_col: str, cnt_col: str, *,
                depth: int = 3, width: int = 1024):
     """Count-min sketch TABLE from exact per-term counts: one row per
@@ -83,7 +72,13 @@ def cm_weights(term_counts, term_col: str, cnt_col: str, *,
 
 
 def _cm_bucket_expr(term_col: str, row_col: str, width: int) -> Column:
-    """cm_bucket with the row index as a COLUMN (post-explode form)."""
+    """Count-min hash, row index as a COLUMN (post-explode form): the
+    single spelling of the bucket formula (a scalar-row twin named
+    cm_bucket was deleted in round 12 — it had no callers and two
+    copies of the formula could drift apart). md5-prefix arithmetic
+    (no engine-private hash), so any engine — and the DuckDB oracle —
+    lands every term in the same bucket:
+    bucket = int(md5(row ':' term)[:8], 16) % width."""
     h = F.md5(
         F.concat(F.col(row_col).cast("string"), F.lit(":"), F.col(term_col))
     )
@@ -192,7 +187,7 @@ _HLL_REST_MASK = (1 << 52) - 1  # low 52 bits of the 60-bit md5 prefix
 def hll_bucket_rho(term: Column, *, p: int = 8) -> tuple[Column, Column]:
     """Deterministic HyperLogLog (bucket, rho) for one value.
 
-    Engine-portable analogue of :func:`cm_bucket`: the hash is the first
+    Engine-portable analogue of :func:`_cm_bucket_expr`: the hash is the first
     15 hex chars of md5 (60 bits, fits a signed 64-bit int on any
     engine), the top ``p`` bits pick the register and rho is the number
     of leading zeros in the remaining ``52 - (p - 8)`` bits plus one.
@@ -229,9 +224,19 @@ def hll_registers(
     input needs no pre-distinct shuffle. Estimates read back via the
     standard harmonic mean; see the x40 query for the exact-arithmetic
     readback the DuckDB oracle replays bit-identically.
+
+    NULL values are filtered (round-12 review): the sketch estimates
+    ``COUNT(DISTINCT value)``, which ignores NULLs in every SQL
+    engine — without the filter, md5(NULL) = NULL creates a phantom
+    (bucket NULL, max_rho NULL) register row that hll_state's
+    count(1) counts into regs_used while its NULL term vanishes from
+    sum(), biasing the estimate (the same NULL class
+    :func:`binned_histogram` filters against).
     """
     bucket, rho = hll_bucket_rho(F.col(value_col), p=p)
-    keyed = rows.select(*group_cols, bucket.alias("bucket"), rho.alias("rho"))
+    keyed = rows.filter(F.col(value_col).isNotNull()).select(
+        *group_cols, bucket.alias("bucket"), rho.alias("rho")
+    )
     return keyed.groupBy(*group_cols, "bucket").agg(
         F.max("rho").alias("max_rho")
     )

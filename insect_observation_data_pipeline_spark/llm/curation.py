@@ -162,7 +162,24 @@ def pack_sequences(
             (F.sum("__bucket_total").over(w_bucket) - F.col("__bucket_total"))
             .alias("__bucket_offset"),
         )
-        df = df.join(F.broadcast(offsets), [*part, "__bucket"])
+        # NULL-SAFE join keys (round-12 review): a NULL stratum or a
+        # NULL/non-numeric order_col (floor(NULL/width) = NULL bucket)
+        # flows through the naive window path (NULLS FIRST) but a plain
+        # equi-join would silently drop it here, breaking the
+        # "identical output to the naive form" guarantee with data
+        # loss. The offsets frame is grouped from the same df, so the
+        # NULL group exists on both sides; <=> matches it. Explicit
+        # aliases: both sides share a lineage, so unqualified columns
+        # are ambiguous to the analyzer.
+        left, offs = df.alias("__pack_l"), offsets.alias("__pack_r")
+        cond = F.lit(True)
+        for c in [*part, "__bucket"]:
+            cond = cond & F.col(f"__pack_l.{c}").eqNullSafe(
+                F.col(f"__pack_r.{c}")
+            )
+        df = left.join(F.broadcast(offs), cond).select(
+            "__pack_l.*", F.col("__pack_r.__bucket_offset")
+        )
         offset = (
             F.col("__bucket_offset") + F.sum(tok).over(w_local) - tok
         ).cast("bigint")
@@ -233,10 +250,17 @@ def token_prob_score(
 
     mean p = (sum over the doc's tokens of corpus_count(tok)) /
     (n_doc_tokens * corpus_total). Numerator and both denominator
-    factors are exact BIGINT sums — the whole score is ONE float
+    factors are exact INTEGER sums — the whole score is ONE float
     division, so it is bit-identical across engines and replays (the
     same no-libm trade as x17's ratio-idf: ln() would be prettier and
-    platform-dependent).
+    platform-dependent). The n*ctf products and the n_tokens *
+    corpus_total denominator are computed in DECIMAL(38,0), not
+    BIGINT (round-12 review): at the advertised 100 TB posture a
+    book-length doc times a ~2.5e13-token corpus total exceeds 2^63
+    and ANSI mode would kill the job (legacy mode: silent negative
+    scores). Decimal keeps the sums exact and order-independent —
+    casting each factor to double instead would trade the determinism
+    claim away.
 
     Shape: explode once; corpus term counts DERIVE from the per-doc tf
     aggregate (rows = distinct (doc, term)), so Catalyst reuses one
@@ -261,7 +285,10 @@ def token_prob_score(
         .groupBy(id_col)
         .agg(
             F.sum("n").alias("n_tokens"),
-            F.sum(F.col("n") * F.col("ctf")).alias("mass"),
+            F.sum(
+                F.col("n").cast("decimal(19,0)")
+                * F.col("ctf").cast("decimal(19,0)")
+            ).alias("mass"),
             F.first("corpus_total").alias("corpus_total"),
         )
         .select(
@@ -269,8 +296,11 @@ def token_prob_score(
             "n_tokens",
             stable_round(
                 F.lit(1_000_000.0)
-                * F.col("mass")
-                / (F.col("n_tokens") * F.col("corpus_total")).cast("double"),
+                * F.col("mass").cast("double")
+                / (
+                    F.col("n_tokens").cast("decimal(19,0)")
+                    * F.col("corpus_total").cast("decimal(19,0)")
+                ).cast("double"),
                 round_digits,
             ).alias("mean_tok_ppm"),
         )
@@ -427,8 +457,21 @@ def temperature_mix(
             ).cast("int"),
         ).alias("rate_pct"),
     )
-    return df.join(F.broadcast(rates), strata_col).filter(
-        hash_bucket(F.col(key_col), buckets) < F.col("rate_pct")
+    # NULL-SAFE stratum join (round-12 review): counts/rates treat a
+    # NULL stratum as its own group, but a plain equi-join would then
+    # silently drop every NULL-stratum row regardless of its hash
+    # bucket — stratified_hash_sample keeps NULL strata (default_rate),
+    # so this sampler keeps them too, at their own sqrt-scaled rate.
+    left, r = df.alias("__mix_l"), rates.alias("__mix_r")
+    return (
+        left.join(
+            F.broadcast(r),
+            F.col(f"__mix_l.{strata_col}").eqNullSafe(
+                F.col(f"__mix_r.{strata_col}")
+            ),
+        )
+        .select("__mix_l.*", F.col("__mix_r.rate_pct"))
+        .filter(hash_bucket(F.col(key_col), buckets) < F.col("rate_pct"))
     )
 
 
@@ -483,12 +526,20 @@ def weighted_sample(
 
     Determinism: u_i comes from the first 13 hex chars of
     md5(seed:key) mapped to (0,1) — a pure function of (seed, key),
-    independent of partitioning, cluster size, or row order, and
-    reproducible bit-for-bit by any engine with md5 (the engine's
-    x35/hash_bucket discipline). Rows with weight <= 0 or NULL never
-    qualify. Ties in the float key are broken by the key column, so
-    the selected SET is stable even across engines whose sorts differ
-    on equal doubles.
+    independent of partitioning, cluster size, or row order (the
+    engine's x35/hash_bucket discipline), so REPLAYS on the same
+    engine always select the same set. Across ENGINES, u_i is
+    bit-identical but ln() is a libm call allowed to differ in the
+    last ulp (Java Math.log is semi-monotonic, not correctly
+    rounded), so the race value is rounded to 9 digits before ranking
+    — the same k-boundary discipline as bm25_topk — and remaining
+    grid-edge ulp flips are possible in principle but need the true
+    value within one ulp of a 1e-9 grid line (round-12 review:
+    previously this docstring overclaimed bit-for-bit cross-engine
+    selection on the RAW race). Rows with weight <= 0 or NULL never
+    qualify. Ties in the rounded race (including races below the
+    grid) are broken by the key column, so the selected SET is stable
+    under any sort-order difference on equal doubles.
 
     Scale shape: global top-k plans as TakeOrderedAndProject (partial
     per-partition heaps, no full sort, no shuffle of losers). With
@@ -500,7 +551,9 @@ def weighted_sample(
     # keeps u strictly inside (0, 1) so ln(u) is finite and != 0
     u = (F.conv(F.substring(F.md5(F.concat_ws(":", F.lit(seed), F.col(key_col).cast("string"))), 1, 13), 16, 10).cast("double") + F.lit(1.0)) / F.lit(float(2**52 + 2))
     w = F.col(weight_col).cast("double")
-    race = (-F.log(u)) / w
+    from insect_observation_data_pipeline_spark.functions.numeric import stable_round
+
+    race = stable_round((-F.log(u)) / w, 9)
     keyed = df.filter(w > 0).withColumn("__race", race)
     if strata_col is None:
         return (

@@ -1555,7 +1555,7 @@ def bloom_bits(
     shingle set too large to broadcast (billions of strings) compresses
     to a fixed <= m-row relation that ALWAYS broadcasts, so membership
     probes never shuffle the corpus side. md5-prefix arithmetic (the
-    cm_bucket idiom) keeps every engine — and the DuckDB oracle —
+    _cm_bucket_expr idiom) keeps every engine — and the DuckDB oracle —
     lighting identical bits.
     """
     salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")

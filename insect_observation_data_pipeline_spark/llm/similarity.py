@@ -176,6 +176,7 @@ def ivf_topk(
     k: int = 3,
     round_digits: int = 4,
     nprobe: int = 1,
+    centroid_digits: int = 6,
 ) -> DataFrame:
     """IVF ANN: route each query to its ``nprobe`` nearest cell
     centroids, then exact top-k within those cells only. nprobe is THE
@@ -183,8 +184,24 @@ def ivf_topk(
     n_cells, recall rises monotonically with it (each added cell can
     only add candidates). nprobe=1 is the cheapest/lowest-recall point;
     production pipelines tune it against a brute-force recall probe
-    (see tests/test_llm.py::test_ivf_nprobe_recall_monotone)."""
-    cents = F.broadcast(cell_centroids(candidates, cell_col=cell_col, vec_col=vec_col))
+    (see tests/test_llm.py::test_ivf_nprobe_recall_monotone).
+
+    Centroid components are snapped at ``centroid_digits`` before
+    routing (round-12 review): the element-wise mean folds in shuffle
+    arrival order, so raw centroid doubles are partition-dependent and
+    a c_sim within an ulp of a ``round_digits`` boundary could route a
+    query to a different cell across replays/engines — the exact
+    hazard :func:`centroid_distances` already rounds against. The
+    DuckDB x10/x26 oracles snap their centroids identically."""
+    cents = cell_centroids(candidates, cell_col=cell_col, vec_col=vec_col)
+    cents = F.broadcast(
+        cents.select(
+            "cell",
+            F.transform(
+                F.col("centroid"), lambda x: stable_round(x, centroid_digits)
+            ).alias("centroid"),
+        )
+    )
     q = _with_norm(queries, id_col, vec_col, "query_id", "q_vec", "q_norm")
     routed = (
         q.crossJoin(cents)
@@ -522,9 +539,16 @@ def kmeans_fit(
 
     Returns (cell int, centroid array<double>).
     """
+    from pyspark import StorageLevel
+
+    # v feeds 2*iters+1 consumers (seed draw, then per-round the
+    # assignment cross-join AND the mean pass); without persisting it
+    # the caller's full vector lineage re-executes each time — the
+    # x34b 6x-recompute lesson, same as pagerank's persist
+    # (round-12 review). Released before returning.
     v = vectors.select(
         F.col(id_col).alias("_id"), _as_double(F.col(vec_col)).alias("vec")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # the numbering window runs over <= k rows by construction (post
     # limit); the constant partition key keeps it honest under the
     # engine-wide no-unpartitioned-window audit — it IS one tiny task
@@ -570,6 +594,9 @@ def kmeans_fit(
             )
             .localCheckpoint(eager=True)
         )
+    # safe to release: every iteration's cents is an EAGER
+    # localCheckpoint, so the returned frame no longer references v
+    v.unpersist()
     return cents
 
 
@@ -697,15 +724,31 @@ def hyperplanes(planes: int = 4, dims: int = 64) -> list[list[float]]:
 
 
 def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """SimHash-style bucket id: one sign bit per hyperplane, concatenated."""
+    """SimHash-style bucket id: one sign bit per hyperplane, concatenated.
+
+    Fails loudly on a vector whose length differs from the hyperplane
+    dims (round-12 review): ``zip_with`` pads the shorter side with
+    NULLs, so a mismatched ``dims`` made every dot product NULL, every
+    sign bit '0', and silently collapsed ALL vectors into one bucket —
+    degenerating the bucket equi-join into a full cross join with no
+    error. The guard is one size() comparison per row, JVM-side."""
     v = _as_double(vec)
+    dims = len(planes[0])
     bits = [
         F.when(dot(v, F.array(*[F.lit(x) for x in h])) > 0, F.lit("1")).otherwise(
             F.lit("0")
         )
         for h in planes
     ]
-    return F.concat(*bits)
+    return F.when(F.size(v) == F.lit(dims), F.concat(*bits)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("lsh_bucket: embedding length "),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+                F.lit(f" != hyperplane dims {dims}"),
+            )
+        )
+    )
 
 
 def _flip_bit(bucket: Column, p: int, planes: int) -> Column:

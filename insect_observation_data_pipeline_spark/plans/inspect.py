@@ -203,10 +203,14 @@ def shuffle_write_stages(df: DataFrame) -> list[dict]:
     df.collect()
     spark._jsc.sc().listenerBus().waitUntilEmpty()
     out: list[dict] = []
+    skipped: list[int] = []
     seq = _stage_seq(spark)
     for i in range(seq.length()):
         s = seq.apply(i)
-        if s.stageId() in before or s.status().toString() == "SKIPPED":
+        if s.stageId() in before:
+            continue
+        if s.status().toString() == "SKIPPED":
+            skipped.append(s.stageId())
             continue
         out.append(
             {
@@ -215,6 +219,35 @@ def shuffle_write_stages(df: DataFrame) -> list[dict]:
                 "records": s.shuffleWriteRecords(),
                 "name": str(s.name()),
             }
+        )
+    # An evidence helper must fail loudly, never attest 0 bytes for a
+    # run that reused materialized shuffle output (round-12 review): a
+    # DataFrame whose action already ran re-reads its map outputs, the
+    # shuffle stages come back SKIPPED, and a bounded-shuffle assertion
+    # over the totals would pass on numbers that measure nothing.
+    # SKIPPED entries alone are NOT the signal — AQE reports skipped
+    # parent entries even on a completely fresh execution (each
+    # materialized query stage reappears as a skipped parent of the
+    # final job, with the real write counted in its own COMPLETE
+    # stage). The malign case is skipped entries with NO observed
+    # shuffle write anywhere: full lineage reuse (indistinguishable
+    # here from a fresh run whose every shuffle is empty — the helper
+    # refuses both rather than attest an unverifiable zero). Partial
+    # reuse of a persisted upstream is NOT detected; callers must
+    # rebuild the DataFrame from source, as tools/shuffle_evidence.py
+    # does.
+    if skipped and not any(s["bytes"] or s["records"] for s in out):
+        raise RuntimeError(
+            f"shuffle measurement vacuous: stages {sorted(skipped)} were "
+            "SKIPPED and no new stage wrote shuffle output — this "
+            "DataFrame's lineage was already materialized (or every "
+            "shuffle is empty); rebuild it from source so the writes are "
+            "observed"
+        )
+    if not out:
+        raise RuntimeError(
+            "shuffle measurement vacuous: the collect launched no stages "
+            "(local relation or fully short-circuited plan)"
         )
     return sorted(out, key=lambda d: d["stage_id"])
 

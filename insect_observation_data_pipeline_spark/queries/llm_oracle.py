@@ -323,7 +323,15 @@ LLM_ORACLE: dict[str, str] = {
             FROM embeddings e, generate_series(1, 64) t(i)
             WHERE e.vec_id >= 5
         ), per_dim AS (
-            SELECT cell, i, avg(v) AS av FROM dims GROUP BY cell, i
+            -- centroid components snapped at 1e-6, mirroring
+            -- ivf_topk's centroid_digits (round-12: raw float means
+            -- are fold-order-dependent; both engines must route on
+            -- the same snapped centroids)
+            SELECT cell, i,
+                   ((floor(abs(avg(v)) * 1000000.0 + 0.5) / 1000000.0)
+                    * (CASE WHEN (avg(v)) < 0 THEN -1.0 ELSE 1.0 END)
+                    + 0.0) AS av
+            FROM dims GROUP BY cell, i
         ), cent AS (
             SELECT cell, list(av ORDER BY i) AS centroid FROM per_dim GROUP BY cell
         ), q AS (

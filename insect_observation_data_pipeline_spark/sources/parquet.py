@@ -185,6 +185,12 @@ def write_range_sorted(
     out.sortWithinPartitions(*sort_by).write.mode(mode).parquet(path)
 
 
+#: compact() refuses plans whose size estimate implies more partitions
+#: than this — at the 128 MB default target that is 128 TB of data,
+#: past which the estimate is a CBO-less join blowup, not a scan size.
+_COMPACT_MAX_PARTITIONS = 1 << 20
+
+
 def compact(df: DataFrame, *, target_partition_bytes: int = 128 << 20,
             shuffle: bool = False) -> DataFrame:
     """Right-size output partitioning before a write: the small-files
@@ -198,9 +204,27 @@ def compact(df: DataFrame, *, target_partition_bytes: int = 128 << 20,
     ``coalesce`` — merges partitions with zero shuffle, the cheap path
     for read-compact-rewrite jobs; ``shuffle=True`` uses
     ``repartition`` for an even rebalance when the inputs are skewed.
+
+    Scans are the supported input: for derived plans without CBO
+    stats (e.g. a join), Catalyst's estimate is the PRODUCT of child
+    sizes — astronomically large, not a measurement — and blindly
+    using it made ``repartition(n)`` overflow Java's int while the
+    default ``coalesce(n)`` became a silent no-op (round-12 review).
+    Estimates above ``_COMPACT_MAX_PARTITIONS`` (1M partitions = 128 TB
+    at the default target, comfortably past the engine's design
+    posture) now raise instead.
     """
     size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
     n = max(1, -(-size // target_partition_bytes))
+    if n > _COMPACT_MAX_PARTITIONS:
+        raise ValueError(
+            f"compact: Catalyst sizeInBytes estimate {size} "
+            f"(-> {n} partitions at {target_partition_bytes} B each) is "
+            "not a usable measurement — non-scan plans without CBO "
+            "statistics default to the product of child sizes. compact() "
+            "right-sizes file SCANS; write the derived frame first or "
+            "repartition it explicitly"
+        )
     return df.repartition(n) if shuffle else df.coalesce(n)
 
 

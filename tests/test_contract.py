@@ -209,11 +209,11 @@ def test_prev_bench_reads_latest_artifact():
 
     prev = bench._prev_bench()
     # anchor on GIT-TRACKED artifacts, sorted on the PARSED round
-    # number: lexicographic filename order breaks at r100, and an
-    # untracked working-tree BENCH_rNN.json (e.g. a local bench run)
-    # must not change what this test asserts against — _prev_bench
-    # itself may legitimately pick such a file up, so the assertion is
-    # "did not walk PAST the newest tracked round", not equality.
+    # number: lexicographic filename order breaks at r100. Since
+    # round 12 _prev_bench itself reads only tracked artifacts (an
+    # untracked stray BENCH_rNN.json must not become the deltas
+    # baseline), so the assertion is EQUALITY with the newest tracked
+    # round, not merely "did not walk past it".
     here = os.path.dirname(bench.__file__)
     rnum = lambda name: int(re.search(r"BENCH_r(\d+)\.json$", name).group(1))  # noqa: E731
     tracked = subprocess.run(
@@ -221,8 +221,8 @@ def test_prev_bench_reads_latest_artifact():
         cwd=here, capture_output=True, text=True, check=True,
     ).stdout.split()
     latest = max(tracked, key=rnum)
-    assert prev.get("_src") and rnum(prev["_src"]) >= rnum(latest), (
-        "_prev_bench walked past the newest committed artifact "
+    assert prev.get("_src") and rnum(prev["_src"]) == rnum(latest), (
+        "_prev_bench did not pick the newest committed artifact "
         f"(got {prev.get('_src')}, latest tracked {latest})"
     )
     assert prev.get("queries") and prev.get("calib_sec"), prev.get("_src")
@@ -305,6 +305,35 @@ def test_bench_current_round_and_local_artifact_name():
     # BENCH_r99.json in the checkout must not skew the artifact name —
     # _current_round derives from git ls-files exactly like this test
     assert bench._current_round() == newest + 1
+
+
+def test_round_inference_trusts_empty_git_answer(monkeypatch):
+    """git succeeding with ZERO tracked artifacts is a trusted answer
+    (fresh evidence repo: round 1, no prev baseline) and must NOT fall
+    through to the filesystem glob — an untracked stray BENCH_r99.json
+    would otherwise name the artifact BENCH_LOCAL_r100.json and become
+    the deltas_vs_prev baseline, the exact skew the round-12 ADVICE fix
+    closed (round-12 review: the fallback previously engaged on ANY
+    empty result, and _prev_bench never consulted git at all). The glob
+    remains the fallback only when git itself is unavailable (None)."""
+    import bench
+
+    monkeypatch.setattr(
+        bench, "_tracked_evidence_names", lambda pats: []
+    )
+    # the real checkout HAS stray-matching files on disk (the committed
+    # artifacts themselves); trusting the empty git answer means they
+    # are invisible here
+    assert bench._current_round() == 1
+    assert bench._prev_bench() == {}
+
+    # non-git copy: git failed -> filesystem fallback engages and sees
+    # the real artifacts again
+    monkeypatch.setattr(
+        bench, "_tracked_evidence_names", lambda pats: None
+    )
+    assert bench._current_round() > 1
+    assert bench._prev_bench().get("queries")
 
 
 def test_entry_runs(spark):

@@ -173,3 +173,23 @@ def test_cm_sketch_one_sided_and_exact_when_wide(spark):
     assert any(est > cnt for cnt, est in tight.values())   # collisions real
     wide = estimates(1 << 20)
     assert all(est == cnt for cnt, est in wide.values())   # exact when wide
+
+
+def test_hll_registers_ignore_nulls(spark):
+    """Round-12 review: the register table estimates COUNT(DISTINCT),
+    which ignores NULLs — md5(NULL)=NULL used to add a phantom
+    (NULL, NULL) register row that inflated regs_used and biased the
+    readback. Register tables with and without NULL rows must be
+    identical."""
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    base = [(str(i),) for i in range(50)]
+    clean = spark.createDataFrame(base, "v string")
+    dirty = spark.createDataFrame(base + [(None,)] * 7, "v string")
+    snap = lambda df: {  # noqa: E731
+        (r["bucket"], r["max_rho"])
+        for r in approx.hll_registers(df, "v").collect()
+    }
+    regs_clean, regs_dirty = snap(clean), snap(dirty)
+    assert regs_dirty == regs_clean
+    assert all(b is not None for b, _ in regs_clean)

@@ -3154,3 +3154,89 @@ def test_write_zordered_rejects_overwide_interleave(spark, tmp_path):
             df, str(tmp_path / "z"), zorder_by=tuple(f"c{i}" for i in range(9)),
             bits=8,
         )
+
+
+def test_pack_sequences_bucketed_keeps_null_keys(spark):
+    """Round-12 review: the distributed prefix-sum path must keep rows
+    whose stratum or order key is NULL (floor(NULL/width) = NULL
+    bucket) — a plain equi-join with the offsets frame silently dropped
+    them while the naive window path kept them (NULLS FIRST), breaking
+    the documented path equivalence with data loss."""
+    from insect_observation_data_pipeline_spark.llm.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [(None, "en", 60), (2, "en", 50), (3, None, 10), (4, "de", 200)],
+        "doc_id long, lang string, n_tokens int",
+    )
+
+    def snap(out):
+        return {
+            (r["doc_id"], r["lang"]): (r["pack_offset"], r["pack_id"])
+            for r in out.collect()
+        }
+
+    naive = snap(pack_sequences(df, token_col="n_tokens", budget=100,
+                                strata_col="lang"))
+    bucketed = snap(pack_sequences(df, token_col="n_tokens", budget=100,
+                                   strata_col="lang",
+                                   range_bucket_width=100))
+    assert len(naive) == 4          # nothing dropped
+    assert bucketed == naive        # identical output, NULLs included
+    # NULL doc_id packs FIRST in its stratum (NULLS FIRST), so doc 2
+    # starts at the NULL row's 60 tokens
+    assert naive[(2, "en")] == (60, 0)
+    # NULL stratum is its own partition, packing from offset 0
+    assert naive[(3, None)] == (0, 0)
+
+
+def test_temperature_mix_keeps_null_stratum(spark):
+    """Round-12 review: a NULL stratum got a rate row from the counts
+    aggregate but the plain equi-join dropped every one of its rows;
+    the null-safe join keeps them at their own sqrt-scaled rate
+    (consistent with stratified_hash_sample's NULL handling)."""
+    from insect_observation_data_pipeline_spark.llm import curation
+
+    rows = [(i, "en") for i in range(100)] + [
+        (1000 + i, None) for i in range(4)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = curation.temperature_mix(df, strata_col="lang", key_col="doc_id")
+    rates = {
+        r["lang"]: r["rate_pct"]
+        for r in out.select("lang", "rate_pct").distinct().collect()
+    }
+    assert rates["en"] == 100
+    # the NULL stratum's rate row survives: round(100*sqrt(4/100)) = 20
+    assert rates[None] == 20
+    # and its rows are eligible (the md5 bucket filter applies normally:
+    # with rate 20 some of 4 hash buckets may miss, but the JOIN must
+    # not be the thing that excludes them — verify against the filter)
+    from insect_observation_data_pipeline_spark.llm.curation import hash_bucket
+    expected = {
+        r["doc_id"]
+        for r in df.filter(F.col("lang").isNull())
+        .filter(hash_bucket(F.col("doc_id"), 100) < 20)
+        .collect()
+    }
+    got = {r["doc_id"] for r in out.filter(F.col("lang").isNull()).collect()}
+    assert got == expected
+
+
+def test_lsh_topk_rejects_dims_mismatch(spark):
+    """Round-12 review: a dims/embedding-length mismatch used to
+    NULL-pad every dot product, send every vector to bucket '00..0',
+    and silently degenerate the bucket equi-join into a cross join.
+    lsh_bucket now raises instead."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.llm import similarity
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0]), (1, [0.5, 0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(Exception, match="lsh_bucket"):
+        similarity.lsh_topk(vecs, vecs, k=1, planes=2, dims=64).collect()
+    # matching dims: fine (and buckets are not all identical-by-NULL)
+    ok = similarity.lsh_topk(vecs, vecs, k=1, planes=2, dims=3)
+    assert ok.count() > 0

@@ -330,3 +330,37 @@ def test_w2b_register_shuffle_bounded_vs_exact_distinct(spark):
     # and the direction the switch rule promises: at the larger scale
     # the register shuffle is already far below the exact one
     assert reg_large < exact_large / 2, (reg_large, exact_large)
+
+
+def test_shuffle_measurement_fails_loudly_when_vacuous(spark):
+    """shuffle_write_stages is an EVIDENCE helper: it must raise, never
+    attest 0 bytes, when the run it observed did not actually write its
+    shuffles (round-12 review): a DataFrame whose lineage already
+    executed re-reads its materialized map outputs, the shuffle stages
+    come back SKIPPED with no observed write anywhere, and a
+    bounded-shuffle assertion over the totals would pass on numbers
+    that measure nothing. A FRESH run also reports skipped entries
+    (AQE lists each materialized query stage as a skipped parent of
+    the final job) — those must keep passing, which the fresh
+    measurement below pins."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from insect_observation_data_pipeline_spark.plans import (
+        shuffle_write_stages,
+        shuffle_write_totals,
+    )
+
+    df = (
+        spark.range(0, 20_000, 1, 4)
+        .groupBy((F.col("id") % 7).alias("g"))
+        .count()
+    )
+    # fresh lineage: measures cleanly, and the agg really shuffled
+    _, records = shuffle_write_totals(df.sparkSession.range(0, 20_000, 1, 4)
+                                      .groupBy((F.col("id") % 7).alias("g"))
+                                      .count())
+    assert records > 0
+    df.collect()  # materializes this df's map-side shuffle output
+    with pytest.raises(RuntimeError, match="SKIPPED"):
+        shuffle_write_stages(df)

@@ -221,3 +221,31 @@ def test_write_zordered_skips_files_on_both_dims(spark, tmp_path):
 
     # layout changes bytes, never rows
     assert spark.read.parquet(zpath).count() == n
+
+
+def test_compact_rejects_cbo_less_join_estimate(spark, tmp_path):
+    """Round-12 review: for a join without CBO stats Catalyst's
+    sizeInBytes is the PRODUCT of child sizes — repartition(n) on it
+    overflowed Java's int and coalesce(n) was a silent no-op. compact()
+    must refuse the unusable estimate loudly."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.sources.parquet import compact
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 50_000).selectExpr(
+        "id", "repeat('x', 64) AS pad"
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+    # the CBO-less estimate is the PRODUCT of child sizes: three
+    # ~236 KB scans estimate as ~1.3e16 "bytes" (~1e8 partitions) for
+    # a join whose true output is 50k rows — at real 1 GB+ inputs a
+    # single join already crosses the guard
+    joined = (
+        df.join(df.selectExpr("id", "pad AS pad2"), "id")
+        .join(df.selectExpr("id", "pad AS pad3"), "id")
+    )
+    with pytest.raises(ValueError, match="not a usable measurement"):
+        compact(joined, shuffle=True)
+    # scans keep working
+    assert compact(df).rdd.getNumPartitions() >= 1

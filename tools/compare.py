@@ -39,6 +39,23 @@ import os as _os
 REPO_ROOT = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
 sys.path.insert(0, REPO_ROOT)
 
+# The evidence HARNESS: every artifact-producing file outside the
+# package. Single source for BOTH halves of the provenance stamp —
+# package_ast_fingerprint hashes these, and artifact_meta's dirty check
+# covers exactly the same set (round-12 review: the dirty flag
+# previously inspected only the package dir, so an artifact generated
+# with uncommitted bench.py/tools changes stamped dirty=false while
+# attesting a fingerprint HEAD does not contain).
+HARNESS_FILES = (
+    "__spark_entry__.py",
+    "bench.py",
+    _os.path.join("tools", "compare.py"),
+    _os.path.join("tools", "audit_plans.py"),
+    _os.path.join("tools", "scaling.py"),
+    _os.path.join("tools", "green_summary.py"),
+    _os.path.join("tools", "shuffle_evidence.py"),
+)
+
 from __spark_entry__ import oracle_sql, queries  # noqa: E402
 from insect_observation_data_pipeline_spark import get_spark  # noqa: E402
 from insect_observation_data_pipeline_spark.sources.parquet import TESTDATA_TABLES  # noqa: E402
@@ -79,9 +96,13 @@ def artifact_meta(extra: dict | None = None) -> dict:
 
     meta = {
         "generated_at_commit": _git("rev-parse", "HEAD"),
+        # dirty = uncommitted changes to ANY fingerprint-covered file
+        # (package OR harness), so the flag and the fingerprint attest
+        # the same tree (round-12 review)
         "package_dirty": bool(
-            _git("status", "--porcelain",
-                 "insect_observation_data_pipeline_spark/")
+            _git("status", "--porcelain", "--",
+                 "insect_observation_data_pipeline_spark/",
+                 *HARNESS_FILES)
         ),
         "package_ast_fingerprint": package_ast_fingerprint(),
     }
@@ -109,11 +130,13 @@ def package_ast_fingerprint(root: str = REPO_ROOT) -> str:
     artifact attests — ``__spark_entry__.py`` (the registry adapter)
     and ``tools/compare.py`` itself (table_hash, oracle session, the
     DuckDB comparison) — in sorted path order. Round 12 (verdict #1)
-    extends it to the REST of the evidence harness: ``bench.py``
-    (defines what a BENCH number means), ``tools/audit_plans.py``
-    (defines what "0 plan violations" attests), ``tools/scaling.py``
-    (defines the scaling curves) and ``tools/green_summary.py`` (the
-    fold the freshness test compares against) — previously a commit
+    extends it to the REST of the evidence harness — the
+    ``HARNESS_FILES`` set: ``bench.py`` (defines what a BENCH number
+    means), ``tools/audit_plans.py`` (defines what "0 plan violations"
+    attests), ``tools/scaling.py`` (defines the scaling curves),
+    ``tools/green_summary.py`` (the fold the freshness test compares
+    against) and ``tools/shuffle_evidence.py`` (the w2/w2b
+    shuffle-bytes measurement) — previously a commit
     changing any of them could not turn the freshness gate red, the
     same drift-hole shape the driver flagged for compare.py. Comments
     never reach the AST and docstrings are removed before dumping, so
@@ -127,15 +150,7 @@ def package_ast_fingerprint(root: str = REPO_ROOT) -> str:
     import os
 
     pkg = os.path.join(root, "insect_observation_data_pipeline_spark")
-    paths = [
-        os.path.join(root, "__spark_entry__.py"),
-        os.path.join(root, "bench.py"),
-        os.path.join(root, "tools", "compare.py"),
-        os.path.join(root, "tools", "audit_plans.py"),
-        os.path.join(root, "tools", "scaling.py"),
-        os.path.join(root, "tools", "green_summary.py"),
-        os.path.join(root, "tools", "shuffle_evidence.py"),
-    ]
+    paths = [os.path.join(root, rel) for rel in HARNESS_FILES]
     for dirpath, dirnames, filenames in sorted(os.walk(pkg)):
         dirnames.sort()
         paths.extend(
