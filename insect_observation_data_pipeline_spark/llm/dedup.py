@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.cache import tag_intermediates
 from insect_observation_data_pipeline_spark.functions.numeric import stable_round
 
 from insect_observation_data_pipeline_spark.llm.textstats import fingerprint128, tokens
@@ -634,7 +635,7 @@ def tf_cosine_pairs_from_tf(
             .persist(StorageLevel.MEMORY_AND_DISK)
         )
         zero = F.lit(0).cast("long")
-        return (
+        out = (
             cands.join(
                 vecs.select(
                     F.col("doc_id").alias("doc_a"),
@@ -680,6 +681,7 @@ def tf_cosine_pairs_from_tf(
             .filter(F.col("cosine_tf") >= threshold)
             .select("doc_a", "doc_b", "cosine_tf")
         )
+        return tag_intermediates(out, (tf, rare, vecs))
     else:
         a, b = join_tf.alias("a"), join_tf.alias("b")
         dots = (
@@ -693,7 +695,7 @@ def tf_cosine_pairs_from_tf(
             )
             .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
         )
-    return (
+    return tag_intermediates(
         dots.join(
             norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a")),
             "doc_a",
@@ -711,7 +713,8 @@ def tf_cosine_pairs_from_tf(
             ),
         )
         .filter(F.col("cosine_tf") >= threshold)
-        .select("doc_a", "doc_b", "cosine_tf")
+        .select("doc_a", "doc_b", "cosine_tf"),
+        (tf,),
     )
 
 
@@ -779,6 +782,25 @@ def containment_keep(
     )
 
 
+def _sig_aggs(num_hashes: int, *, count_col: str | None = None) -> list[Column]:
+    """THE minhash aggregation list — min(md5(j ':' shingle)) per hash
+    slot, optionally plus a shingle count. Single spelling (round-12
+    review: five call sites carried byte-identical copies; a salt or
+    hash change missed at one site would silently break the
+    signature-compatibility contract between build_dedup_index and the
+    incremental paths). Every signature producer MUST aggregate through
+    this helper."""
+    aggs: list[Column] = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
+            f"minhash_{j}"
+        )
+        for j in range(num_hashes)
+    ]
+    if count_col is not None:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    return aggs
+
+
 def minhash_signatures(
     docs: DataFrame,
     *,
@@ -799,11 +821,7 @@ def minhash_signatures(
     re-measuring.
     """
     sh = doc_shingles(docs, text_col, id_col, shingle_n)
-    aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(f"minhash_{j}")
-        for j in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return sh.groupBy("doc_id").agg(*_sig_aggs(num_hashes))
 
 
 def band_frame(
@@ -814,7 +832,20 @@ def band_frame(
     Band hash = md5 of the concatenated signature slice. This is the
     shared bucket-key frame for BOTH dedup shapes: self-join (corpus
     against itself, :func:`lsh_candidate_pairs`) and cross-join (new
-    batch against an existing corpus, :func:`incremental_dedup`)."""
+    batch against an existing corpus, :func:`incremental_dedup`).
+
+    ``bands`` must divide ``num_hashes`` exactly (round-12 review):
+    trailing hashes would otherwise be silently unused (changed LSH
+    sensitivity with no error), and bands > num_hashes would give every
+    doc the md5('') band hash — all docs colliding in every bucket, an
+    all-pairs cross product."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"band_frame: bands={bands} must be a positive divisor of "
+            f"num_hashes={num_hashes} (rows_per_band would be "
+            f"{num_hashes // bands if bands else 'undefined'} with "
+            f"{num_hashes % bands if bands else num_hashes} hashes ignored)"
+        )
     rows_per_band = num_hashes // bands
     band_cols = [
         F.md5(
@@ -902,13 +933,7 @@ def minhash_lsh_dedup(
     # (they share the doc_id grouping; a separate sizes groupBy would
     # re-scan and re-shuffle the whole shingle frame for one count)
     sig_sizes = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
-                f"minhash_{j}"
-            )
-            for j in range(num_hashes)
-        ],
-        F.count(F.lit(1)).alias("n_sh"),
+        *_sig_aggs(num_hashes, count_col="n_sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # tiny: one row per doc
     cands = lsh_candidate_pairs(sig_sizes, num_hashes=num_hashes, bands=bands)
     sizes = sig_sizes.select("doc_id", "n_sh")
@@ -939,14 +964,18 @@ def minhash_lsh_dedup(
         # so the cands-left-join-jac shape below is a no-op here — and
         # skipping it avoids re-running the band self-join (cands has
         # two consumers otherwise; this was 2 of x7's 14 exchanges).
-        return jac.filter(F.col("jaccard") >= threshold).select(
-            "doc_a", "doc_b", "jaccard"
+        return tag_intermediates(
+            jac.filter(F.col("jaccard") >= threshold).select(
+                "doc_a", "doc_b", "jaccard"
+            ),
+            (sh, sig_sizes),
         )
-    return (
+    return tag_intermediates(
         cands.join(jac, ["doc_a", "doc_b"], "left")
         .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        (sh, sig_sizes),
     )
 
 
@@ -999,13 +1028,7 @@ def incremental_dedup(
 
     def sig_sizes(sh: DataFrame) -> DataFrame:
         return sh.groupBy("doc_id").agg(
-            *[
-                F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
-                    f"minhash_{j}"
-                )
-                for j in range(num_hashes)
-            ],
-            F.count(F.lit(1)).alias("n_sh"),
+            *_sig_aggs(num_hashes, count_col="n_sh")
         )
 
     ss_b = sig_sizes(sh_b).persist(StorageLevel.MEMORY_AND_DISK)
@@ -1049,7 +1072,7 @@ def incremental_dedup(
         .distinct()
         .withColumn("__near", F.lit(True))
     )
-    return (
+    return tag_intermediates(
         b_ids.join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
@@ -1059,7 +1082,8 @@ def incremental_dedup(
             .when(F.col("__near"), F.lit("near_dup"))
             .otherwise(F.lit("kept"))
             .alias("reason"),
-        )
+        ),
+        (sh_b, sh_c, ss_b, ss_c),
     )
 
 
@@ -1080,15 +1104,7 @@ def build_dedup_index(
     candidate docs it must verify. Append the kept batch's index rows
     after every ingest (see ``streaming.sink.dedup_ingest_sink``)."""
     sh = doc_shingles(docs, text_col, id_col, shingle_n)
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
-                f"minhash_{j}"
-            )
-            for j in range(num_hashes)
-        ],
-        F.count(F.lit(1)).alias("n_sh"),
-    )
+    sig = sh.groupBy("doc_id").agg(*_sig_aggs(num_hashes, count_col="n_sh"))
     fp = docs.select(
         F.col(id_col).alias("doc_id"),
         fingerprint128(F.col(text_col)).alias("fp"),
@@ -1178,13 +1194,7 @@ def incremental_dedup_indexed(
         StorageLevel.MEMORY_AND_DISK
     )
     ss_b = sh_b.groupBy("doc_id").agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))).alias(
-                f"minhash_{j}"
-            )
-            for j in range(num_hashes)
-        ],
-        F.count(F.lit(1)).alias("n_sh"),
+        *_sig_aggs(num_hashes, count_col="n_sh")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     bands_b = band_frame(ss_b, num_hashes=num_hashes, bands=bands).select(
         F.col("doc_id").alias("b_id"), "band_idx", "band_hash"
@@ -1246,7 +1256,7 @@ def incremental_dedup_indexed(
         .distinct()
         .withColumn("__near", F.lit(True))
     )
-    return (
+    return tag_intermediates(
         b_ids.join(exact, "doc_id", "left")
         .join(near, "doc_id", "left")
         .select(
@@ -1256,7 +1266,8 @@ def incremental_dedup_indexed(
             .when(F.col("__near"), F.lit("near_dup"))
             .otherwise(F.lit("kept"))
             .alias("reason"),
-        )
+        ),
+        (sh_b, ss_b, cands),
     )
 
 
@@ -1293,10 +1304,15 @@ def connected_components(
       min(node, min(neighbors)) straight from the edge aggregate — the
       same frame the self-label round would produce, for one groupBy
       instead of a join + groupBy + checkpoint.
-    - convergence probes an AGGREGATE, not a join: labels are monotone
-      non-increasing, so sum(comp) strictly decreases iff any node
-      changed; comparing two exact DECIMAL(38) sums replaces the
-      old-vs-new equi-join + filter + count each round.
+    - convergence probes an AGGREGATE, not a join, when ids are
+      NUMERIC: labels are monotone non-increasing, so sum(comp)
+      strictly decreases iff any node changed; comparing two exact
+      DECIMAL(38) sums replaces the old-vs-new equi-join + filter +
+      count each round. For NON-numeric ids (string doc hashes) the
+      decimal cast is NULL and the sums would compare None == None
+      after round 1, silently returning non-minimal components
+      (round-12 review) — those fall back to the exact old-vs-new
+      join probe, which is type-agnostic.
     """
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     sym = sym.union(sym.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -1311,18 +1327,23 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
 
+    from pyspark.sql.types import NumericType
+
+    numeric_ids = isinstance(labels.schema["comp"].dataType, NumericType)
+
     def _label_sum(frame) -> object:
         return frame.agg(
             F.sum(F.col("comp").cast("decimal(38,0)")).alias("s")
         ).first()["s"]
 
-    prev_sum = _label_sum(labels)
+    prev_sum = _label_sum(labels) if numeric_ids else None
     for _ in range(max_iter):
         neigh = (
             sym.join(labels, sym.v == labels.node)
             .groupBy("u")
             .agg(F.min("comp").alias("neigh_comp"))
         )
+        prev_labels = labels
         labels = (
             labels.join(neigh, labels.node == neigh.u, "left")
             .select(
@@ -1333,10 +1354,23 @@ def connected_components(
             )
             .localCheckpoint(eager=True)
         )
-        cur_sum = _label_sum(labels)
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        else:
+            # exact probe for non-numeric ids: any label change?
+            # (both frames are checkpointed, so this is one narrow
+            # node-keyed join, no lineage replay)
+            changed = labels.join(
+                prev_labels.select(
+                    "node", F.col("comp").alias("__prev_comp")
+                ),
+                "node",
+            ).filter(F.col("comp") != F.col("__prev_comp"))
+            if changed.isEmpty():
+                break
     return labels.select(
         F.col("node").alias("doc_id"), F.col("comp").alias("component_id")
     )
@@ -1487,7 +1521,7 @@ def source_overlap_matrix(
             )
             .agg(F.count(F.lit(1)).alias("shared_shingles"))
         )
-    return (
+    return tag_intermediates(
         shared.join(
             sizes.select(F.col("grp").alias("source_a"), F.col("n_sh").alias("n_a")),
             "source_a",
@@ -1505,7 +1539,8 @@ def source_overlap_matrix(
                 / F.least("n_a", "n_b").cast("double"),
                 4,
             ).alias("overlap"),
-        )
+        ),
+        (gsh,),
     )
 
 
@@ -1605,12 +1640,20 @@ def bloom_decontaminate(
     join remains the audit path. Emits docs with ``n_bloom >= min_hits``:
     (doc_id, n_shingles, n_bloom, n_true, n_fp).
     """
-    bits = bloom_bits(
-        doc_shingles(holdout, text_col, id_col, n).select("shingle").distinct(),
-        "shingle",
-        m=m,
-        k=k,
+    # the distinct holdout shingle set feeds BOTH the bit relation and
+    # the exact audit join — compute and persist it once (round-12
+    # review: the tokenize+shingle+distinct pipeline previously ran
+    # twice per call; a shared unpersisted frame would still re-execute
+    # per consumer). Holdout corpora are eval-benchmark sized.
+    from pyspark import StorageLevel
+
+    ev_sh = (
+        doc_shingles(holdout, text_col, id_col, n)
+        .select("shingle")
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    bits = bloom_bits(ev_sh, "shingle", m=m, k=k)
     tr_sh = doc_shingles(train, text_col, id_col, n)
     salts = F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("salt")
     probe = tr_sh.select("doc_id", "shingle", salts)
@@ -1640,14 +1683,13 @@ def bloom_decontaminate(
         .filter(F.col("__k_hits") == k)
     )
     n_bloom = hits.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_bloom"))
-    ev_sh = doc_shingles(holdout, text_col, id_col, n).select("shingle").distinct()
     n_true = (
         tr_sh.join(ev_sh, "shingle")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_true"))
     )
     n_sh = tr_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
+    return tag_intermediates(
         n_bloom.filter(F.col("n_bloom") >= min_hits)
         .join(n_true, "doc_id", "left")
         .join(n_sh, "doc_id")
@@ -1659,5 +1701,6 @@ def bloom_decontaminate(
             (F.col("n_bloom") - F.coalesce(F.col("n_true"), F.lit(0)))
             .cast("bigint")
             .alias("n_fp"),
-        )
+        ),
+        (ev_sh,),
     )

@@ -219,30 +219,32 @@ def wav_decode_samples(payload: bytes):
     return arr.reshape(-1, n_channels)
 
 
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    """One RIFF chunk: id + little-endian size + body, padded to even
+    length (the stored size excludes the pad byte). Single spelling of
+    the even-padding rule (round-12 review: six local copies across the
+    WAV/AVI encoders could drift on a padding fix)."""
+    import struct
+
+    return cid + struct.pack("<I", len(body)) + body + (
+        b"\x00" if len(body) & 1 else b""
+    )
+
+
 def wav_encode_pcm16(samples, sample_rate: int) -> bytes:
     """Minimal valid 16-bit PCM WAV encoder for an int array of shape
     (n_frames, n_channels) — the round-trip partner that pins
     :func:`wav_decode_samples` in tests (the png_encode_pixels analog)."""
-    import struct
-
     import numpy as np
 
     arr = np.ascontiguousarray(samples, dtype="<i2")
     if arr.ndim == 1:
         arr = arr[:, None]
     n_frames, n_channels = arr.shape
-    data = arr.tobytes()
-    fmt_body = struct.pack(
-        "<HHIIHH", 1, n_channels, sample_rate,
-        sample_rate * n_channels * 2, n_channels * 2, 16,
-    )
-
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        padded = body + (b"\x00" if len(body) & 1 else b"")
-        return cid + struct.pack("<I", len(body)) + padded
-
-    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", data)
-    return b"RIFF" + struct.pack("<I", len(body)) + body
+    # byte-for-byte the plain-PCM container (fmt tag 1, 16-bit) — a
+    # parallel RIFF layout here could miss a _wav_container fix
+    # (round-12 review)
+    return _wav_container(1, sample_rate, n_channels, 16, arr.tobytes())
 
 
 def _wav_container(fmt_tag: int, sample_rate: int, n_channels: int,
@@ -255,11 +257,7 @@ def _wav_container(fmt_tag: int, sample_rate: int, n_channels: int,
         sample_rate * n_channels * bytes_per, n_channels * bytes_per, bits,
     )
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        padded = body + (b"\x00" if len(body) & 1 else b"")
-        return cid + struct.pack("<I", len(body)) + padded
-
-    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", data)
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt_body) + _riff_chunk(b"data", data)
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -285,11 +283,7 @@ def wav_encode_extensible_pcm16(
         22, 16, channel_mask,
     ) + sub
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        padded = body + (b"\x00" if len(body) & 1 else b"")
-        return cid + struct.pack("<I", len(body)) + padded
-
-    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", arr.tobytes())
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt_body) + _riff_chunk(b"data", arr.tobytes())
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -458,11 +452,7 @@ def wav_encode_ms_adpcm(samples, sample_rate: int) -> bytes:
         block_align, 4, 32, spb, len(_MS_COEFS),
     ) + b"".join(struct.pack("<hh", *c) for c in _MS_COEFS)
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) % 2 else b""
-        return cid + struct.pack("<I", len(body)) + body + pad
-
-    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", bytes(out))
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt_body) + _riff_chunk(b"data", bytes(out))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -661,11 +651,7 @@ def wav_encode_ima_adpcm(samples, sample_rate: int) -> bytes:
         block_align, 4, 2, samples_per_block,
     )
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        padded = body + (b"\x00" if len(body) & 1 else b"")
-        return cid + struct.pack("<I", len(body)) + padded
-
-    body = b"WAVE" + chunk(b"fmt ", fmt_body) + chunk(b"data", bytes(out))
+    body = b"WAVE" + _riff_chunk(b"fmt ", fmt_body) + _riff_chunk(b"data", bytes(out))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -751,12 +737,8 @@ def avi_encode_frames(frames, fps: int = 25) -> bytes:
         body[:, : w * 3] = rows.reshape(h, w * 3)
         frame_bytes.append(body.tobytes())
 
-    def chunk(cid: bytes, body: bytes) -> bytes:
-        pad = b"\x00" if len(body) % 2 else b""
-        return cid + struct.pack("<I", len(body)) + body + pad
-
     def lst(ltype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", ltype + body)
+        return _riff_chunk(b"LIST", ltype + body)
 
     size_image = stride * h
     avih = struct.pack(
@@ -779,9 +761,9 @@ def avi_encode_frames(frames, fps: int = 25) -> bytes:
     )
     hdrl = lst(
         b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        _riff_chunk(b"avih", avih) + lst(b"strl", _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf)),
     )
-    movi = lst(b"movi", b"".join(chunk(b"00db", fb) for fb in frame_bytes))
+    movi = lst(b"movi", b"".join(_riff_chunk(b"00db", fb) for fb in frame_bytes))
     body = b"AVI " + hdrl + movi
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -1238,6 +1220,12 @@ def resize_images(
     byte truncation/padding so plumbing tests stay payload-agnostic.
     Either way the Spark side (schema, mapInPandas batching, binary
     transport) is identical.
+
+    Poison payloads (truncated IDAT, bad filter byte, not a PNG) emit
+    NO output row instead of failing the stage — the module's
+    quarantine doctrine, same as :func:`sample_frames`'s undecodable-
+    video skip (round-12 review: one malformed blob previously killed
+    the whole job, losing every healthy row's resize).
     """
     import pandas as pd
 
@@ -1247,6 +1235,9 @@ def resize_images(
     target = width * height
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import struct
+        import zlib
+
         import numpy as np
 
         for pdf in batches:
@@ -1256,7 +1247,10 @@ def resize_images(
                 if decoder == "fake":
                     resized = (raw * (target // max(len(raw), 1) + 1))[:target]
                 else:
-                    px = PIXEL_DECODERS[decoder](raw)
+                    try:
+                        px = PIXEL_DECODERS[decoder](raw)
+                    except (ValueError, struct.error, zlib.error, IndexError):
+                        continue  # quarantine, never kill the stage
                     h0, w0 = px.shape[:2]
                     ys = np.minimum((np.arange(height) * h0) // height, h0 - 1)
                     xs = np.minimum((np.arange(width) * w0) // width, w0 - 1)

@@ -151,7 +151,19 @@ def asof_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"asof_join supports how='inner'|'left', got {how!r}")
-    rt = right.select(
+    # JOIN semantics on NULLs (round-12 review): an equi-join never
+    # matches a NULL key, and `l.ts >= r.ts` is UNKNOWN for a NULL
+    # right timestamp — but the window rewrite would happily group
+    # NULL keys into one partition and sort a NULL __ts FIRST (an
+    # always-preceding phantom match). Drop right rows with a NULL key
+    # or NULL timestamp up front: they can never be the as-of match.
+    # Left rows with NULL keys then simply find no right row in their
+    # partition — inner drops them, left null-extends them — exactly
+    # DuckDB ASOF JOIN behavior.
+    right_matchable = right
+    for c in [*on, right_ts]:
+        right_matchable = right_matchable.filter(F.col(c).isNotNull())
+    rt = right_matchable.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),

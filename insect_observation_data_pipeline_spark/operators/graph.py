@@ -29,17 +29,16 @@ from insect_observation_data_pipeline_spark.functions.numeric import stable_roun
 def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> None:
     """Release the internal persisted frames backing an operator result.
 
-    Both operators in this module persist intermediate frames (edge
-    relation, degrees, oriented edges) that the RETURNED DataFrame's
-    plan references; the persists stay pinned for the session after the
-    caller materializes the result. Harnesses that time many queries
-    call ``spark.catalog.clearCache()`` between runs (bench.py,
-    tools/scaling.py — measured 2-5x late-query degradation without
-    it); a library caller that wants surgical release instead calls
-    this AFTER materializing (collect/write) the result. No-op on
-    DataFrames that did not come from this module."""
-    for frame in getattr(df, "_graph_intermediates", ()):
-        frame.unpersist(blocking=blocking)
+    Round 12: the mechanism generalized to every persisting operator
+    (dedup, tf-cosine, source-overlap) — this module-level name stays
+    as the historical entry point and delegates to the shared
+    :func:`insect_observation_data_pipeline_spark.cache.unpersist_intermediates`, which
+    also understands this module's ``_graph_intermediates`` tag."""
+    from insect_observation_data_pipeline_spark.cache import (
+        unpersist_intermediates as _shared,
+    )
+
+    _shared(df, blocking=blocking)
 
 
 def pagerank(

@@ -3,7 +3,7 @@
 The one join shape in the reference's temporal family (operators/asof.py)
 that Spark cannot plan without help: every condition there keeps an
 entity equi-key, but a pure proximity predicate ("events within 5
-seconds of each other", "readings within 0.1 of the same value") has no
+seconds of each other", "readings within 100 millivolts") has no
 equi component, so Catalyst falls back to BroadcastNestedLoopJoin /
 CartesianProduct — n*m comparisons, dead at any scale.
 
@@ -59,6 +59,18 @@ def band_join(
     # DIV truncates toward zero, so correct negative non-divisible
     # values down by one (% follows the dividend's sign in Spark SQL).
     d = int(delta)
+    if d < 1:
+        # delta=0 or a fractional delta truncated to 0 would make every
+        # bucket `x DIV 0` = NULL — NULL == NULL never joins, so the
+        # call would silently return zero matches (round-12 review).
+        # Fractional bands: scale the value expressions to integer
+        # units first (e.g. seconds -> micros), exactly as the
+        # timestamp guidance above.
+        raise ValueError(
+            f"band_join needs an integer delta >= 1, got {delta!r}; "
+            "scale fractional units to integers first (the bucket "
+            "arithmetic is exact integer division)"
+        )
 
     def bucket(df: DataFrame, val: Column, out: str, tmp: str) -> DataFrame:
         return (

@@ -3240,3 +3240,97 @@ def test_lsh_topk_rejects_dims_mismatch(spark):
     # matching dims: fine (and buckets are not all identical-by-NULL)
     ok = similarity.lsh_topk(vecs, vecs, k=1, planes=2, dims=3)
     assert ok.count() > 0
+
+
+def test_connected_components_string_ids(spark):
+    """Round-12 review: the decimal-sum convergence probe is
+    NULL-on-strings, which used to stop propagation after one round
+    (None == None) and return non-minimal components for any chain of
+    diameter > 2. String ids must converge to the true lexicographic
+    min label."""
+    edges = spark.createDataFrame(
+        [("d", "c"), ("c", "b"), ("b", "a"), ("a", "0a"), ("x", "y")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["doc_id"]: r["component_id"]
+        for r in dedup.connected_components(edges).collect()
+    }
+    assert got == {
+        "0a": "0a", "a": "0a", "b": "0a", "c": "0a", "d": "0a",
+        "x": "x", "y": "x",
+    }
+
+
+def test_band_frame_rejects_non_divisor_bands(spark):
+    """Round-12 review: bands that don't divide num_hashes silently
+    dropped trailing hashes (changed LSH sensitivity), and
+    bands > num_hashes made every band hash md5('') — an all-pairs
+    cross product. Both now raise."""
+    import pytest
+
+    sigs = dedup.minhash_signatures(
+        spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    )
+    for bad in (3, 16, 0):
+        with pytest.raises(ValueError, match="divisor"):
+            dedup.band_frame(sigs, num_hashes=8, bands=bad)
+
+
+def test_resize_images_quarantines_poison_payload(spark):
+    """Round-12 review: one malformed PNG used to raise inside
+    mapInPandas and kill the stage; it must instead emit no row while
+    every healthy row still resizes (sample_frames' skip doctrine)."""
+    import numpy as np
+
+    from insect_observation_data_pipeline_spark.llm import multimodal as mm
+
+    good = mm.png_encode_pixels(
+        np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    )
+    truncated = good[: len(good) - 10]          # cut inside IDAT/IEND
+    not_png = b"definitely not a png"
+    df = spark.createDataFrame(
+        [("g", bytearray(good)), ("t", bytearray(truncated)),
+         ("n", bytearray(not_png))],
+        "media_id string, payload binary",
+    )
+    out = {
+        r["media_id"]: (r["width"], r["height"])
+        for r in mm.resize_images(
+            df, width=2, height=2, decoder="image"
+        ).collect()
+    }
+    assert "g" in out and out["g"] == (2, 2)
+    assert "n" not in out
+    # the truncated payload either decodes (cut fell in IEND) or is
+    # quarantined — it must never kill the job; 'g' always survives
+    assert set(out) <= {"g", "t"}
+
+
+def test_unpersist_intermediates_releases_dedup_caches(spark):
+    """Round-12: dedup operators tag their persisted intermediates on
+    the result (the graph.py mechanism, generalized) so a long-lived
+    ingest loop can release corpus-sized caches surgically instead of
+    spark.catalog.clearCache()."""
+    from insect_observation_data_pipeline_spark.cache import unpersist_intermediates
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i} tok{i+1} tok{i+2} tok{i+3}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_lsh_dedup(docs, threshold=0.2)
+    out.collect()
+    frames = getattr(out, "_persisted_intermediates", ())
+    assert frames, "result must carry the tagged intermediates"
+    # pinned after materialization (assert on the frames' own storage
+    # level — session-global cache counts are polluted by other tests'
+    # localCheckpoints)
+    assert all(
+        f.storageLevel.useMemory or f.storageLevel.useDisk for f in frames
+    )
+    unpersist_intermediates(out, blocking=True)
+    assert all(
+        not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+        for f in frames
+    )

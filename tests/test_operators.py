@@ -540,3 +540,54 @@ def test_band_join_exact_at_nanosecond_magnitudes(spark):
         if abs(lv - rv) <= delta
     )
     assert got == want
+
+
+def test_asof_join_null_keys_and_timestamps(spark):
+    """Round-12 review: JOIN semantics on NULLs. A NULL equi-key never
+    matches (the window rewrite used to group NULL keys into one
+    partition and match them); a NULL right timestamp is never the
+    as-of match (it used to sort first and match every left row); a
+    NULL left key survives how='left' null-extended and is dropped by
+    how='inner' — exactly DuckDB ASOF JOIN behavior."""
+    from insect_observation_data_pipeline_spark.operators import asof_join
+
+    left = spark.createDataFrame(
+        [(None, 5, "ln"), (1, 5, "l1")], "k int, ts int, tag string"
+    )
+    right = spark.createDataFrame(
+        [(None, 3, "rn"), (1, None, "rt"), (1, 4, "r1")],
+        "k int, ts int, payload string",
+    )
+    inner = {
+        r["tag"]: r["payload"]
+        for r in asof_join(
+            left, right.withColumnRenamed("ts", "rts"), ["k"],
+            left_ts="ts", right_ts="rts", payload=["payload"],
+        ).collect()
+    }
+    # l1 matches r1 (k=1, 4 <= 5) — never the NULL-ts right row;
+    # the NULL-key left row matches nothing
+    assert inner == {"l1": "r1"}
+    outer = {
+        r["tag"]: r["payload"]
+        for r in asof_join(
+            left, right.withColumnRenamed("ts", "rts"), ["k"],
+            left_ts="ts", right_ts="rts", payload=["payload"], how="left",
+        ).collect()
+    }
+    assert outer == {"l1": "r1", "ln": None}
+
+
+def test_band_join_rejects_sub_one_delta(spark):
+    """Round-12 review: delta=0 (or a fractional delta truncated to 0)
+    made every bucket `x DIV 0` = NULL, silently returning zero
+    matches; the guard raises instead."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.operators import band_join
+
+    df = spark.createDataFrame([(1,)], "v int")
+    r = spark.createDataFrame([(1,)], "w int")
+    for bad in (0, 0.1, -5):
+        with pytest.raises(ValueError, match="integer delta"):
+            band_join(df, r, F.col("v"), F.col("w"), bad)
