@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from insect_observation_data_pipeline_spark.functions.dates import build_observation_date
 from insect_observation_data_pipeline_spark.functions.keys import with_hash_sk
 from insect_observation_data_pipeline_spark.functions.text import (
+    boolean_literal,
     normalize_na,
     parse_first_name,
     parse_last_name,
@@ -140,11 +141,11 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
         "city_id",
         ["city_name", "county_name"],
     ).join(
-        F.broadcast(
-            counties.join(F.broadcast(countries), "country_id").select(
-                "county_id", "county_name"
-            )
-        ),
+        # counties alone: every county row already carries a country by
+        # construction, so the old counties-JOIN-countries here was dead
+        # work (round-12 review) — no rows added, none filtered, nothing
+        # selected from countries
+        F.broadcast(counties.select("county_id", "county_name")),
         "county_name",
         "left",
     ).select("city_id", "city_name", "county_id")
@@ -235,31 +236,43 @@ def load_users(staging: DataFrame, institutions: DataFrame) -> Etl1Result:
     )
 
     # SCD2: one interval per (user, institution, start); end-date = next
-    # start - 1 day via lead() (03_ETL1_part2.sql:137-188).
+    # start - 1 day via lead() (03_ETL1_part2.sql:137-188). Round-12
+    # review, matching the reference exactly (03_ETL1_part2.sql:191-211):
+    # - institutions joins INNER (the reference's plain JOIN) and BEFORE
+    #   the dedup — an affiliation naming an unknown institution gets NO
+    #   interval (the old left join minted a NULL-institution interval
+    #   the reference never inserts, shifting end-date chains and
+    #   attribution);
+    # - the dedup key is (user, INSTITUTION, start) — same-named
+    #   institutions in different cities each keep their interval, and a
+    #   user joining two institutions on one date keeps both (the old
+    #   (user, start) key silently dropped one);
+    # - the surrogate key therefore hashes institution_id too (the old
+    #   (user_id, start_date) hash minted DUPLICATE user_institution_id
+    #   values on the name fan-out, and etl2's attribution join then
+    #   double-counted those observations in the user facts).
     aff = distinct_on(
-        valid.select("username", "institution_name", "affiliation_start"),
-        ["username", "affiliation_start"],
+        valid.select("username", "institution_name", "affiliation_start").join(
+            F.broadcast(
+                institutions.select("institution_id", "institution_name")
+            ),
+            "institution_name",
+        ),
+        ["username", "institution_id", "affiliation_start"],
         [F.col("institution_name").asc()],
     )
-    user_institution = (
-        scd2_end_date(
-            aff.withColumnRenamed("affiliation_start", "start_date"),
-            ["username"],
-            "start_date",
-        )
-        .join(F.broadcast(users.select("user_id", "username")), "username")
-        .join(
-            F.broadcast(institutions.select("institution_id", "institution_name")),
-            "institution_name",
-            "left",
-        )
-    )
+    user_institution = scd2_end_date(
+        aff.withColumnRenamed("affiliation_start", "start_date"),
+        ["username"],
+        "start_date",
+        order_tiebreak=[F.col("institution_name").asc()],
+    ).join(F.broadcast(users.select("user_id", "username")), "username")
     user_institution = _sk(
         user_institution.select(
             "user_id", "institution_id", "institution_name", "start_date", "end_date"
         ),
         "user_institution_id",
-        ["user_id", "start_date"],
+        ["user_id", "institution_id", "start_date"],
     )
 
     subs = distinct_on(
@@ -336,14 +349,31 @@ def observation_rules() -> list[Rule]:
             ),
             "Invalid year.",
         ),
+        # The range casts are decimal(38,18), NOT the stored (9,6) width
+        # (round-12 review): the reference compares an UNBOUNDED Postgres
+        # DECIMAL (04_ETL1_part3.sql:183-190), while try_cast(9,6)
+        # returns NULL on overflow and a three-valued-logic hole then
+        # classified e.g. latitude='1000.0' as VALID (NULL predicate
+        # never fires) — a phantom silver row the reference quarantines.
+        # A regex-passing value that still overflows (38,18) (20+ integer
+        # digits) is certainly out of range, so a NULL cast is itself a
+        # violation.
         Rule(
             lat.isNotNull()
-            & (~lat.rlike(_NUM) | ~lat.try_cast("decimal(9,6)").between(-90, 90)),
+            & (
+                ~lat.rlike(_NUM)
+                | lat.try_cast("decimal(38,18)").isNull()
+                | ~lat.try_cast("decimal(38,18)").between(-90, 90)
+            ),
             "Invalid latitude.",
         ),
         Rule(
             lon.isNotNull()
-            & (~lon.rlike(_NUM) | ~lon.try_cast("decimal(9,6)").between(-180, 180)),
+            & (
+                ~lon.rlike(_NUM)
+                | lon.try_cast("decimal(38,18)").isNull()
+                | ~lon.try_cast("decimal(38,18)").between(-180, 180)
+            ),
             "Invalid longitude.",
         ),
         Rule(
@@ -471,6 +501,7 @@ def load_observations(
             "username",
             "last_name",
             "user_institution_id",
+            "institution_name",
             "start_date",
             "end_date",
         )
@@ -502,19 +533,28 @@ def load_observations(
         )
         .otherwise(F.lit(4))
     )
-    # tiebreak on username (the business key), not user_id: hash surrogate
-    # values are engine-local, so ordering by them would make the pick
-    # irreproducible in any cross-engine replay (the DuckDB e2e oracle).
+    # tiebreak on business keys (username, then institution_name), not
+    # surrogate ids: hash values are engine-local, so ordering by them
+    # would make the pick irreproducible in any cross-engine replay
+    # (the DuckDB e2e oracle). institution_name joined the order in
+    # round 12: the keeps-both dedup can give a user two same-dated
+    # intervals at different institutions, and without it the
+    # row_number pick between their identical (prio, start, username)
+    # triples was nondeterministic.
     w = Window.partitionBy("raw_data_id").orderBy(
         F.col("__prio").asc(),
         F.col("start_date").asc_nulls_last(),
         F.col("username").asc_nulls_last(),
+        F.col("institution_name").asc_nulls_last(),
     )
     attributed = (
         matched.withColumn("__prio", prio)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__prio", "__rn", "username", "last_name", "start_date", "end_date")
+        .drop(
+            "__prio", "__rn", "username", "last_name", "institution_name",
+            "start_date", "end_date",
+        )
     )
 
     observations = (
@@ -564,8 +604,13 @@ def load_observations(
             "observation_date",
             F.col("interactions").cast("int").alias("interaction_count"),
             F.col("pollination").cast("smallint").alias("pollination_quality_id"),
-            (F.upper("pollen") == "Y").alias("pollen_collected"),
-            (F.upper("nectar") == "Y").alias("nectar_collected"),
+            # single spelling of the reference's ::BOOLEAN cast
+            # (04_ETL1_part3.sql:441-442) — the inline (upper == 'Y')
+            # twin could drift from boolean_literal's literal set
+            # (round-12 review); on the quarantine-restricted Y/N/NULL
+            # domain they are identical
+            boolean_literal(F.col("pollen")).alias("pollen_collected"),
+            boolean_literal(F.col("nectar")).alias("nectar_collected"),
         )
     )
 

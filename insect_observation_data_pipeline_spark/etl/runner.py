@@ -58,24 +58,45 @@ def run_etl1(spark: SparkSession, raw_dir: str, warehouse: str) -> str:
     users_stg = read_csv_staging(
         spark, os.path.join(raw_dir, "users.csv"), etl1.USERS_COLS
     )
-    obs_stg = read_csv_staging(
-        spark,
-        os.path.join(raw_dir, "observations.csv"),
-        etl1.OBSERVATIONS_COLS,
-        encoding="ISO-8859-1",
-    ).withColumn("raw_data_id", F.monotonically_increasing_id())
+    # PERSIST the observation staging frame (round-12 review): every
+    # silver/quarantine table below is its own write action over lazy
+    # lineage, so without this the CSV scan + rule split re-ran once per
+    # table (~7 full input scans at the 100 TB posture), and — worse —
+    # raw_data_id was re-ASSIGNED per action: monotonically_increasing_id
+    # is deterministic only per (partition, row-position), so any scan
+    # partitioning drift between the observations write and the
+    # quarantine write could silently break the silver<->quarantine id
+    # linkage. One materialization pins the ids for the whole run (the
+    # reference's SERIAL is likewise run-scoped) and every write reads
+    # the cache. The institutions/users CSVs are dimension-sized; their
+    # recompute is a non-issue.
+    from pyspark import StorageLevel
 
-    r1 = etl1.load_institutions(inst_stg)
-    r2 = etl1.load_users(users_stg, r1.silver["institutions"])
-    r3 = etl1.load_observations(
-        obs_stg, r2.silver["users"], r2.silver["user_institution"]
+    obs_stg = (
+        read_csv_staging(
+            spark,
+            os.path.join(raw_dir, "observations.csv"),
+            etl1.OBSERVATIONS_COLS,
+            encoding="ISO-8859-1",
+        )
+        .withColumn("raw_data_id", F.monotonically_increasing_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    silver = {**r1.silver, **r2.silver, **r3.silver}
-    quarantine = {**r1.quarantine, **r2.quarantine, **r3.quarantine}
 
-    silver_dir = os.path.join(warehouse, "silver")
-    _write_layer(silver, silver_dir)
-    _write_layer(quarantine, os.path.join(warehouse, "quarantine"))
+    try:
+        r1 = etl1.load_institutions(inst_stg)
+        r2 = etl1.load_users(users_stg, r1.silver["institutions"])
+        r3 = etl1.load_observations(
+            obs_stg, r2.silver["users"], r2.silver["user_institution"]
+        )
+        silver = {**r1.silver, **r2.silver, **r3.silver}
+        quarantine = {**r1.quarantine, **r2.quarantine, **r3.quarantine}
+
+        silver_dir = os.path.join(warehouse, "silver")
+        _write_layer(silver, silver_dir)
+        _write_layer(quarantine, os.path.join(warehouse, "quarantine"))
+    finally:
+        obs_stg.unpersist()
     return silver_dir
 
 

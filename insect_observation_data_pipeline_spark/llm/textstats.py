@@ -47,12 +47,18 @@ def quality_columns(text: Column) -> list[Column]:
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
     stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
-    nd = n.cast("double")
+    # NULL-on-zero denominators (round-12 review): an empty or
+    # whitespace-only doc has 0 tokens / 0 length, and under ANSI mode
+    # — the DRIVER session's Spark 4 default, which get_spark does not
+    # override — a bare 0/0 kills the job instead of yielding the NULL
+    # ratios these signals mean ("no measurable tokens"). The when()
+    # guard is the engine-portable NULLIF.
+    nd = F.when(n > 0, n.cast("double"))
+    tl = F.when(F.length(text) > 0, F.length(text).cast("double"))
     avg_token_len = stable_round(sum_len / nd, 2)
     stopword_ratio = stable_round(stop_cnt / nd, 3)
     alnum_ratio = stable_round(
-        F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", ""))
-        / F.length(text).cast("double"),
+        F.length(F.regexp_replace(F.lower(text), r"[^a-z0-9]", "")) / tl,
         3,
     )
     score = stable_round(

@@ -59,13 +59,35 @@ def executed_plan_string(df: DataFrame) -> str:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """All PushedFilters entries across scans."""
+    """All PushedFilters entries across scans, one WHOLE entry per item.
+
+    Bracket-matched + top-level split (round-12 review): the old
+    ``[^\\]]*`` regex truncated the list at the first ``]`` inside an
+    ``In(col, [a,b])`` entry — silently dropping every later pushed
+    filter — and a flat ``split(',')`` sheared two-argument entries
+    like ``GreaterThan(l_quantity,45.0)`` into fragments no assertion
+    could ever match."""
     plan = formatted_plan(df)
     out: list[str] = []
-    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
-        entry = m.group(1).strip()
+    marker = "PushedFilters: ["
+    pos = 0
+    while True:
+        start = plan.find(marker, pos)
+        if start < 0:
+            break
+        i, depth = start + len(marker), 1
+        while i < len(plan) and depth:
+            if plan[i] == "[":
+                depth += 1
+            elif plan[i] == "]":
+                depth -= 1
+            i += 1
+        entry = plan[start + len(marker) : i - 1].strip()
         if entry:
-            out.extend(p.strip() for p in entry.split(","))
+            out.extend(
+                p.strip() for p in _split_top_level(entry) if p.strip()
+            )
+        pos = i
     return out
 
 
@@ -95,13 +117,13 @@ def _balanced_args(txt: str, start: int) -> str:
 
 
 def _split_top_level(args: str) -> list[str]:
-    """Split on commas at paren depth 0 only (``round(x, 2) ASC`` stays
-    one segment)."""
+    """Split on commas at paren/bracket depth 0 only (``round(x, 2)
+    ASC`` and ``In(col, [a,b])`` each stay one segment)."""
     out, depth, cur = [], 0, []
     for c in args:
-        if c == "(":
+        if c in "([":
             depth += 1
-        elif c == ")":
+        elif c in ")]":
             depth -= 1
         if c == "," and depth == 0:
             out.append("".join(cur))
@@ -196,6 +218,11 @@ def shuffle_write_stages(df: DataFrame) -> list[dict]:
     scale-safe (metrics are O(stages), pre-aggregated by the engine),
     but a test/evidence aid, never a runtime dependency."""
     spark = df.sparkSession
+    # drain the async listener bus BEFORE the snapshot too (round-12
+    # review): a just-finished previous action's stage events may still
+    # be queued — without the drain they land in the store after the
+    # snapshot and get attributed to THIS run's measurement
+    spark._jsc.sc().listenerBus().waitUntilEmpty()
     before = set()
     seq = _stage_seq(spark)
     for i in range(seq.length()):

@@ -88,20 +88,26 @@ LLM_ORACLE: dict[str, str] = {
         ), m AS (
             SELECT doc_id, lang, text, tk,
                    CAST(len(tk) AS INTEGER) AS n_tokens,
-                   CAST(len(tk) AS DOUBLE) AS nd,
+                   -- NULLIF denominators mirror the engine's zero-token
+                   -- guard (round-12: empty docs must yield NULL ratios,
+                   -- not DIVIDE_BY_ZERO under Spark ANSI / inf here)
+                   CAST(NULLIF(len(tk), 0) AS DOUBLE) AS nd,
                    CAST(list_sum(list_transform(tk, t -> len(t))) AS DOUBLE) AS sum_len,
                    CAST(len(list_filter(tk, t -> list_contains(
                        ['the','a','of','and','to','in'], t))) AS DOUBLE) AS stop_cnt,
                    CAST(len(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))
-                        AS DOUBLE) / len(text) AS alnum_raw,
+                        AS DOUBLE) / NULLIF(len(text), 0) AS alnum_raw,
+                   -- markers count on LOWERCASED tokens, as lang_id
+                   -- tokenizes lower(text) (round-12: sentence-initial
+                   -- 'The'/'Le'/'El'/'Der' must count)
                    len(list_filter(tk, t -> list_contains(
-                       ['the','a','of','and'], t))) AS s_en,
+                       ['the','a','of','and'], lower(t)))) AS s_en,
                    len(list_filter(tk, t -> list_contains(
-                       ['und','der','die','das'], t))) AS s_de,
+                       ['und','der','die','das'], lower(t)))) AS s_de,
                    len(list_filter(tk, t -> list_contains(
-                       ['le','la','les','et'], t))) AS s_fr,
+                       ['le','la','les','et'], lower(t)))) AS s_fr,
                    len(list_filter(tk, t -> list_contains(
-                       ['el','los','las','una'], t))) AS s_es
+                       ['el','los','las','una'], lower(t)))) AS s_es
             FROM base
         ), p AS (
             SELECT *,
@@ -485,13 +491,12 @@ def _lsh_oracle_sql(
 LLM_ORACLE["x12_ann_lsh"] = _lsh_oracle_sql()
 LLM_ORACLE["x13_ann_lsh_multiprobe"] = _lsh_oracle_sql(probe_bits=3)
 
-def _sr(expr: str, digits: int) -> str:
-    """Sign-stable rounding, the SQL twin of functions.numeric.stable_round."""
-    scale = 10 ** digits
-    return (
-        f"((floor(abs({expr}) * {scale}.0 + 0.5) / {scale}.0) * "
-        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)"
-    )
+# single spelling of the sign-stable rounding SQL (round-12 review: two
+# more hand-maintained copies of the one formula the hash-parity scheme
+# depends on lived here and in the sibling oracle module; an edit to one
+# would desynchronize stable_round from one oracle but not the other) —
+# byte-identical output to the deleted local twin for every digits used
+from insect_observation_data_pipeline_spark.functions.numeric import sround_sql as _sr  # noqa: E501
 
 
 # --- curation operators (x14-x16) + dup clustering (h1) -------------------

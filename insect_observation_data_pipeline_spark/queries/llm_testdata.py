@@ -301,15 +301,20 @@ def x39_cm_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term", "exact_cnt")
         .agg(F.min("weight").alias("cm_est"))
     )
-    return est.crossJoin(F.broadcast(total)).select(
-        "term",
-        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
-        F.col("cm_est").cast("bigint").alias("cm_est"),
-        (F.col("cm_est") - F.col("exact_cnt")).cast("bigint").alias("overest"),
-        (
-            (F.col("cm_est") >= F.col("exact_cnt"))
-            & ((F.col("cm_est") - F.col("exact_cnt")) * 100 <= F.col("n_total"))
-        ).alias("cm_ok"),
+    from insect_observation_data_pipeline_spark.cache import tag_intermediates
+
+    return tag_intermediates(
+        est.crossJoin(F.broadcast(total)).select(
+            "term",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            F.col("cm_est").cast("bigint").alias("cm_est"),
+            (F.col("cm_est") - F.col("exact_cnt")).cast("bigint").alias("overest"),
+            (
+                (F.col("cm_est") >= F.col("exact_cnt"))
+                & ((F.col("cm_est") - F.col("exact_cnt")) * 100 <= F.col("n_total"))
+            ).alias("cm_ok"),
+        ),
+        (tf,),  # releasable via cache.unpersist_intermediates (round-12)
     )
 
 
@@ -556,10 +561,18 @@ def x19_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     toked = d.select(textstats.tokens(F.lower(F.col("text"))).alias("tk"))
+    # guard docs with < 2 tokens (round-12 review): sequence(1, 0) is
+    # the DESCENDING [1, 0] in Spark — element_at(tk, 0/2) then throws
+    # under ANSI (the driver's session default) or emits a phantom
+    # single-token "bigram" DuckDB's empty generate_series(1,0) never
+    # produces. Same guard idiom as dedup.doc_anchors.
+    starts = F.when(
+        F.size("tk") >= 2, F.sequence(F.lit(1), F.size("tk") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = toked.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("tk") - 1, F.lit(0))),
+                starts,
                 lambda i: F.concat_ws(
                     " ", F.element_at("tk", i), F.element_at("tk", i + 1)
                 ),

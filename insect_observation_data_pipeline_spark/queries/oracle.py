@@ -335,7 +335,12 @@ ORACLE: dict[str, str] = {
                upper(p_name) AS up_name,
                array_to_string(
                    list_transform(string_split(p_name, ' '),
-                                  w -> upper(w[1]) || substr(w, 2)),
+                                  -- lower() the tail: Spark initcap
+                                  -- LOWERCASES the rest of each word
+                                  -- ('McIntosh' -> 'Mcintosh'); the old
+                                  -- twin diverged on interior capitals
+                                  -- (round-12 review)
+                                  w -> upper(w[1]) || lower(substr(w, 2))),
                    ' ') AS cap_name,
                reverse(p_name) AS rev_name,
                CAST(length(p_name) AS INTEGER) AS name_len,
@@ -560,13 +565,12 @@ ORACLE: dict[str, str] = {
 }
 
 
-def _sr(expr: str, digits: int) -> str:
-    """Sign-stable rounding (SQL twin of functions.numeric.stable_round)."""
-    scale = 10 ** digits
-    return (
-        f"((floor(abs({expr}) * {scale}.0 + 0.5) / {scale}.0) * "
-        f"(CASE WHEN ({expr}) < 0 THEN -1.0 ELSE 1.0 END) + 0.0)"
-    )
+# single spelling of the sign-stable rounding SQL (round-12 review: two
+# more hand-maintained copies of the one formula the hash-parity scheme
+# depends on lived here and in the sibling oracle module; an edit to one
+# would desynchronize stable_round from one oracle but not the other) —
+# byte-identical output to the deleted local twin for every digits used
+from insect_observation_data_pipeline_spark.functions.numeric import sround_sql as _sr  # noqa: E501
 
 
 _W_ORDER = "PARTITION BY user_id ORDER BY ts, event_id"

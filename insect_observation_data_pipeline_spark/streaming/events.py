@@ -135,8 +135,14 @@ def sessionized_event_counts(
 
 def run_batch_backfill(spark: SparkSession, path: str) -> DataFrame:
     """Same rollup in batch mode (backfill path shares the stream code)."""
+    import os
+
     from insect_observation_data_pipeline_spark.sources.parquet import read_table
 
-    base, name = path.rsplit("/", 1)
-    events = read_table(spark, base, name.removesuffix(".parquet"))
+    # os.path.split, not rsplit('/') — a bare relative filename has no
+    # separator and the 2-tuple unpack raised ValueError (round-12
+    # review); split returns ('', name) there and read_table treats the
+    # empty base as the cwd
+    base, name = os.path.split(path)
+    events = read_table(spark, base or ".", name.removesuffix(".parquet"))
     return windowed_event_counts(events)

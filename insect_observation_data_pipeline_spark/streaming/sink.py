@@ -600,6 +600,22 @@ def dedup_ingest_sink(
         # by the replay's rollback, and schema inference on an empty dir
         # fails identically on every retry — the stream would be stuck
         if _data_files(path):
+            # a crashed compaction/migration swap leaves the live
+            # index/bands dir missing with the complete copy stranded
+            # in `.compacting`/`.migrating` — restore BEFORE the
+            # tableExists gate below (round-12 review: with the tables
+            # still registered in this session _ensure_index_tables
+            # never ran, the index scanned a missing location and read
+            # empty, every duplicate was re-admitted, and the next
+            # append recreated the dir, orphaning the stranded copy
+            # until stale-cleanup deleted it). On restore, drop the
+            # registration so _ensure_index_tables re-attaches fresh
+            # metadata — the scrub sinks' own recovery idiom.
+            for p, t in (
+                (index_path, index_table), (bands_path, bands_table)
+            ):
+                if _recover_crashed_swap(p):
+                    spark.sql(f"DROP TABLE IF EXISTS `{t}`")
             corpus = spark.read.parquet(path)
             if not spark.catalog.tableExists(index_table) or not (
                 spark.catalog.tableExists(bands_table)

@@ -95,6 +95,33 @@ def _ts_event_pairs(pdf) -> list[tuple[int, str]]:
     return list(zip((int(v) for v in ts), pdf.loc[mask, "event_type"]))
 
 
+def _with_idle_eviction(update_fn, idle_timeout_ms: int | None):
+    """Wrap a NoTimeout update function with ProcessingTime idle
+    eviction (round-12 review: per-key state otherwise grows with every
+    key ever seen — unbounded on a stream with a growing population).
+    ``idle_timeout_ms=None`` keeps the exact unbounded semantics. With a
+    timeout, a key idle for that duration has its state REMOVED after
+    its latest counts were already emitted (update mode emits per
+    batch), so a key that returns later starts fresh — the documented
+    trade for bounded state, analogous to ``dedup_stream``'s
+    watermark-bounded horizon."""
+    if idle_timeout_ms is None:
+        return update_fn
+
+    def run(key, pdfs, state):
+        if state.hasTimedOut:
+            # latest totals were emitted when last updated; just evict
+            state.remove()
+            return
+        yield from update_fn(key, pdfs, state)
+        # (re)arm AFTER the fold updated state — each batch a key
+        # appears in pushes its eviction out by idle_timeout_ms
+        # (PySpark's setTimeoutDuration takes int milliseconds)
+        state.setTimeoutDuration(idle_timeout_ms)
+
+    return run
+
+
 def _update_sessions(
     key: tuple[Any, ...],
     pdfs: Iterator["pd.DataFrame"],  # noqa: F821
@@ -122,21 +149,35 @@ def _update_sessions(
     )
 
 
-def sessionize_stateful(events: DataFrame) -> DataFrame:
+def sessionize_stateful(
+    events: DataFrame, *, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Gap-based sessionization as a custom stateful operator.
 
     Works on both a stream (``applyInPandasWithState``, update output
     mode) and a batch DataFrame (same grouping, one "batch" per key) —
     the backfill/live parity property again.
+
+    State is one entry per user EVER SEEN; with an unbounded, growing
+    user population that is unbounded state (round-12 review). Pass
+    ``idle_timeout_ms`` (processing-time milliseconds) to evict keys
+    idle that long — their latest totals were already emitted, and
+    a user who returns after eviction restarts their counts (the
+    bounded-state trade; None keeps the exact cumulative semantics the
+    batch twin replays).
     """
     grouped = events.select("user_id", "ts").groupBy("user_id")
     if events.isStreaming:
         return grouped.applyInPandasWithState(
-            _update_sessions,
+            _with_idle_eviction(_update_sessions, idle_timeout_ms),
             outputStructType=SESSION_OUTPUT_SCHEMA,
             stateStructType=SESSION_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     # batch fallback: same per-key fold without a state store
     import pandas as pd  # noqa: F401
@@ -256,7 +297,9 @@ def _update_funnel(
     )
 
 
-def funnel_stateful(events: DataFrame) -> DataFrame:
+def funnel_stateful(
+    events: DataFrame, *, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Streaming twin of the batch e6 funnel query as a custom stateful
     operator: per-user (first view, first click strictly after, first
     purchase strictly after) with O(1) state per user — three slots,
@@ -264,16 +307,24 @@ def funnel_stateful(events: DataFrame) -> DataFrame:
     progresses. Returns (user_id, ts_view, ts_click, ts_purchase,
     funnel_depth), only users who entered the funnel.
 
+    State is per-user-ever-seen; ``idle_timeout_ms`` bounds it by evicting
+    idle keys (their funnel-so-far was already emitted; a returning
+    user restarts the cascade — see :func:`sessionize_stateful`).
+
     Batch DataFrames take the same fold per key (backfill/live parity,
     asserted against e6 in tests)."""
     grouped = events.select("user_id", "ts", "event_type").groupBy("user_id")
     if events.isStreaming:
         raw = grouped.applyInPandasWithState(
-            _update_funnel,
+            _with_idle_eviction(_update_funnel, idle_timeout_ms),
             outputStructType=FUNNEL_OUTPUT_SCHEMA,
             stateStructType=FUNNEL_STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout_ms
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     else:
 

@@ -18,7 +18,17 @@ test_surrogate_keys_unique_and_no_global_window).
 Caveats that keep this oracle honest but fixture-scoped:
 - initcap here is single-word (fixture habitats are single words);
 - institution/county names are unique in the fixtures, so joining by
-  name is equivalent to joining by id.
+  name is equivalent to joining by id. Specifically (round-12): the
+  engine's user_institution dedup is (user, institution_ID, start) and
+  its attribution/fact joins ride user_institution_id, so a same-named
+  institution in two cities gets two distinct intervals and one
+  attribution each; user_institution_bk's dedup mirrors that at the
+  (name, city) business grain, but the downstream obs_attr/obs_user
+  joins here stay NAME-grain and would fan out 2x on such a fixture.
+  The engine-side semantics for that shape are pinned by
+  tests/test_etl_pipeline.py::test_user_institution_reference_parity_edges;
+  add city to this oracle's attribution chain before adding a
+  duplicate-named institution to the fixtures.
 """
 
 from __future__ import annotations
@@ -129,18 +139,23 @@ CREATE VIEW users_bk AS
          email, join_date
   FROM ranked WHERE rn = 1;
 
+-- round-12 parity fix, mirroring the engine and the reference
+-- (03_ETL1_part2.sql:191-211): INNER join to institutions BEFORE the
+-- dedup (an unknown institution name gets NO interval), dedup per
+-- (user, INSTITUTION, start) so a user joining two institutions on one
+-- date keeps both; institution identity at business-key grain is
+-- (name, city).
 CREATE VIEW user_institution_bk AS
-  WITH aff AS (
-    SELECT username, institution_name, affiliation_start AS start_date,
-           row_number() OVER (
-             PARTITION BY username, affiliation_start
-             ORDER BY institution_name
-           ) AS rn
-    FROM users_valid
-  ), dd AS (SELECT * FROM aff WHERE rn = 1)
+  WITH dd AS (
+    SELECT DISTINCT u.username, i.institution_name, i.city_name,
+           u.affiliation_start AS start_date
+    FROM users_valid u
+    JOIN institutions_bk i ON i.institution_name = u.institution_name
+  )
   SELECT username, institution_name, start_date,
          lead(start_date) OVER (
-           PARTITION BY username ORDER BY start_date
+           PARTITION BY username
+           ORDER BY start_date, institution_name, city_name
          ) - 1 AS end_date
   FROM dd;
 
@@ -202,14 +217,19 @@ CREATE VIEW obs_tagged AS
            AND (NOT regexp_matches(year_s, '^\d{4}$')
                 OR NOT (TRY_CAST(year_s AS INTEGER) BETWEEN 1800 AND 2100))
         THEN 'Invalid year.'
+      -- decimal(38,18) + IS NULL arm mirror the engine (round-12: the
+      -- reference compares an UNBOUNDED decimal, so an overflowing
+      -- value like 1000.0 must quarantine, not NULL through the CASE)
       WHEN latitude IS NOT NULL
            AND (NOT regexp_matches(latitude, '^-?\d+(\.\d+)?$')
-                OR NOT (TRY_CAST(latitude AS DECIMAL(9,6))
+                OR TRY_CAST(latitude AS DECIMAL(38,18)) IS NULL
+                OR NOT (TRY_CAST(latitude AS DECIMAL(38,18))
                         BETWEEN -90 AND 90))
         THEN 'Invalid latitude.'
       WHEN longitude IS NOT NULL
            AND (NOT regexp_matches(longitude, '^-?\d+(\.\d+)?$')
-                OR NOT (TRY_CAST(longitude AS DECIMAL(9,6))
+                OR TRY_CAST(longitude AS DECIMAL(38,18)) IS NULL
+                OR NOT (TRY_CAST(longitude AS DECIMAL(38,18))
                         BETWEEN -180 AND 180))
         THEN 'Invalid longitude.'
       WHEN pollination IS NOT NULL
@@ -321,7 +341,11 @@ CREATE VIEW obs_attr AS
   ), picked AS (
     SELECT *, row_number() OVER (
       PARTITION BY rid
-      ORDER BY p, start_date ASC NULLS LAST, username ASC NULLS LAST
+      -- inst_name completes the total order (round-12: the keeps-both
+      -- dedup can give a user two same-dated intervals at different
+      -- institutions; the engine orders by institution_name too)
+      ORDER BY p, start_date ASC NULLS LAST, username ASC NULLS LAST,
+               inst_name ASC NULLS LAST
     ) AS rn
     FROM prio
   )

@@ -568,3 +568,87 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
             )
             failures.append(f"{view}: {diff}")
     assert not failures, "\n".join(failures)
+
+
+def test_latlon_overflow_quarantined(spark, pipeline):
+    """Round-12 review (reference parity): the reference compares an
+    UNBOUNDED decimal (04_ETL1_part3.sql:183-190), so latitude='1000.0'
+    is 'Invalid latitude'. try_cast(decimal(9,6)) NULLed on overflow and
+    three-valued logic then classified the row VALID — a phantom silver
+    row + a phantom NULL-lat location the reference never creates."""
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    staged = _volume_staged(spark, 4)
+    staged = staged.withColumn(
+        "latitude",
+        F.when(F.col("raw_data_id") == 0, "1000.0")       # decimal(9,6) overflow
+        .when(F.col("raw_data_id") == 1, "100.0")          # fits, out of range
+        .when(F.col("raw_data_id") == 2, F.lit("1" * 45))  # overflows (38,18) too
+        .otherwise(F.col("latitude")),
+    ).withColumn(
+        "longitude",
+        F.when(F.col("raw_data_id") == 0, "-1000.0").otherwise(F.col("longitude")),
+    )
+    r = etl1.load_observations(
+        staged, pipeline["silver"]["users"], pipeline["silver"]["user_institution"]
+    )
+    bad = {
+        row["raw_data_id"]: row["error_message"]
+        for row in r.quarantine["invalid_observations"].collect()
+    }
+    assert set(bad) == {0, 1, 2}
+    assert all("Invalid latitude." in m for m in bad.values())
+    assert r.silver["observations"].count() == 1  # only raw_data_id 3
+
+
+def test_user_institution_reference_parity_edges(spark):
+    """Round-12 review (reference parity, 03_ETL1_part2.sql:191-211):
+    (a) an affiliation naming an institution that does not exist gets NO
+    interval (reference INNER join; the old left join minted a
+    NULL-institution interval that shifted end-date chains);
+    (b) a user joining two institutions on the same date keeps BOTH
+    intervals (reference dedup key is (user, institution, start); the
+    old (user, start) key silently dropped one);
+    (c) user_institution_id stays unique when one institution name maps
+    to two cities (two institution_ids — the old hash over
+    (user_id, start) minted duplicate ids, which double-counted
+    observations in etl2's attribution join)."""
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    inst_stg = spark.createDataFrame(
+        [
+            ("NHM", "London", "Greater London", "United Kingdom"),
+            ("NHM", "Oxford", "Oxfordshire", "United Kingdom"),
+            ("Solo Lab", "Leeds", "West Yorkshire", "United Kingdom"),
+        ],
+        "institution string, city string, county string, country string",
+    )
+    r1 = etl1.load_institutions(inst_stg)
+    users_stg = spark.createDataFrame(
+        [
+            # (b): two institutions, same start date
+            ("A. One", "aone", "a@x.org", "NHM", "2020-01-01",
+             "London", "", "Free", "2020-01-01", "2020-01-01"),
+            ("A. One", "aone", "a@x.org", "Solo Lab", "2020-01-01",
+             "Leeds", "", "Free", "2020-01-01", "2020-01-01"),
+            # (a): unknown institution -> no interval
+            ("B. Two", "btwo", "b@x.org", "Ghost Institute", "2020-01-01",
+             "", "", "Free", "2020-01-01", "2020-01-01"),
+        ],
+        "full_name string, username string, email string, institution string,"
+        " affiliation_start string, city string, county string,"
+        " subscription_type string, subscription_start string,"
+        " join_date string",
+    )
+    r2 = etl1.load_users(users_stg, r1.silver["institutions"])
+    ui = r2.silver["user_institution"].collect()
+    by_user = {}
+    for row in ui:
+        by_user.setdefault(row["institution_name"], []).append(row)
+    # (a) Ghost Institute minted nothing
+    assert "Ghost Institute" not in by_user
+    # (b)+(c): aone has NHM x2 cities + Solo Lab = 3 intervals,
+    # all with distinct surrogate ids
+    assert len(ui) == 3
+    assert len({row["user_institution_id"] for row in ui}) == 3
+    assert len(by_user["NHM"]) == 2 and len(by_user["Solo Lab"]) == 1

@@ -3334,3 +3334,58 @@ def test_unpersist_intermediates_releases_dedup_caches(spark):
         not (f.storageLevel.useMemory or f.storageLevel.useDisk)
         for f in frames
     )
+
+
+def test_text_quality_edge_docs_cross_engine(spark, tmp_path):
+    """Round-12 review: three edge shapes every real corpus contains but
+    the fixtures mask — (a) a 1-token doc (x19's sequence(1,0) DESCENDS
+    in Spark and element_at then threw under ANSI), (b) an empty /
+    whitespace-only doc (0/0 raised DIVIDE_BY_ZERO under the driver's
+    ANSI default), (c) capitalized marker words ('The' — lang_id
+    lowercases but the oracle counted raw tokens, flipping pred_lang).
+    Engine and DuckDB oracle must agree on all three."""
+    import duckdb
+
+    from insect_observation_data_pipeline_spark.queries.llm_oracle import LLM_ORACLE
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        x3_text_quality,
+        x19_bigram_topk,
+    )
+
+    docs = [
+        (1, "The Cat Sat On The Mat And Ate", "en", "s1"),
+        (2, "word", "en", "s1"),            # 1 token: no bigram
+        (3, "", "en", "s1"),                # empty: NULL ratios, no crash
+        (4, "   ", "en", "s1"),             # whitespace-only
+        (5, "the cat sat on the mat again and again", "en", "s1"),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.parquet(d + "/documents.parquet")
+
+    q = x3_text_quality(spark, d)
+    got = {r["doc_id"]: r.asDict() for r in q.collect()}  # must not raise
+    assert got[1]["pred_lang"] == "en"      # capitalized 'The' counts
+    assert got[3]["avg_token_len"] is None  # NULL, not DIVIDE_BY_ZERO
+    assert got[3]["alnum_ratio"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{d}/documents.parquet/*.parquet'"  # Spark writes a directory
+    )
+    oracle = {
+        r[0]: dict(zip([c[0] for c in con.description], r))
+        for r in con.execute(LLM_ORACLE["x3_text_quality"]).fetchall()
+    }
+    for doc_id, row in got.items():
+        for col in ("pred_lang", "n_tokens", "avg_token_len",
+                    "stopword_ratio", "alnum_ratio", "quality_score"):
+            assert row[col] == oracle[doc_id][col], (doc_id, col, row[col],
+                                                     oracle[doc_id][col])
+
+    # x19 on the same corpus: 1-token/empty docs emit nothing, no crash
+    bigrams = {r["bigram"] for r in x19_bigram_topk(spark, d).collect()}
+    assert "word" not in bigrams and "" not in bigrams
+    assert "the cat" in bigrams

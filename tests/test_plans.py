@@ -364,3 +364,30 @@ def test_shuffle_measurement_fails_loudly_when_vacuous(spark):
     df.collect()  # materializes this df's map-side shuffle output
     with pytest.raises(RuntimeError, match="SKIPPED"):
         shuffle_write_stages(df)
+
+
+def test_pushed_filters_returns_whole_entries(spark, tmp_path):
+    """Round-12 review: the old regex truncated PushedFilters at the
+    first ']' inside an In(col, [...]) entry and the flat comma split
+    sheared GreaterThan(col,45.0) into fragments — a pruning audit
+    under-reported pushdown and no assertion on a whole entry could
+    match. Entries must come back complete."""
+    from insect_observation_data_pipeline_spark.plans import pushed_filters
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(100).selectExpr(
+        "id", "id % 7 AS k", "CAST(id AS DOUBLE) AS v"
+    ).write.parquet(p)
+    df = (
+        spark.read.parquet(p)
+        .filter("k IN (1, 2, 3)")
+        .filter("v > 45.0")
+        .select("id")
+    )
+    got = pushed_filters(df)
+    assert any(e.startswith("In(k") and e.endswith(")") for e in got), got
+    assert any(
+        e.startswith("GreaterThan(v") and e.endswith("45.0)") for e in got
+    ), got
+    # no sheared fragments
+    assert all("(" in e or not e.endswith(")") for e in got), got

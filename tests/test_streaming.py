@@ -2420,3 +2420,80 @@ def test_large_corpus_posture_bounded_sink_plus_batch_sweep(spark, tmp_path):
     }
     assert swept == want
     assert cross not in swept[3] and cross not in swept[5]
+
+
+def test_dedup_ingest_sink_recovers_crashed_swap_same_session(spark, tmp_path):
+    """Round-12 review: the crashed-swap restore used to be reachable
+    only through _ensure_index_tables, which is gated on tableExists —
+    in the SAME session (tables still registered) a crash between the
+    compaction renames left the index dir missing, the registered table
+    scanned a missing location (read empty / failed), every duplicate
+    was re-admitted, and the next append recreated the dir so the
+    stranded complete copy could never be restored. The sink now calls
+    _recover_crashed_swap unconditionally before reading the index."""
+    import hashlib as _hl
+    import os as _os
+    import shutil as _sh
+
+    from insect_observation_data_pipeline_spark.streaming import dedup_ingest_sink
+
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    d = "nothing like anything else in this tiny stream at all honestly"
+    corpus = str(tmp_path / "samesess_corpus")
+    handle = dedup_ingest_sink(corpus, threshold=0.2, index_buckets=2)
+    handle(
+        spark.createDataFrame([(1, a), (2, d)], "doc_id long, text string"), 0
+    )
+    suffix = _hl.md5(corpus.encode()).hexdigest()[:10]
+    assert spark.catalog.tableExists(f"dedup_index_{suffix}")
+
+    # crash mid-swap; the session (and its table registrations) survives
+    _sh.move(f"{corpus}__index", f"{corpus}__index.compacting")
+
+    handle(
+        spark.createDataFrame(
+            [(3, a), (4, a + " with a tiny tail"),
+             (5, "wholly new text about nothing seen before at all")],
+            "doc_id long, text string",
+        ),
+        1,
+    )
+    got = {r["doc_id"] for r in spark.read.parquet(corpus).collect()}
+    assert got == {1, 2, 5}  # 3 exact-dups 1, 4 near-dups 1 — both rejected
+    idx = spark.table(f"dedup_index_{suffix}")
+    assert {r["doc_id"] for r in idx.select("doc_id").collect()} == {1, 2, 5}
+    assert not _os.path.exists(f"{corpus}__index.compacting")
+
+
+def test_stateful_idle_timeout_smoke(spark, tmp_path):
+    """Round-12 review: per-key state in the stateful operators is
+    unbounded without eviction. The idle_timeout knob arms
+    ProcessingTimeTimeout; within one trigger no timeout can fire, so
+    results must equal the NoTimeout path — the knob's semantics under
+    idleness are documented on the operators (state evicted after its
+    counts were emitted)."""
+    from insect_observation_data_pipeline_spark.streaming.stateful import (
+        sessionize_stateful,
+    )
+
+    rows = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:05:00"),
+            (2, "2024-01-01 11:00:00")]
+    src = str(tmp_path / "ev")
+    spark.createDataFrame(rows, "user_id long, ts string").selectExpr(
+        "user_id", "CAST(ts AS TIMESTAMP) AS ts"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    out = sessionize_stateful(stream, idle_timeout_ms=30 * 60 * 1000)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("idle_smoke")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_sessions"])
+        for r in spark.sql("SELECT * FROM idle_smoke").collect()
+    }
+    assert got == {1: (2, 1), 2: (1, 1)}

@@ -13,13 +13,13 @@ Usage: python tools/audit_plans.py [out.json] [sf_dir]
 from __future__ import annotations
 
 import json
+import re
 import sys
 
 sys.path.insert(0, ".")
 
 from insect_observation_data_pipeline_spark.plans.inspect import (  # noqa: E402
     executed_plan_string,
-    formatted_plan,
     plan_flags,
     read_schema_columns,
     simple_plan,
@@ -38,15 +38,26 @@ def main() -> None:
     for name, fn in QUERIES.items():
         df = fn(spark, sf_dir)
         flags = plan_flags(df)
-        plan = formatted_plan(df)
         scans = read_schema_columns(df)
-        # shuffle counts need SIMPLE mode (formatted splits "Exchange"
-        # from its partitioning across lines -> substring count reads 0,
-        # which is what PLANS_r05/r06 silently recorded); codegen needs
-        # the EXECUTED plan (AQE materializes WholeStageCodegen only as
-        # stages run)
+        # exchange/broadcast counts come from the FINAL EXECUTED plan
+        # (round-12 review): it is the plan the engine actually ran —
+        # AQE runtime re-plans (SMJ->broadcast conversion, coalesced
+        # shuffles) appear nowhere else — each node prints exactly once
+        # (formatted mode lists every node twice, which doubled
+        # broadcast_exchanges in PLANS_r<=12), and the line-anchored
+        # regex counts EVERY shuffle flavor (hash/range/SinglePartition/
+        # round-robin; the old simple-mode substring count missed the
+        # final shuffle of every global aggregate) while never matching
+        # ReusedExchange. The string is sliced at "== Initial Plan =="
+        # because AQE's toString appends the pre-execution tree too.
+        # Codegen also needs the executed plan (AQE materializes
+        # WholeStageCodegen only as stages run). Simple mode remains the
+        # fallback for a query whose collect failed.
         splan = simple_plan(df)
         executed = executed_plan_string(df)
+        final = executed.split("== Initial Plan ==")[0]
+        ex_re = re.compile(r"(?m)^[\s+:\-*()0-9]*Exchange ")
+        bx_re = re.compile(r"(?m)^[\s+:\-*()0-9]*BroadcastExchange ")
         results[name] = {
             **flags,
             # the executed-plan string renders codegen spans as "*(N)"
@@ -58,10 +69,19 @@ def main() -> None:
             ),
             "unpartitioned_windows": unpartitioned_windows(df),
             "exchanges": (
-                splan.count("Exchange hashpartitioning")
-                + splan.count("Exchange rangepartitioning")
+                len(ex_re.findall(final))
+                if executed
+                else (
+                    splan.count("Exchange hashpartitioning")
+                    + splan.count("Exchange rangepartitioning")
+                    + splan.count("Exchange SinglePartition")
+                )
             ),
-            "broadcast_exchanges": plan.count("BroadcastExchange"),
+            "broadcast_exchanges": (
+                len(bx_re.findall(final))
+                if executed
+                else splan.count("BroadcastExchange")
+            ),
             "executed": bool(executed),
             "scan_columns": [len(c) for c in scans],
         }

@@ -24,7 +24,13 @@ sys.path.insert(0, str(REPO))
 from insect_observation_data_pipeline_spark.queries import _fold_green  # noqa: E402
 
 
-def build() -> dict:
+def build() -> tuple[dict, list[str]]:
+    """Returns (summary, skipped-artifact names). Skips are LOUD at the
+    call sites: main() exits nonzero on any (round-12 review: a
+    truncated committed artifact previously warned on stderr but exited
+    0, so a scripted regeneration committed a summary silently missing
+    that round's greens — and the import path only reads artifacts
+    NEWER than folded_through, making the loss permanent)."""
     last: dict[str, int] = {}
     folded_through = 0
     skipped: list[str] = []
@@ -46,20 +52,31 @@ def build() -> dict:
     if skipped:
         print(f"WARNING: unparseable artifacts skipped: {skipped}",
               file=sys.stderr)
-    return {
-        "folded_through": folded_through,
-        "last_green": dict(sorted(last.items())),
-    }
+    return (
+        {
+            "folded_through": folded_through,
+            "last_green": dict(sorted(last.items())),
+        },
+        skipped,
+    )
 
 
 def main() -> int:
     out = REPO / "GREEN_SUMMARY.json"
-    summary = build()
+    summary, skipped = build()
     out.write_text(json.dumps(summary, indent=1) + "\n")
     print(
         f"wrote {out.name}: {len(summary['last_green'])} queries folded "
         f"through round {summary['folded_through']}"
     )
+    if skipped:
+        print(
+            f"ERROR: {len(skipped)} committed artifact(s) unreadable "
+            f"({skipped}) — the summary is missing their greens; repair "
+            "the artifacts before committing this fold",
+            file=sys.stderr,
+        )
+        return 1
     return 0
 
 

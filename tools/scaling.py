@@ -235,9 +235,12 @@ def main() -> None:
         for key in (_sf_key(d) for d in SF_DIRS)
     }
 
-    def ratio(t: dict[str, float], a: str, b: str, net: float = 0.0):
-        if a in t and b in t and t[a] - net > 0.005:
-            return round((t[b] - net) / (t[a] - net), 2)
+    def ratio(
+        t: dict[str, float], a: str, b: str,
+        net_a: float = 0.0, net_b: float = 0.0,
+    ):
+        if a in t and b in t and t[a] - net_a > 0.005:
+            return round((t[b] - net_b) / (t[a] - net_a), 2)
         return None
 
     queries = {}
@@ -246,44 +249,35 @@ def main() -> None:
             "sec": t,
             "ratio_001_to_01": ratio(t, "0.001", "0.01"),
             "ratio_01_to_1": ratio(t, "0.01", "0.1"),
+            # EACH scale's own floor (round-12 review: the old form
+            # subtracted the single global minimum from both scales,
+            # so per-scale fixed session overhead — which grows with
+            # sf — still inflated the "netted" growth ratio the field
+            # claims to remove)
             "net_ratio_01_to_1": ratio(
-                t, "0.01", "0.1", net=min(floors.values())
+                t, "0.01", "0.1",
+                net_a=floors.get("0.01", 0.0), net_b=floors.get("0.1", 0.0),
             ),
         }
 
-    print(
-        json.dumps(
-            {
-                "metric": "wall-clock growth per 10x data (noop sink)",
-                "sf_dirs": SF_DIRS,
-                "n": n_runs,
-                "overhead_sec": floors,
-                "calib_sec_per_scale_loop": calib,
-                "errors": errors,
-                "notes": QUERY_NOTES,
-                "queries": queries,
-            },
-            indent=1,
-        )
-    )
     from tools.compare import artifact_meta
 
+    # ONE payload for stdout and the committed file (round-12 review:
+    # two hand-mirrored dict literals could drift field-by-field); the
+    # printed form simply omits the provenance stamp
+    payload = {
+        "metric": "wall-clock growth per 10x data (noop sink)",
+        "sf_dirs": SF_DIRS,
+        "n": n_runs,
+        "overhead_sec": floors,
+        "calib_sec_per_scale_loop": calib,
+        "errors": errors,
+        "notes": QUERY_NOTES,
+        "queries": queries,
+    }
+    print(json.dumps(payload, indent=1))
     with open(out_path, "w") as f:
-        json.dump(
-            {
-                "metric": "wall-clock growth per 10x data (noop sink)",
-                "sf_dirs": SF_DIRS,
-                "n": n_runs,
-                "overhead_sec": floors,
-                "calib_sec_per_scale_loop": calib,
-                "errors": errors,
-                "notes": QUERY_NOTES,
-                "queries": queries,
-                "__meta__": artifact_meta(),
-            },
-            f,
-            indent=1,
-        )
+        json.dump({**payload, "__meta__": artifact_meta()}, f, indent=1)
         f.write("\n")
 
 
