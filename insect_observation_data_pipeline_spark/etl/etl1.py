@@ -261,11 +261,24 @@ def load_users(staging: DataFrame, institutions: DataFrame) -> Etl1Result:
         ["username", "institution_id", "affiliation_start"],
         [F.col("institution_name").asc()],
     )
+    # tiebreak: institution_name first (business key — every realistic
+    # corpus resolves here, keeping the DuckDB replay engine-agnostic),
+    # then institution_id as the engine-internal TOTAL order: two
+    # same-named institutions in different cities give a user two rows
+    # tied on (username, start, name), and without a total order the
+    # lead() end-date chain flips per shuffle (round-12 follow-up
+    # review). The id is a deterministic business-key hash, so replays
+    # of THIS engine are stable; the oracle declares the duplicate-name
+    # shape out of its name-grain scope (tests/duckdb_etl_oracle.py
+    # header).
     user_institution = scd2_end_date(
         aff.withColumnRenamed("affiliation_start", "start_date"),
         ["username"],
         "start_date",
-        order_tiebreak=[F.col("institution_name").asc()],
+        order_tiebreak=[
+            F.col("institution_name").asc(),
+            F.col("institution_id").asc(),
+        ],
     ).join(F.broadcast(users.select("user_id", "username")), "username")
     user_institution = _sk(
         user_institution.select(
@@ -546,6 +559,11 @@ def load_observations(
         F.col("start_date").asc_nulls_last(),
         F.col("username").asc_nulls_last(),
         F.col("institution_name").asc_nulls_last(),
+        # engine-internal TOTAL order (round-12 follow-up): same-named
+        # institutions in two cities tie on everything above; the
+        # deterministic hash id keeps replays of this engine stable,
+        # beyond the oracle's declared name-grain scope
+        F.col("user_institution_id").asc_nulls_last(),
     )
     attributed = (
         matched.withColumn("__prio", prio)

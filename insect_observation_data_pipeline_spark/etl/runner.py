@@ -58,20 +58,22 @@ def run_etl1(spark: SparkSession, raw_dir: str, warehouse: str) -> str:
     users_stg = read_csv_staging(
         spark, os.path.join(raw_dir, "users.csv"), etl1.USERS_COLS
     )
-    # PERSIST the observation staging frame (round-12 review): every
-    # silver/quarantine table below is its own write action over lazy
-    # lineage, so without this the CSV scan + rule split re-ran once per
-    # table (~7 full input scans at the 100 TB posture), and — worse —
-    # raw_data_id was re-ASSIGNED per action: monotonically_increasing_id
-    # is deterministic only per (partition, row-position), so any scan
-    # partitioning drift between the observations write and the
-    # quarantine write could silently break the silver<->quarantine id
-    # linkage. One materialization pins the ids for the whole run (the
-    # reference's SERIAL is likewise run-scoped) and every write reads
-    # the cache. The institutions/users CSVs are dimension-sized; their
-    # recompute is a non-issue.
-    from pyspark import StorageLevel
-
+    # MATERIALIZE the id-stamped staging frame (round-12 review +
+    # follow-up): every silver/quarantine table below is its own write
+    # action over lazy lineage, so without this the CSV scan + rule
+    # split re-ran once per table (~7 full input scans at the 100 TB
+    # posture), and — worse — raw_data_id was re-ASSIGNED per action:
+    # monotonically_increasing_id is deterministic only per (partition,
+    # row-position), so any scan drift between the observations write
+    # and the quarantine write silently breaks their id linkage.
+    # localCheckpoint(eager), not persist: a persist-only pin is soft —
+    # cached partitions lost to executor failure RECOMPUTE from the CSV
+    # lineage and re-assign ids mid-run. The checkpoint cuts lineage,
+    # so a lost block fails the run LOUDLY instead (a production
+    # incremental pipeline stages the id-stamped frame to the
+    # warehouse and re-reads it — the same barrier, restartable). The
+    # reference's SERIAL is likewise run-scoped. The institutions/users
+    # CSVs are dimension-sized; their recompute is a non-issue.
     obs_stg = (
         read_csv_staging(
             spark,
@@ -80,7 +82,7 @@ def run_etl1(spark: SparkSession, raw_dir: str, warehouse: str) -> str:
             encoding="ISO-8859-1",
         )
         .withColumn("raw_data_id", F.monotonically_increasing_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
 
     try:

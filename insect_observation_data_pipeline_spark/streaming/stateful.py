@@ -166,6 +166,15 @@ def sessionize_stateful(
     bounded-state trade; None keeps the exact cumulative semantics the
     batch twin replays).
     """
+    if idle_timeout_ms is not None and idle_timeout_ms <= 0:
+        # 0 is falsy at the timeoutConf pick but not None at the
+        # wrapper, so it would arm setTimeoutDuration under NoTimeout
+        # and kill the stream on its first keyed batch (round-12
+        # follow-up review); "no eviction" is spelled None
+        raise ValueError(
+            f"idle_timeout_ms must be a positive duration or None, "
+            f"got {idle_timeout_ms!r}"
+        )
     grouped = events.select("user_id", "ts").groupBy("user_id")
     if events.isStreaming:
         return grouped.applyInPandasWithState(
@@ -313,6 +322,11 @@ def funnel_stateful(
 
     Batch DataFrames take the same fold per key (backfill/live parity,
     asserted against e6 in tests)."""
+    if idle_timeout_ms is not None and idle_timeout_ms <= 0:
+        raise ValueError(  # see sessionize_stateful
+            f"idle_timeout_ms must be a positive duration or None, "
+            f"got {idle_timeout_ms!r}"
+        )
     grouped = events.select("user_id", "ts", "event_type").groupBy("user_id")
     if events.isStreaming:
         raw = grouped.applyInPandasWithState(

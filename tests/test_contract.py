@@ -678,3 +678,34 @@ def test_exempt_twins_still_rotate():
         "containment_keep no longer calls containment_pairs — "
         "x32_containment's exemption rationale is stale"
     )
+
+
+def test_green_summary_refuses_to_write_on_corrupt_artifact(tmp_path, monkeypatch):
+    """Round-12 follow-up: a corrupt committed CORRECTNESS artifact must
+    make tools/green_summary.py refuse to WRITE the summary (not merely
+    exit nonzero after writing): a flow ignoring the exit code would
+    otherwise commit a fold silently missing that round's greens, and
+    import never re-reads artifacts at or below folded_through."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    from tools import green_summary
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"qa": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_bytes(b"\xff\xfecorrupt")
+    monkeypatch.setattr(green_summary, "REPO", tmp_path)
+    rc = green_summary.main()
+    assert rc == 1
+    assert not (tmp_path / "GREEN_SUMMARY.json").exists()
+
+    # with the corruption repaired, the fold writes and exits 0
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"qa": {"hash_match": True}})
+    )
+    assert green_summary.main() == 0
+    got = json.loads((tmp_path / "GREEN_SUMMARY.json").read_text())
+    assert got["folded_through"] == 2 and got["last_green"] == {"qa": 2}

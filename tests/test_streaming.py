@@ -2497,3 +2497,27 @@ def test_stateful_idle_timeout_smoke(spark, tmp_path):
         for r in spark.sql("SELECT * FROM idle_smoke").collect()
     }
     assert got == {1: (2, 1), 2: (1, 1)}
+
+
+def test_stateful_idle_timeout_rejects_non_positive(spark):
+    """Round-12 follow-up: idle_timeout_ms=0 is falsy at the
+    timeoutConf pick but not None at the eviction wrapper, so it would
+    arm setTimeoutDuration under NoTimeout and kill the stream on its
+    first keyed batch; 'no eviction' is spelled None, and zero/negative
+    values raise up front."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.streaming.stateful import (
+        funnel_stateful,
+        sessionize_stateful,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "view")],
+        "user_id long, ts string, event_type string",
+    ).selectExpr("user_id", "CAST(ts AS TIMESTAMP) AS ts", "event_type")
+    for bad in (0, -5):
+        with pytest.raises(ValueError, match="positive duration"):
+            sessionize_stateful(df, idle_timeout_ms=bad)
+        with pytest.raises(ValueError, match="positive duration"):
+            funnel_stateful(df, idle_timeout_ms=bad)

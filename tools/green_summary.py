@@ -64,19 +64,23 @@ def build() -> tuple[dict, list[str]]:
 def main() -> int:
     out = REPO / "GREEN_SUMMARY.json"
     summary, skipped = build()
+    if skipped:
+        # refuse to WRITE, not just to exit nonzero (round-12 follow-up
+        # review: a flow ignoring the exit code would still commit the
+        # lossy summary, and the loss is permanent because import only
+        # reads artifacts newer than folded_through)
+        print(
+            f"ERROR: {len(skipped)} committed artifact(s) unreadable "
+            f"({skipped}) — refusing to write {out.name}; repair the "
+            "artifacts first",
+            file=sys.stderr,
+        )
+        return 1
     out.write_text(json.dumps(summary, indent=1) + "\n")
     print(
         f"wrote {out.name}: {len(summary['last_green'])} queries folded "
         f"through round {summary['folded_through']}"
     )
-    if skipped:
-        print(
-            f"ERROR: {len(skipped)} committed artifact(s) unreadable "
-            f"({skipped}) — the summary is missing their greens; repair "
-            "the artifacts before committing this fold",
-            file=sys.stderr,
-        )
-        return 1
     return 0
 
 
