@@ -90,6 +90,32 @@ from insect_observation_data_pipeline_spark.queries import QUERIES
 # index_raw_vs_epoch; outside that band prefer index_norm_vs_epoch.
 EPOCH_SRC = "BENCH_r07.json"
 EPOCH_CALIB_OPS = {"codegen": 0.091, "shuffle": 0.351, "sort": 1.313}
+
+# EPOCH_CHAIN: re-base links for the README's epoch re-anchoring policy
+# (round-13 scaffolding, VERDICT r12 #3). When calib_drift_vs_epoch
+# leaves [0.5, 2.0] two rounds running, append ONE dict here —
+#   {"round": N, "calib_factor": c, "query_factor": q}
+# where c = median per-op ratio (new round's calib_ops / the CHAINED
+# epoch calib at that point) and q = the same-set query-total ratio
+# (new round's epoch-common total / chained epoch total) measured at
+# the re-base round — and the index computation multiplies the pinned
+# round-7 anchors through every link. Re-basing is then a DATA-only
+# change: the chain records the conversion, EPOCH_* stay untouched,
+# and any two rounds still compare through the composed factors.
+EPOCH_CHAIN: list[dict] = []
+
+
+def chained_epoch() -> tuple[dict, dict]:
+    """The round-7 epoch anchors multiplied through every EPOCH_CHAIN
+    link: (calib_ops, query_seconds) in the CURRENT regime's units."""
+    calib = dict(EPOCH_CALIB_OPS)
+    queries = dict(EPOCH_QUERIES)
+    for link in EPOCH_CHAIN:
+        c = link["calib_factor"]
+        q = link.get("query_factor", c)
+        calib = {op: v * c for op, v in calib.items()}
+        queries = {n: v * q for n, v in queries.items()}
+    return calib, queries
 EPOCH_QUERIES = {
     "q1_pricing_summary": 0.676,
     "q3_shipping_priority": 0.858,
@@ -546,21 +572,22 @@ def main() -> None:
     # the cross-round-comparable EPOCH index (see EPOCH_SRC note):
     # every round positions itself against the same pinned round-7
     # anchors, raw and drift-normalized
+    epoch_calib, epoch_queries = chained_epoch()
     drift_ops_epoch = {
-        op: round(calib_ops[op] / EPOCH_CALIB_OPS[op], 3)
-        for op in EPOCH_CALIB_OPS
+        op: round(calib_ops[op] / epoch_calib[op], 3)
+        for op in epoch_calib
         if calib_ops.get(op)
     }
     drift_epoch = round(statistics.median(drift_ops_epoch.values()), 3)
     index_raw = {
-        n: round(timings[n] / EPOCH_QUERIES[n], 3)
+        n: round(timings[n] / epoch_queries[n], 3)
         for n in timings
-        if EPOCH_QUERIES.get(n)
+        if epoch_queries.get(n)
     }
     epoch_common = sum(
-        v for n, v in EPOCH_QUERIES.items() if timings.get(n)
+        v for n, v in epoch_queries.items() if timings.get(n)
     )
-    now_common = sum(v for n, v in timings.items() if EPOCH_QUERIES.get(n))
+    now_common = sum(v for n, v in timings.items() if epoch_queries.get(n))
     index_raw_total = (
         round(now_common / epoch_common, 3) if epoch_common else None
     )
@@ -588,6 +615,7 @@ def main() -> None:
             "total_delta_calib_normalized": total_norm,
             "prev_src": prev.get("_src"),
             "epoch_src": EPOCH_SRC,
+            "epoch_chain_len": len(EPOCH_CHAIN),
             "index_raw_vs_epoch": index_raw,
             "index_norm_vs_epoch": index_norm,
             "deltas_vs_prev": deltas,

@@ -51,6 +51,7 @@ from insect_observation_data_pipeline_spark.operators import (
     scd2_end_date,
     split_valid_invalid,
 )
+from insect_observation_data_pipeline_spark.sources.seed import SUBSCRIPTION_TYPES
 
 # raw CSV layouts (FIXTURES.md §1-3; staging DDL 02_ETL1_part1.sql:7-12,
 # 03_ETL1_part2.sql:6-18, 04_ETL1_part3.sql:9-40)
@@ -188,9 +189,21 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
 # ---------------------------------------------------------------------------
 
 
-def load_users(staging: DataFrame, institutions: DataFrame) -> Etl1Result:
+def load_users(
+    staging: DataFrame, institutions: DataFrame, cities: DataFrame | None = None
+) -> Etl1Result:
     """Staging users -> users, user_institution (SCD2), user_subscription
-    (SCD2). Reference: 03_ETL1_part2.sql:54-246."""
+    (SCD2). Reference: 03_ETL1_part2.sql:54-246.
+
+    ``cities`` (the silver cities frame) recovers each institution's CITY
+    NAME: (institution_name, city_name) is the institution's business
+    identity (the OLTP UNIQUE is per name+city), and every ordering that
+    must break ties between same-named institutions does so on that
+    business pair — replayable by any engine — rather than on the
+    engine-local hash id (round-13, closing the round-12 ADVICE item).
+    Passing None degrades the tiebreak to the hash id (still a total
+    order, still deterministic for THIS engine, but not cross-engine
+    replayable)."""
     required = [
         "full_name", "username", "email", "institution",
         "affiliation_start", "subscription_type", "subscription_start",
@@ -251,59 +264,86 @@ def load_users(staging: DataFrame, institutions: DataFrame) -> Etl1Result:
     #   (user_id, start_date) hash minted DUPLICATE user_institution_id
     #   values on the name fan-out, and etl2's attribution join then
     #   double-counted those observations in the user facts).
+    inst_dim = institutions.select("institution_id", "institution_name", "city_id")
+    if cities is not None:
+        inst_dim = inst_dim.join(
+            F.broadcast(cities.select("city_id", "city_name")), "city_id", "left"
+        )
+    else:
+        inst_dim = inst_dim.withColumn("city_name", F.lit(None).cast("string"))
+    inst_dim = inst_dim.select("institution_id", "institution_name", "city_name")
     aff = distinct_on(
         valid.select("username", "institution_name", "affiliation_start").join(
-            F.broadcast(
-                institutions.select("institution_id", "institution_name")
-            ),
+            F.broadcast(inst_dim),
             "institution_name",
         ),
         ["username", "institution_id", "affiliation_start"],
         [F.col("institution_name").asc()],
     )
-    # tiebreak: institution_name first (business key — every realistic
-    # corpus resolves here, keeping the DuckDB replay engine-agnostic),
-    # then institution_id as the engine-internal TOTAL order: two
+    # tiebreak: the institution's BUSINESS identity (name, city) — two
     # same-named institutions in different cities give a user two rows
     # tied on (username, start, name), and without a total order the
     # lead() end-date chain flips per shuffle (round-12 follow-up
-    # review). The id is a deterministic business-key hash, so replays
-    # of THIS engine are stable; the oracle declares the duplicate-name
-    # shape out of its name-grain scope (tests/duckdb_etl_oracle.py
-    # header).
+    # review). Ordering on (name, city) instead of the engine-local hash
+    # id makes the pick replayable by any engine (the DuckDB e2e oracle
+    # orders the same way; round-13 ADVICE close-out). institution_id
+    # stays as a LAST-RESORT leg only for the degenerate duplicate
+    # (name, city) pair — impossible by construction (institutions are
+    # distinct on that pair) except a CSV row colliding with the seeded
+    # 'Unaffiliated'.
     user_institution = scd2_end_date(
         aff.withColumnRenamed("affiliation_start", "start_date"),
         ["username"],
         "start_date",
         order_tiebreak=[
             F.col("institution_name").asc(),
+            F.col("city_name").asc_nulls_last(),
             F.col("institution_id").asc(),
         ],
     ).join(F.broadcast(users.select("user_id", "username")), "username")
     user_institution = _sk(
         user_institution.select(
-            "user_id", "institution_id", "institution_name", "start_date", "end_date"
+            "user_id", "institution_id", "institution_name", "city_name",
+            "start_date", "end_date",
         ),
         "user_institution_id",
         ["user_id", "institution_id", "start_date"],
     )
 
-    subs = distinct_on(
-        valid.select("username", "subscription_type_name", "subscription_start"),
-        ["username", "subscription_start"],
-        [F.col("subscription_type_name").asc()],
+    # Subscriptions mirror the reference's insert exactly
+    # (03_ETL1_part2.sql:137-156, round-13 parity fix):
+    # - INNER join to the five SEEDED subscription_types (an unknown type
+    #   gets NO interval — the user row itself still lands in users);
+    #   the seed is a static literal list, so the join is an isin()
+    #   filter, not a shuffle;
+    # - dedup grain is (user, TYPE, start) — a user starting two types on
+    #   one date keeps BOTH intervals (DISTINCT ON (user_id,
+    #   subscription_type_id, start_date)); the old (user, start) grain
+    #   silently dropped one;
+    # - the type therefore joins the end-date tiebreak and the surrogate
+    #   hash (the (user_id, start_date) hash would mint duplicate ids on
+    #   the keeps-both shape).
+    subs = (
+        valid.filter(
+            F.col("subscription_type_name").isin(
+                [t[0] for t in SUBSCRIPTION_TYPES]
+            )
+        )
+        .select("username", "subscription_type_name", "subscription_start")
+        .distinct()
     )
     user_subscription = scd2_end_date(
         subs.withColumnRenamed("subscription_start", "start_date"),
         ["username"],
         "start_date",
+        order_tiebreak=[F.col("subscription_type_name").asc()],
     ).join(F.broadcast(users.select("user_id", "username")), "username")
     user_subscription = _sk(
         user_subscription.select(
             "user_id", "subscription_type_name", "start_date", "end_date"
         ),
         "user_subscription_id",
-        ["user_id", "start_date"],
+        ["user_id", "subscription_type_name", "start_date"],
     )
 
     return Etl1Result(
@@ -515,6 +555,7 @@ def load_observations(
             "last_name",
             "user_institution_id",
             "institution_name",
+            "city_name",
             "start_date",
             "end_date",
         )
@@ -559,10 +600,13 @@ def load_observations(
         F.col("start_date").asc_nulls_last(),
         F.col("username").asc_nulls_last(),
         F.col("institution_name").asc_nulls_last(),
-        # engine-internal TOTAL order (round-12 follow-up): same-named
-        # institutions in two cities tie on everything above; the
-        # deterministic hash id keeps replays of this engine stable,
-        # beyond the oracle's declared name-grain scope
+        # (name, city) is the institution's business identity: same-named
+        # institutions in two cities tie on everything above, and the
+        # city leg keeps the pick replayable by any engine (the DuckDB
+        # e2e oracle orders identically; round-13). The hash id is a
+        # last-resort leg for the degenerate duplicate-(name, city) pair
+        # only.
+        F.col("city_name").asc_nulls_last(),
         F.col("user_institution_id").asc_nulls_last(),
     )
     attributed = (
@@ -571,7 +615,7 @@ def load_observations(
         .filter(F.col("__rn") == 1)
         .drop(
             "__prio", "__rn", "username", "last_name", "institution_name",
-            "start_date", "end_date",
+            "city_name", "start_date", "end_date",
         )
     )
 

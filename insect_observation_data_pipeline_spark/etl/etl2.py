@@ -125,7 +125,11 @@ def build_dims(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:
             "end_date",
         ),
         "subscription_type_sk",
-        ["user_id_bk", "start_date"],
+        # full natural key (07_ETL2_part1.sql:86-90: the reference's
+        # insert dedups on user+type+start): silver's keeps-both grain
+        # means a user can start two TYPES on one date, and a
+        # (user, start) hash minted duplicate sks for them (round-13)
+        ["user_id_bk", "type_name", "start_date"],
     )
     dims["dim_institution"] = _sk(
         silver["user_institution"].select(
@@ -136,7 +140,12 @@ def build_dims(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:
             "end_date",
         ),
         "institution_sk",
-        ["user_id_bk", "start_date"],
+        # full natural key (07_ETL2_part1.sql:115-119: insert dedups on
+        # user+institution+start): silver's keeps-both grain means a user
+        # can join two institutions on one date — or one NAME in two
+        # cities — and a (user, start) hash minted duplicate sks, which
+        # merged distinct institutions in the fact group-bys (round-13)
+        ["user_id_bk", "institution_id_bk", "start_date"],
     )
     return dims
 

@@ -85,20 +85,25 @@ def run_etl1(spark: SparkSession, raw_dir: str, warehouse: str) -> str:
         .localCheckpoint(eager=True)
     )
 
-    try:
-        r1 = etl1.load_institutions(inst_stg)
-        r2 = etl1.load_users(users_stg, r1.silver["institutions"])
-        r3 = etl1.load_observations(
-            obs_stg, r2.silver["users"], r2.silver["user_institution"]
-        )
-        silver = {**r1.silver, **r2.silver, **r3.silver}
-        quarantine = {**r1.quarantine, **r2.quarantine, **r3.quarantine}
+    r1 = etl1.load_institutions(inst_stg)
+    r2 = etl1.load_users(
+        users_stg, r1.silver["institutions"], r1.silver["cities"]
+    )
+    r3 = etl1.load_observations(
+        obs_stg, r2.silver["users"], r2.silver["user_institution"]
+    )
+    silver = {**r1.silver, **r2.silver, **r3.silver}
+    quarantine = {**r1.quarantine, **r2.quarantine, **r3.quarantine}
 
-        silver_dir = os.path.join(warehouse, "silver")
-        _write_layer(silver, silver_dir)
-        _write_layer(quarantine, os.path.join(warehouse, "quarantine"))
-    finally:
-        obs_stg.unpersist()
+    silver_dir = os.path.join(warehouse, "silver")
+    _write_layer(silver, silver_dir)
+    _write_layer(quarantine, os.path.join(warehouse, "quarantine"))
+    # no unpersist(): the frame is localCheckpoint-ed, not cached, and
+    # Dataset.unpersist only consults the cache manager — checkpoint
+    # blocks are held by the internal RDD and released when the
+    # ContextCleaner GCs it after this function's references drop
+    # (round-13 ADVICE close-out: the old finally-block unpersist() was
+    # a no-op that implied surgical release this code never had)
     return silver_dir
 
 

@@ -59,12 +59,14 @@ def band_join(
     # DIV truncates toward zero, so correct negative non-divisible
     # values down by one (% follows the dividend's sign in Spark SQL).
     d = int(delta)
-    if d < 1:
-        # delta=0 or a fractional delta truncated to 0 would make every
-        # bucket `x DIV 0` = NULL — NULL == NULL never joins, so the
-        # call would silently return zero matches (round-12 review).
-        # Fractional bands: scale the value expressions to integer
-        # units first (e.g. seconds -> micros), exactly as the
+    if d < 1 or d != delta:
+        # delta=0 (or a fractional delta truncated to 0) would make every
+        # bucket `x DIV 0` = NULL — NULL == NULL never joins, so the call
+        # would silently return zero matches (round-12 review). ANY
+        # fractional delta is equally wrong: int(5.7) -> 5 silently
+        # narrows the band (round-13 ADVICE close-out rejects them all
+        # consistently). Fractional bands: scale the value expressions to
+        # integer units first (e.g. seconds -> micros), exactly as the
         # timestamp guidance above.
         raise ValueError(
             f"band_join needs an integer delta >= 1, got {delta!r}; "

@@ -59,6 +59,35 @@ def write_csv(path: Path, header: list[str], rows: list[tuple]) -> str:
     return str(path)
 
 
+OBS_HEADER = [
+    "authors", "title", "journal", "pub_year", "pub_vol", "doi",
+    "methodology", "pollinator_survey", "plant_survey",
+    "nbn_pollinator_code", "col_pollinator_code", "pollinator_species",
+    "caste", "nbn_plant_code", "col_plant_code", "plant_species",
+    "interactions", "date", "month", "year", "grid_letter", "grid_code",
+    "latitude", "longitude", "habitat", "pollination", "pollen",
+    "nectar", "record", "articleurl",
+]
+
+USERS_HEADER = [
+    "full_name", "username", "email", "institution",
+    "affiliation_start", "city", "county", "subscription_type",
+    "subscription_start", "join_date",
+]
+
+
+def _obs_row(authors, poll_sp, plant_sp, caste="worker", inter="3", day="14",
+             month="6", year="2019", lat="50.867", lon="-0.087",
+             habitat="urban", quality="1", pollen="Y", nectar="N",
+             nbn_poll="nhmsys0000875423", nbn_plant="NA"):
+    return (
+        authors, "T", "J", "2020", "1", "doi", "m", "ps", "pls",
+        nbn_poll, "NA", poll_sp, caste, nbn_plant, "NA", plant_sp,
+        inter, day, month, year, "", "", lat, lon, habitat, quality,
+        pollen, nectar, "r", "url",
+    )
+
+
 @pytest.fixture(scope="session")
 def fixtures_dir(tmp_path_factory) -> Path:
     """Reference-shaped fixture CSVs (FIXTURES.md §1-3)."""
@@ -110,26 +139,7 @@ def fixtures_dir(tmp_path_factory) -> Path:
         ],
     )
 
-    obs_header = [
-        "authors", "title", "journal", "pub_year", "pub_vol", "doi",
-        "methodology", "pollinator_survey", "plant_survey",
-        "nbn_pollinator_code", "col_pollinator_code", "pollinator_species",
-        "caste", "nbn_plant_code", "col_plant_code", "plant_species",
-        "interactions", "date", "month", "year", "grid_letter", "grid_code",
-        "latitude", "longitude", "habitat", "pollination", "pollen",
-        "nectar", "record", "articleurl",
-    ]
-
-    def obs(authors, poll_sp, plant_sp, caste="worker", inter="3", day="14",
-            month="6", year="2019", lat="50.867", lon="-0.087",
-            habitat="urban", quality="1", pollen="Y", nectar="N",
-            nbn_poll="nhmsys0000875423", nbn_plant="NA"):
-        return (
-            authors, "T", "J", "2020", "1", "doi", "m", "ps", "pls",
-            nbn_poll, "NA", poll_sp, caste, nbn_plant, "NA", plant_sp,
-            inter, day, month, year, "", "", lat, lon, habitat, quality,
-            pollen, nectar, "r", "url",
-        )
+    obs = _obs_row
 
     rows = [
         obs("Chapman R.E., Smith A.", "apis mellifera", "prunella vulgaris"),
@@ -163,5 +173,107 @@ def fixtures_dir(tmp_path_factory) -> Path:
         # unknown author -> no user match
         obs("Unknownperson Z.", "apis mellifera", "prunella vulgaris"),
     ]
-    write_csv(d / "observations.csv", obs_header, rows)
+    write_csv(d / "observations.csv", OBS_HEADER, rows)
+    return d
+
+
+@pytest.fixture(scope="session")
+def edge_fixtures_dir(tmp_path_factory) -> Path:
+    """ID-GRAIN edge fixtures (round-13, VERDICT r12 #1): the shapes the
+    round-12 SCD2/attribution fixes exist for —
+    - a duplicate-NAMED institution in two cities (institution identity
+      is (name, city); a name-grain chain would fan out 2x);
+    - a user joining two institutions on one date (keeps-both dedup +
+      deterministic (name, city) tiebreaks in end-dating/attribution);
+    - subscription edges: an unknown (non-seeded) type gets NO interval,
+      and two seeded types starting the same date keep BOTH (type-grain
+      dedup), including the reference's earliest-fallback fan-out wart
+      (08_ETL2_part2.sql:101-104: both LEFT joins can fan out).
+    Consumed by the FULL ETL1+ETL2 DuckDB replay parity test."""
+    d = tmp_path_factory.mktemp("edge_fixtures")
+
+    write_csv(
+        d / "institutions.csv",
+        ["institution", "city", "county"],
+        [
+            ("Natural History Collective", "Oxford", "Oxfordshire"),
+            ("Natural History Collective", "Leeds", "West Yorkshire"),
+            ("Solo Lab", "Colchester", "Essex"),
+            ("Apiary Annex", "Colchester", "Essex"),
+        ],
+    )
+
+    write_csv(
+        d / "users.csv",
+        USERS_HEADER,
+        [
+            # dupuser: one affiliation row naming the DUPLICATE name ->
+            # joins BOTH cities -> two same-dated intervals; later moves
+            # to Solo Lab
+            ("D. Dupont", "dupuser", "d@x.org", "Natural History Collective",
+             "2019-01-01", "Oxford", "Oxfordshire", "Free", "2019-01-01",
+             "2019-01-01"),
+            ("D. Dupont", "dupuser", "d@x.org", "Solo Lab", "2020-06-01",
+             "Oxford", "Oxfordshire", "Free", "2019-01-01", "2019-01-01"),
+            # twoinst: two DIFFERENT institutions, same start date
+            ("T. Tworow", "twoinst", "t@x.org", "Apiary Annex", "2019-04-01",
+             "Colchester", "Essex", "HiveMind", "2019-04-01", "2019-04-01"),
+            ("T. Tworow", "twoinst", "t@x.org", "Solo Lab", "2019-04-01",
+             "Colchester", "Essex", "HiveMind", "2019-04-01", "2019-04-01"),
+            # subuser: two seeded types on one date (keeps both) + an
+            # unknown type (no interval) + a later type change
+            ("S. Subton", "subuser", "s@x.org", "Solo Lab", "2019-01-01",
+             "Colchester", "Essex", "Free", "2019-03-01", "2019-03-01"),
+            ("S. Subton", "subuser", "s@x.org", "Solo Lab", "2019-01-01",
+             "Colchester", "Essex", "Pro", "2019-03-01", "2019-03-01"),
+            ("S. Subton", "subuser", "s@x.org", "Solo Lab", "2019-01-01",
+             "Colchester", "Essex", "GoldTier", "2019-03-01", "2019-03-01"),
+            ("S. Subton", "subuser", "s@x.org", "Solo Lab", "2019-01-01",
+             "Colchester", "Essex", "HiveMind", "2020-01-01", "2019-03-01"),
+            # ghostu: only affiliation names an unknown institution ->
+            # NO interval -> authored observations stay unattributed
+            ("G. Ghostman", "ghostu", "g@x.org", "Ghost Lab", "2019-01-01",
+             "", "", "Free", "2019-01-01", "2019-01-01"),
+        ],
+    )
+
+    rows = [
+        # p1 within NHC-Oxford's interval (Leeds slice is the degenerate
+        # end-dated twin)
+        _obs_row("Dupont D.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="6", day="15"),
+        # predates first_start; BOTH same-start NHC intervals are p3 ->
+        # city tiebreak picks Leeds
+        _obs_row("Dupont D.", "bombus terrestris", "trifolium repens",
+                 year="2018", month="5", day="1", habitat="meadow"),
+        # NULL date -> p2 = open-ended interval (Solo Lab)
+        _obs_row("Dupont D.", "apis mellifera", "trifolium repens",
+                 year="NA", month="NA", day="NA"),
+        # predates twoinst's tied same-date intervals; name tiebreak
+        # picks Apiary Annex
+        _obs_row("Tworow T.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="1", day="15", lat="51.5", lon="-0.1"),
+        # p1 Solo Lab (Annex slice is the degenerate end-dated twin)
+        _obs_row("Tworow T.", "bombus terrestris", "prunella vulgaris",
+                 year="2019", month="5", day="1"),
+        # before any live subscription -> earliest-fallback matches BOTH
+        # types starting at join_date (the reference's fan-out wart)
+        _obs_row("Subton S.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="2", day="1"),
+        # active subscription (Pro) + the earliest fan-out coalesced away
+        _obs_row("Subton S.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="6", day="1"),
+        # exact duplicate of row 1 — append-only, must survive
+        _obs_row("Dupont D.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="6", day="15"),
+        # unattributed: valid user with no interval / unknown author
+        _obs_row("Ghostman G.", "bombus terrestris", "trifolium repens",
+                 year="2019", month="7", day="2"),
+        _obs_row("Nobody N.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="7", day="3"),
+        # quarantine: latitude out of range
+        _obs_row("Dupont D.", "apis mellifera", "prunella vulgaris",
+                 lat="200.0"),
+    ]
+    write_csv(d / "observations.csv", OBS_HEADER, rows)
     return d

@@ -17,18 +17,23 @@ test_surrogate_keys_unique_and_no_global_window).
 
 Caveats that keep this oracle honest but fixture-scoped:
 - initcap here is single-word (fixture habitats are single words);
-- institution/county names are unique in the fixtures, so joining by
-  name is equivalent to joining by id. Specifically (round-12): the
-  engine's user_institution dedup is (user, institution_ID, start) and
-  its attribution/fact joins ride user_institution_id, so a same-named
-  institution in two cities gets two distinct intervals and one
-  attribution each; user_institution_bk's dedup mirrors that at the
-  (name, city) business grain, but the downstream obs_attr/obs_user
-  joins here stay NAME-grain and would fan out 2x on such a fixture.
-  The engine-side semantics for that shape are pinned by
-  tests/test_etl_pipeline.py::test_user_institution_reference_parity_edges;
-  add city to this oracle's attribution chain before adding a
-  duplicate-named institution to the fixtures.
+- county names are unique in the fixtures (the geography chain joins
+  counties by name).
+
+Institution identity is ID-GRAIN throughout (round-13): the business
+identity of an institution is (institution_name, city_name) — the OLTP
+UNIQUE — and every join and every ordering in the attribution chain
+below carries the city, so a same-named institution in two cities flows
+through this replay exactly as through the engine (two intervals, two
+fact slices). The only shape still out of scope is a duplicate
+(name, city) PAIR — impossible by construction except a raw CSV row
+colliding with the seeded 'Unaffiliated' — where the engine falls back
+to its hash-id tiebreak that no other engine can replay.
+
+Subscriptions are TYPE-GRAIN (round-13, mirroring
+03_ETL1_part2.sql:137-156): intervals exist only for the five seeded
+types (inner join), dedup is (user, type, start), and ties on one date
+keep both types.
 """
 
 from __future__ import annotations
@@ -152,26 +157,30 @@ CREATE VIEW user_institution_bk AS
     FROM users_valid u
     JOIN institutions_bk i ON i.institution_name = u.institution_name
   )
-  SELECT username, institution_name, start_date,
+  SELECT username, institution_name, city_name, start_date,
          lead(start_date) OVER (
            PARTITION BY username
-           ORDER BY start_date, institution_name, city_name
+           ORDER BY start_date, institution_name,
+                    city_name ASC NULLS LAST
          ) - 1 AS end_date
   FROM dd;
 
+-- round-13 parity (03_ETL1_part2.sql:137-156): intervals only for the
+-- five SEEDED types (reference inner join), dedup (user, TYPE, start) —
+-- two types starting one date keep both, and the end-date chain breaks
+-- the tie on type_name exactly as the engine does.
 CREATE VIEW user_subscription_bk AS
-  WITH subs AS (
-    SELECT username, subscription_type_name,
-           subscription_start AS start_date,
-           row_number() OVER (
-             PARTITION BY username, subscription_start
-             ORDER BY subscription_type_name
-           ) AS rn
+  WITH dd AS (
+    SELECT DISTINCT username, subscription_type_name,
+           subscription_start AS start_date
     FROM users_valid
-  ), dd AS (SELECT * FROM subs WHERE rn = 1)
+    WHERE subscription_type_name IN
+      ('Free', 'Pro', 'HiveMind', 'FieldScout', 'BeeWatch+')
+  )
   SELECT username, subscription_type_name, start_date,
          lead(start_date) OVER (
-           PARTITION BY username ORDER BY start_date
+           PARTITION BY username
+           ORDER BY start_date, subscription_type_name
          ) - 1 AS end_date
   FROM dd;
 
@@ -313,11 +322,12 @@ CREATE VIEW locations_bk AS
 -- author -> user attribution (substring match + priority ladder)
 CREATE VIEW obs_attr AS
   WITH cand AS (
-    SELECT u.username, u.last_name, ui.institution_name,
+    SELECT u.username, u.last_name, ui.institution_name, ui.city_name,
            ui.start_date, ui.end_date
     FROM users_bk u JOIN user_institution_bk ui USING (username)
   ), matched AS (
     SELECT o.*, c.username, c.institution_name AS inst_name,
+           c.city_name AS inst_city,
            c.start_date, c.end_date,
            min(c.start_date) OVER (PARTITION BY o.rid, c.username)
              AS first_start
@@ -341,11 +351,13 @@ CREATE VIEW obs_attr AS
   ), picked AS (
     SELECT *, row_number() OVER (
       PARTITION BY rid
-      -- inst_name completes the total order (round-12: the keeps-both
-      -- dedup can give a user two same-dated intervals at different
-      -- institutions; the engine orders by institution_name too)
+      -- (inst_name, inst_city) completes the total order at the
+      -- institution's BUSINESS identity: the keeps-both dedup can give
+      -- a user two same-dated intervals at different institutions —
+      -- including one NAME in two cities — and the engine orders by the
+      -- same (name, city) pair (round-13 id-grain)
       ORDER BY p, start_date ASC NULLS LAST, username ASC NULLS LAST,
-               inst_name ASC NULLS LAST
+               inst_name ASC NULLS LAST, inst_city ASC NULLS LAST
     ) AS rn
     FROM prio
   )
@@ -353,6 +365,7 @@ CREATE VIEW obs_attr AS
 
 CREATE VIEW observations_bk AS
   SELECT username, start_date AS aff_start,
+         inst_name AS institution_name, inst_city AS city_name,
          poll_sp AS pollinator_species, caste_n AS caste_name,
          plant_sp AS plant_species, habitat_n AS habitat_name,
          -- location-resolved: the silver FK is NULL unless BOTH coords
@@ -402,11 +415,14 @@ CREATE VIEW fact_pollination_bk AS
 
 -- user-facing facts: re-join the attributed slice to ALL dim_institution
 -- slices with the same (user, institution) — mirrors etl2's join on
--- (user_id_bk, institution_id_bk) — then subscription: active else the
--- one starting at join_date.
+-- (user_id_bk, institution_id_bk), id-grain = (name, city) here — then
+-- subscription: active else the one starting at join_date (both LEFT
+-- joins can fan out, exactly as the reference's do:
+-- 08_ETL2_part2.sql:97-104).
 CREATE VIEW obs_user AS
   SELECT o.*, u.join_date,
          s2.start_date AS inst_start, s2.institution_name AS inst_name2,
+         s2.city_name AS inst_city2,
          coalesce(sa.start_date, se.start_date) AS sub_start,
          coalesce(sa.subscription_type_name, se.subscription_type_name)
            AS sub_type
@@ -415,6 +431,7 @@ CREATE VIEW obs_user AS
   JOIN user_institution_bk s2
     ON s2.username = o.username
    AND s2.institution_name = o.inst_name
+   AND s2.city_name IS NOT DISTINCT FROM o.inst_city
   LEFT JOIN user_subscription_bk sa
     ON sa.username = o.username
    AND sa.start_date <= o.observation_date
@@ -425,16 +442,18 @@ CREATE VIEW obs_user AS
 CREATE VIEW fact_user_location_bk AS
   SELECT username, lat AS latitude, lon AS longitude,
          oy AS year, om AS month,
-         inst_start, inst_name2 AS institution_name, sub_start, sub_type,
+         inst_start, inst_name2 AS institution_name,
+         inst_city2 AS institution_city, sub_start, sub_type,
          count(*) AS observation_count,
          CAST(coalesce(sum(interaction_count), 0) AS BIGINT)
            AS interaction_count
   FROM obs_user
-  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9;
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8, 9, 10;
 
 CREATE VIEW fact_user_monthly_bk AS
   SELECT username, oy AS year, om AS month,
-         inst_start, inst_name2 AS institution_name, sub_start, sub_type,
+         inst_start, inst_name2 AS institution_name,
+         inst_city2 AS institution_city, sub_start, sub_type,
          count(*) AS observation_count,
          CAST(coalesce(sum(interaction_count), 0) AS BIGINT)
            AS interaction_count,
@@ -443,7 +462,7 @@ CREATE VIEW fact_user_monthly_bk AS
          count(DISTINCT poll_sp) AS distinct_pollinator_species_count,
          count(DISTINCT plant_sp) AS distinct_plant_species_count
   FROM obs_user
-  GROUP BY 1, 2, 3, 4, 5, 6, 7;
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8;
 """
 
 

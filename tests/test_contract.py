@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -281,6 +283,36 @@ def test_bench_line_survives_truncation():
     assert got["index_raw_vs_epoch_total"] == 1.04
     assert got["index_norm_vs_epoch_total"] == 1.02
     assert got["calib_drift_ops_vs_epoch"] == fake["calib_drift_ops_vs_epoch"]
+
+
+def test_epoch_chain_composes():
+    """EPOCH_CHAIN (round-13, VERDICT r12 #3): chained_epoch() multiplies
+    the pinned round-7 anchors through every re-base link, so the first
+    real re-base is a data-only append. Exercise a synthetic two-link
+    chain: factors compose multiplicatively, query_factor defaults to
+    calib_factor, and an empty chain is the identity."""
+    import bench
+
+    base_calib, base_queries = bench.chained_epoch()
+    assert base_calib == bench.EPOCH_CALIB_OPS
+    assert base_queries == bench.EPOCH_QUERIES
+
+    chain = [
+        {"round": 13, "calib_factor": 2.0, "query_factor": 3.0},
+        {"round": 17, "calib_factor": 0.5},  # query_factor defaults
+    ]
+    orig = bench.EPOCH_CHAIN
+    bench.EPOCH_CHAIN = chain
+    try:
+        calib, queries = bench.chained_epoch()
+    finally:
+        bench.EPOCH_CHAIN = orig
+    for op, v in bench.EPOCH_CALIB_OPS.items():
+        assert calib[op] == pytest.approx(v * 2.0 * 0.5)
+    for n, v in bench.EPOCH_QUERIES.items():
+        assert queries[n] == pytest.approx(v * 3.0 * 0.5)
+    # the pinned anchors themselves were never mutated
+    assert bench.EPOCH_CALIB_OPS["sort"] == 1.313
 
 
 def test_bench_current_round_and_local_artifact_name():

@@ -11,21 +11,22 @@ from insect_observation_data_pipeline_spark.queries import reference as refq
 from insect_observation_data_pipeline_spark.sources.csv import read_csv_staging
 
 
-@pytest.fixture(scope="module")
-def pipeline(spark, fixtures_dir):
+def _build_pipeline(spark, d):
     inst_stg = read_csv_staging(
-        spark, str(fixtures_dir / "institutions.csv"), etl1.INSTITUTIONS_COLS,
+        spark, str(d / "institutions.csv"), etl1.INSTITUTIONS_COLS,
         defaults={"country": "United Kingdom"},
     )
     users_stg = read_csv_staging(
-        spark, str(fixtures_dir / "users.csv"), etl1.USERS_COLS
+        spark, str(d / "users.csv"), etl1.USERS_COLS
     )
     obs_stg = read_csv_staging(
-        spark, str(fixtures_dir / "observations.csv"), etl1.OBSERVATIONS_COLS
+        spark, str(d / "observations.csv"), etl1.OBSERVATIONS_COLS
     ).withColumn("raw_data_id", F.monotonically_increasing_id())
 
     r1 = etl1.load_institutions(inst_stg)
-    r2 = etl1.load_users(users_stg, r1.silver["institutions"])
+    r2 = etl1.load_users(
+        users_stg, r1.silver["institutions"], r1.silver["cities"]
+    )
     r3 = etl1.load_observations(
         obs_stg, r2.silver["users"], r2.silver["user_institution"]
     )
@@ -34,6 +35,16 @@ def pipeline(spark, fixtures_dir):
     gold = etl2.build_gold(silver)
     return {"silver": silver, "quarantine": quarantine, "gold": gold,
             "obs_stg": obs_stg}
+
+
+@pytest.fixture(scope="module")
+def pipeline(spark, fixtures_dir):
+    return _build_pipeline(spark, fixtures_dir)
+
+
+@pytest.fixture(scope="module")
+def edge_pipeline(spark, edge_fixtures_dir):
+    return _build_pipeline(spark, edge_fixtures_dir)
 
 
 def test_quarantine_counts(pipeline):
@@ -370,11 +381,12 @@ def test_runner_materializes_layers_and_is_idempotent(
     assert fact2.count() == expected.count()
 
 
-def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
-    """VERDICT r1 #5: replay the FULL ETL1+ETL2 dataflow in DuckDB over
-    the same fixture CSVs and hash-compare every silver + gold table on
-    its business-key projection (SK values are engine-local hashes; the
-    referential structure is what the reference pins down)."""
+def _assert_duckdb_parity(pipeline, fixtures_dir):
+    """Replay the FULL ETL1+ETL2 dataflow in DuckDB over the same fixture
+    CSVs and hash-compare every silver + gold table on its business-key
+    projection (SK values are engine-local hashes; the referential
+    structure is what the reference pins down). Institution identity is
+    id-grain = (name, city) on both sides (round-13)."""
     import duckdb
     import duckdb_etl_oracle as ora
 
@@ -403,7 +415,8 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
         s["observations"]
         .join(
             ui_bk.select(
-                "user_institution_id", "username",
+                "user_institution_id", "username", "institution_name",
+                "city_name",
                 F.col("start_date").alias("aff_start"),
             ),
             "user_institution_id",
@@ -453,17 +466,38 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
         .join(g["dim_date"].select("date_sk", "year", "month"), "date_sk")
     )
 
+    # institution city recovered by business-key join (the gold dim
+    # mirrors the reference's DDL, which carries no city column; the
+    # id-grain identity lives in institution_id_bk)
+    inst_city = (
+        s["institutions"]
+        .join(
+            s["cities"].select(
+                "city_id", F.col("city_name").alias("institution_city")
+            ),
+            "city_id",
+            "left",
+        )
+        .select(
+            F.col("institution_id").alias("institution_id_bk"),
+            "institution_city",
+        )
+    )
+
     def user_fact_bk(fact):
         out = (
             fact.join(g["dim_user"].select("user_sk", "username"), "user_sk")
             .join(
                 g["dim_institution"].select(
                     "institution_sk",
+                    "institution_id_bk",
                     F.col("start_date").alias("inst_start"),
                     "institution_name",
                 ),
                 "institution_sk",
             )
+            .join(inst_city, "institution_id_bk", "left")
+            .drop("institution_id_bk")
             .join(
                 g["dim_subscription_type"].select(
                     "subscription_type_sk",
@@ -486,7 +520,8 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
             "username", "first_name", "last_name", "email", "join_date"
         ),
         "user_institution_bk": ui_bk.select(
-            "username", "institution_name", "start_date", "end_date"
+            "username", "institution_name", "city_name", "start_date",
+            "end_date",
         ),
         "user_subscription_bk": us_bk.select(
             "username", "subscription_type_name", "start_date", "end_date"
@@ -505,7 +540,8 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
         ),
         "obs_q_bk": q["invalid_observations"].select("error_message"),
         "observations_bk": obs_bk.select(
-            "username", "aff_start", "pollinator_species", "caste_name",
+            "username", "aff_start", "institution_name", "city_name",
+            "pollinator_species", "caste_name",
             "plant_species", "habitat_name",
             dbl("latitude").alias("latitude"),
             dbl("longitude").alias("longitude"),
@@ -539,14 +575,16 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
             "username",
             dbl("latitude").alias("latitude"),
             dbl("longitude").alias("longitude"),
-            "year", "month", "inst_start", "institution_name", "sub_start",
-            "sub_type", "observation_count", "interaction_count",
+            "year", "month", "inst_start", "institution_name",
+            "institution_city", "sub_start", "sub_type",
+            "observation_count", "interaction_count",
         ),
         "fact_user_monthly_bk": user_fact_bk(
             g["fact_user_monthly_summary"]
         ).select(
             "username", "year", "month", "inst_start", "institution_name",
-            "sub_start", "sub_type", "observation_count", "interaction_count",
+            "institution_city", "sub_start", "sub_type",
+            "observation_count", "interaction_count",
             "distinct_locations_count", "distinct_habitats_count",
             "distinct_pollinator_species_count", "distinct_plant_species_count",
         ),
@@ -568,6 +606,25 @@ def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
             )
             failures.append(f"{view}: {diff}")
     assert not failures, "\n".join(failures)
+
+
+def test_duckdb_end_to_end_parity(pipeline, fixtures_dir):
+    """VERDICT r1 #5: cross-engine replay on the reference-shaped
+    fixtures."""
+    _assert_duckdb_parity(pipeline, fixtures_dir)
+
+
+def test_duckdb_end_to_end_parity_id_grain_edges(
+    edge_pipeline, edge_fixtures_dir
+):
+    """VERDICT r12 #1: the same FULL replay over the id-grain edge
+    fixtures — a duplicate-named institution in two cities, a two-
+    institutions-one-date user, type-grain subscription keeps-both and
+    the unknown-type drop, including the reference's earliest-fallback
+    fan-out wart — must hash-match table-for-table. This is exactly the
+    shape the round-12 SCD2/attribution fixes exist for, previously
+    declared out of the oracle's (then name-grain) scope."""
+    _assert_duckdb_parity(edge_pipeline, edge_fixtures_dir)
 
 
 def test_latlon_overflow_quarantined(spark, pipeline):
@@ -640,7 +697,9 @@ def test_user_institution_reference_parity_edges(spark):
         " subscription_type string, subscription_start string,"
         " join_date string",
     )
-    r2 = etl1.load_users(users_stg, r1.silver["institutions"])
+    r2 = etl1.load_users(
+        users_stg, r1.silver["institutions"], r1.silver["cities"]
+    )
     ui = r2.silver["user_institution"].collect()
     by_user = {}
     for row in ui:

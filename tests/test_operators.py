@@ -581,13 +581,17 @@ def test_asof_join_null_keys_and_timestamps(spark):
 def test_band_join_rejects_sub_one_delta(spark):
     """Round-12 review: delta=0 (or a fractional delta truncated to 0)
     made every bucket `x DIV 0` = NULL, silently returning zero
-    matches; the guard raises instead."""
+    matches; the guard raises instead. Round-13 ADVICE close-out: ANY
+    fractional delta raises too (int(5.7) -> 5 silently narrowed the
+    band), so every non-integer is rejected consistently."""
     import pytest
 
     from insect_observation_data_pipeline_spark.operators import band_join
 
     df = spark.createDataFrame([(1,)], "v int")
     r = spark.createDataFrame([(1,)], "w int")
-    for bad in (0, 0.1, -5):
+    for bad in (0, 0.1, -5, 5.7, 2.5):
         with pytest.raises(ValueError, match="integer delta"):
             band_join(df, r, F.col("v"), F.col("w"), bad)
+    # integer-valued floats stay accepted (exactly representable)
+    assert band_join(df, r, F.col("v"), F.col("w"), 2.0).count() == 1
