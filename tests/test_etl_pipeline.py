@@ -711,3 +711,101 @@ def test_user_institution_reference_parity_edges(spark):
     assert len(ui) == 3
     assert len({row["user_institution_id"] for row in ui}) == 3
     assert len(by_user["NHM"]) == 2 and len(by_user["Solo Lab"]) == 1
+    # (d) round-13: the end-date chain tiebreaks on the institution's
+    # BUSINESS identity (name, city) — for aone's three same-dated
+    # intervals the chain order is NHM/London < NHM/Oxford < Solo Lab,
+    # so the first two are end-dated to start-1 and the last stays open
+    ends = {
+        (row["institution_name"], row["city_name"]): row["end_date"]
+        for row in ui
+    }
+    import datetime
+
+    prev_day = datetime.date(2019, 12, 31)
+    assert ends[("NHM", "London")] == prev_day
+    assert ends[("NHM", "Oxford")] == prev_day
+    assert ends[("Solo Lab", "Leeds")] is None
+
+
+def test_user_subscription_reference_parity_edges(spark):
+    """Round-13 parity (03_ETL1_part2.sql:137-156), mirroring the
+    institution edge test one table over:
+    (a) an unknown (non-seeded) subscription type gets NO interval —
+        the reference INNER-joins the seeded subscription_types — while
+        the user row itself still lands in users;
+    (b) two seeded types starting the same date keep BOTH intervals
+        (reference dedup key is (user, type, start)) with distinct
+        surrogate ids (the old (user, start) key dropped one and the
+        old (user, start) hash would collide);
+    (c) the end-date chain is deterministic: ties break on type_name,
+        so Free is end-dated to start-1 and Pro chains forward."""
+    import datetime
+
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    inst_stg = spark.createDataFrame(
+        [("Solo Lab", "Leeds", "West Yorkshire", "United Kingdom")],
+        "institution string, city string, county string, country string",
+    )
+    r1 = etl1.load_institutions(inst_stg)
+    users_stg = spark.createDataFrame(
+        [
+            ("A. One", "aone", "a@x.org", "Solo Lab", "2020-01-01",
+             "Leeds", "", "Free", "2020-01-01", "2020-01-01"),
+            ("A. One", "aone", "a@x.org", "Solo Lab", "2020-01-01",
+             "Leeds", "", "Pro", "2020-01-01", "2020-01-01"),
+            ("A. One", "aone", "a@x.org", "Solo Lab", "2020-01-01",
+             "Leeds", "", "GoldTier", "2020-01-01", "2020-01-01"),
+            ("A. One", "aone", "a@x.org", "Solo Lab", "2020-01-01",
+             "Leeds", "", "HiveMind", "2021-06-01", "2020-01-01"),
+            # (a) a user whose ONLY subscription names an unknown type
+            ("B. Two", "btwo", "b@x.org", "Solo Lab", "2020-01-01",
+             "Leeds", "", "SilverTier", "2020-01-01", "2020-01-01"),
+        ],
+        "full_name string, username string, email string, institution string,"
+        " affiliation_start string, city string, county string,"
+        " subscription_type string, subscription_start string,"
+        " join_date string",
+    )
+    r2 = etl1.load_users(
+        users_stg, r1.silver["institutions"], r1.silver["cities"]
+    )
+    users = {r["username"] for r in r2.silver["users"].collect()}
+    assert users == {"aone", "btwo"}  # unknown type never drops the USER
+    us = r2.silver["user_subscription"].collect()
+    uid = {r["username"]: r["user_id"] for r in r2.silver["users"].collect()}
+    mine = [r for r in us if r["user_id"] == uid["aone"]]
+    # (a)+(b): GoldTier/SilverTier minted nothing; Free+Pro both kept
+    assert not [r for r in us if r["user_id"] == uid["btwo"]]
+    assert {r["subscription_type_name"] for r in mine} == {
+        "Free", "Pro", "HiveMind"
+    }
+    assert len({r["user_subscription_id"] for r in mine}) == 3
+    # (c) deterministic chain: Free -> Pro -> HiveMind
+    ends = {r["subscription_type_name"]: r["end_date"] for r in mine}
+    assert ends["Free"] == datetime.date(2019, 12, 31)
+    assert ends["Pro"] == datetime.date(2021, 5, 31)
+    assert ends["HiveMind"] is None
+
+
+def test_edge_pipeline_grain_and_sk_uniqueness(edge_pipeline):
+    """Round-13: the keeps-both shapes are exactly where the old
+    (user, start) dim hashes collided — assert sk uniqueness and fact
+    grain uniqueness ON the edge pipeline (the original-fixture runs
+    never exercise a tie)."""
+    from insect_observation_data_pipeline_spark.functions.keys import assert_unique
+
+    s, g = edge_pipeline["silver"], edge_pipeline["gold"]
+    assert_unique(s["user_institution"], "user_institution_id")
+    assert_unique(s["user_subscription"], "user_subscription_id")
+    assert_unique(g["dim_institution"], "institution_sk")
+    assert_unique(g["dim_subscription_type"], "subscription_type_sk")
+    for name, keys in [
+        ("fact_user_location_monthly",
+         ["user_sk", "location_sk", "date_sk", "institution_sk",
+          "subscription_type_sk"]),
+        ("fact_user_monthly_summary",
+         ["user_sk", "date_sk", "institution_sk", "subscription_type_sk"]),
+    ]:
+        f = g[name]
+        assert f.count() == f.select(*keys).distinct().count(), name
