@@ -90,6 +90,22 @@ from insect_observation_data_pipeline_spark.queries import QUERIES
 # index_raw_vs_epoch; outside that band prefer index_norm_vs_epoch.
 EPOCH_SRC = "BENCH_r07.json"
 EPOCH_CALIB_OPS = {"codegen": 0.091, "shuffle": 0.351, "sort": 1.313}
+EPOCH_QUERIES = {
+    "q1_pricing_summary": 0.676,
+    "q3_shipping_priority": 0.858,
+    "q5_local_supplier_volume": 1.192,
+    "flagship_top_part_supplier": 1.091,
+    "a8_top_nation_months": 0.751,
+    "w2_best_month_per_customer": 2.67,
+    "a7_distinct_on_first_line": 1.09,
+    "j9_interval_attribution": 0.543,
+    "s8_quarantine_events": 0.493,
+    "x1_dedup_exact": 0.361,
+    "x7_minhash_lsh": 3.475,
+    "x8_simhash": 1.363,
+    "x9_ann_bruteforce": 0.677,
+    "e2_sessionization": 0.62,
+}
 
 # EPOCH_CHAIN: re-base links for the README's epoch re-anchoring policy
 # (round-13 scaffolding, VERDICT r12 #3). When calib_drift_vs_epoch
@@ -116,22 +132,6 @@ def chained_epoch() -> tuple[dict, dict]:
         calib = {op: v * c for op, v in calib.items()}
         queries = {n: v * q for n, v in queries.items()}
     return calib, queries
-EPOCH_QUERIES = {
-    "q1_pricing_summary": 0.676,
-    "q3_shipping_priority": 0.858,
-    "q5_local_supplier_volume": 1.192,
-    "flagship_top_part_supplier": 1.091,
-    "a8_top_nation_months": 0.751,
-    "w2_best_month_per_customer": 2.67,
-    "a7_distinct_on_first_line": 1.09,
-    "j9_interval_attribution": 0.543,
-    "s8_quarantine_events": 0.493,
-    "x1_dedup_exact": 0.361,
-    "x7_minhash_lsh": 3.475,
-    "x8_simhash": 1.363,
-    "x9_ann_bruteforce": 0.677,
-    "e2_sessionization": 0.62,
-}
 
 
 # NOTE on x1_dedup_exact "drift" (round-6 verdict follow-up): x1 is

@@ -190,7 +190,7 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
 
 
 def load_users(
-    staging: DataFrame, institutions: DataFrame, cities: DataFrame | None = None
+    staging: DataFrame, institutions: DataFrame, cities: DataFrame
 ) -> Etl1Result:
     """Staging users -> users, user_institution (SCD2), user_subscription
     (SCD2). Reference: 03_ETL1_part2.sql:54-246.
@@ -201,9 +201,8 @@ def load_users(
     must break ties between same-named institutions does so on that
     business pair — replayable by any engine — rather than on the
     engine-local hash id (round-13, closing the round-12 ADVICE item).
-    Passing None degrades the tiebreak to the hash id (still a total
-    order, still deterministic for THIS engine, but not cross-engine
-    replayable)."""
+    Required, not optional: an engine-only fallback ordering would be a
+    silent semantics fork between callers."""
     required = [
         "full_name", "username", "email", "institution",
         "affiliation_start", "subscription_type", "subscription_start",
@@ -264,14 +263,13 @@ def load_users(
     #   (user_id, start_date) hash minted DUPLICATE user_institution_id
     #   values on the name fan-out, and etl2's attribution join then
     #   double-counted those observations in the user facts).
-    inst_dim = institutions.select("institution_id", "institution_name", "city_id")
-    if cities is not None:
-        inst_dim = inst_dim.join(
+    inst_dim = (
+        institutions.select("institution_id", "institution_name", "city_id")
+        .join(
             F.broadcast(cities.select("city_id", "city_name")), "city_id", "left"
         )
-    else:
-        inst_dim = inst_dim.withColumn("city_name", F.lit(None).cast("string"))
-    inst_dim = inst_dim.select("institution_id", "institution_name", "city_name")
+        .select("institution_id", "institution_name", "city_name")
+    )
     aff = distinct_on(
         valid.select("username", "institution_name", "affiliation_start").join(
             F.broadcast(inst_dim),

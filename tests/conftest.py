@@ -260,7 +260,11 @@ def edge_fixtures_dir(tmp_path_factory) -> Path:
         # types starting at join_date (the reference's fan-out wart)
         _obs_row("Subton S.", "apis mellifera", "prunella vulgaris",
                  year="2019", month="2", day="1"),
-        # active subscription (Pro) + the earliest fan-out coalesced away
+        # active subscription (Pro); the earliest LEFT join still fans
+        # out 2x and both rows coalesce to the SAME Pro slice, so the
+        # fact counts this one observation twice (the reference's
+        # double-count wart, 08_ETL2_part2.sql:97-104 — mirrored
+        # identically by engine and oracle)
         _obs_row("Subton S.", "apis mellifera", "prunella vulgaris",
                  year="2019", month="6", day="1"),
         # exact duplicate of row 1 — append-only, must survive

@@ -174,8 +174,7 @@ CREATE VIEW user_subscription_bk AS
     SELECT DISTINCT username, subscription_type_name,
            subscription_start AS start_date
     FROM users_valid
-    WHERE subscription_type_name IN
-      ('Free', 'Pro', 'HiveMind', 'FieldScout', 'BeeWatch+')
+    WHERE subscription_type_name IN ({types})
   )
   SELECT username, subscription_type_name, start_date,
          lead(start_date) OVER (
@@ -467,7 +466,12 @@ CREATE VIEW fact_user_monthly_bk AS
 
 
 def build(con, fixtures_dir: str) -> None:
-    con.execute(SQL.replace("{d}", fixtures_dir))
+    # the seeded type list comes from the SAME constant the engine
+    # filters on (sources/seed.py) so the two can never drift apart
+    from insect_observation_data_pipeline_spark.sources.seed import SUBSCRIPTION_TYPES
+
+    types = ", ".join(f"'{t[0]}'" for t in SUBSCRIPTION_TYPES)
+    con.execute(SQL.replace("{d}", fixtures_dir).replace("{types}", types))
 
 
 def norm_cell(v) -> str:

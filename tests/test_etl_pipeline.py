@@ -790,9 +790,18 @@ def test_user_subscription_reference_parity_edges(spark):
 
 def test_edge_pipeline_grain_and_sk_uniqueness(edge_pipeline):
     """Round-13: the keeps-both shapes are exactly where the old
-    (user, start) dim hashes collided — assert sk uniqueness and fact
-    grain uniqueness ON the edge pipeline (the original-fixture runs
-    never exercise a tie)."""
+    (user, start) dim hashes collided — assert sk uniqueness ON the edge
+    pipeline (the original-fixture runs never exercise a tie), then pin
+    the subscription fan-out semantics the reference's fact joins imply
+    (08_ETL2_part2.sql:97-104), which the old colliding sks silently
+    merged:
+    - subuser's 2019-02 observation has NO active subscription, so the
+      earliest-fallback matches BOTH types starting at join_date -> TWO
+      fact rows (distinct subscription sks), one count each;
+    - subuser's 2019-06 observation has Pro ACTIVE, but the earliest
+      LEFT join still fans out 2x and both rows coalesce to the SAME
+      Pro sk -> ONE fact row counting the single observation twice (the
+      reference's double-count wart, mirrored by engine and oracle)."""
     from insect_observation_data_pipeline_spark.functions.keys import assert_unique
 
     s, g = edge_pipeline["silver"], edge_pipeline["gold"]
@@ -800,12 +809,17 @@ def test_edge_pipeline_grain_and_sk_uniqueness(edge_pipeline):
     assert_unique(s["user_subscription"], "user_subscription_id")
     assert_unique(g["dim_institution"], "institution_sk")
     assert_unique(g["dim_subscription_type"], "subscription_type_sk")
-    for name, keys in [
-        ("fact_user_location_monthly",
-         ["user_sk", "location_sk", "date_sk", "institution_sk",
-          "subscription_type_sk"]),
-        ("fact_user_monthly_summary",
-         ["user_sk", "date_sk", "institution_sk", "subscription_type_sk"]),
-    ]:
-        f = g[name]
-        assert f.count() == f.select(*keys).distinct().count(), name
+
+    fact = (
+        g["fact_user_monthly_summary"]
+        .join(g["dim_user"].select("user_sk", "username"), "user_sk")
+        .join(g["dim_date"].select("date_sk", "year", "month"), "date_sk")
+        .filter(F.col("username") == "subuser")
+    )
+    feb = fact.filter((F.col("year") == 2019) & (F.col("month") == 2)).collect()
+    assert len(feb) == 2, feb  # Free + Pro earliest-fallback rows
+    assert len({r["subscription_type_sk"] for r in feb}) == 2
+    assert sorted(r["observation_count"] for r in feb) == [1, 1]
+    jun = fact.filter((F.col("year") == 2019) & (F.col("month") == 6)).collect()
+    assert len(jun) == 1, jun  # one Pro row...
+    assert jun[0]["observation_count"] == 2  # ...counting one obs twice

@@ -158,3 +158,131 @@ def test_g711_nearest_level_property(xs, law):
         np.argmin(np.abs(levels[None, :] - x[:, None]), axis=1)
     ]
     assert (np.abs(got - x) == np.abs(best - x)).all()
+
+
+# ---------------------------------------------------------------------------
+# id-grain SCD2 (round 13): the full Spark composition (validate ->
+# inner-join institutions -> keeps-both dedup -> lead() end-dating with
+# (name, city) tiebreaks) must equal an independent pure-Python model
+# on randomized inputs covering every edge at once: duplicate rows,
+# unknown institutions, a duplicate NAME in two cities, two
+# institutions on one date, non-seeded subscription types, and two
+# types on one date.
+# ---------------------------------------------------------------------------
+
+_PROP_INSTS = [
+    ("NHC", "CityA", "CtyA"),
+    ("NHC", "CityB", "CtyB"),   # duplicate name, second city
+    ("Solo", "CityC", "CtyC"),
+    ("Annex", None, None),      # institution with no city
+]
+
+_aff_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2", "u3"]),
+        st.sampled_from(["NHC", "Solo", "Annex", "Ghost"]),  # Ghost unknown
+        st.integers(min_value=0, max_value=5),               # aff start day
+        st.sampled_from(["Free", "Pro", "GoldTier"]),        # GoldTier unseeded
+        st.integers(min_value=0, max_value=5),               # sub start day
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(_aff_rows)
+@settings(max_examples=12, deadline=None)
+def test_user_histories_match_python_model(spark, rows):
+    import datetime
+
+    from insect_observation_data_pipeline_spark.etl import etl1
+    from insect_observation_data_pipeline_spark.sources.seed import SUBSCRIPTION_TYPES
+
+    base = datetime.date(2020, 1, 1)
+    day = lambda off: (base + datetime.timedelta(days=off)).isoformat()
+
+    inst_stg = spark.createDataFrame(
+        [(n, c, cty, "United Kingdom") for n, c, cty in _PROP_INSTS],
+        "institution string, city string, county string, country string",
+    )
+    r1 = etl1.load_institutions(inst_stg)
+    users_stg = spark.createDataFrame(
+        [
+            (f"X. {u.upper()}", u, f"{u}@x.org", inst, day(aoff), "", "",
+             sub, day(soff), day(0))
+            for (u, inst, aoff, sub, soff) in rows
+        ],
+        "full_name string, username string, email string, institution string,"
+        " affiliation_start string, city string, county string,"
+        " subscription_type string, subscription_start string,"
+        " join_date string",
+    )
+    r2 = etl1.load_users(
+        users_stg, r1.silver["institutions"], r1.silver["cities"]
+    )
+
+    # ---- python model: user_institution ----
+    by_name: dict = {}
+    for n, c, _ in _PROP_INSTS:
+        by_name.setdefault(n, []).append(c)
+    dd = {
+        (u, inst, city, aoff)
+        for (u, inst, aoff, _s, _so) in rows
+        for city in by_name.get(inst, [])   # inner join; Ghost drops
+    }
+    want_ui = set()
+    by_user: dict = {}
+    for u, inst, city, aoff in dd:
+        by_user.setdefault(u, []).append((inst, city, aoff))
+    for u, ivs in by_user.items():
+        ivs.sort(key=lambda t: (t[2], t[0], (t[1] is None, t[1] or "")))
+        for i, (inst, city, aoff) in enumerate(ivs):
+            nxt = ivs[i + 1][2] if i + 1 < len(ivs) else None
+            end = (
+                base + datetime.timedelta(days=nxt - 1)
+                if nxt is not None
+                else None
+            )
+            want_ui.add(
+                (u, inst, city, base + datetime.timedelta(days=aoff), end)
+            )
+    got_ui = {
+        (r["username"], r["institution_name"], r["city_name"],
+         r["start_date"], r["end_date"])
+        for r in r2.silver["user_institution"]
+        .join(r2.silver["users"].select("user_id", "username"), "user_id")
+        .collect()
+    }
+    assert got_ui == want_ui
+
+    # ---- python model: user_subscription ----
+    seeded = {t[0] for t in SUBSCRIPTION_TYPES}
+    sdd = {
+        (u, sub, soff)
+        for (u, _i, _a, sub, soff) in rows
+        if sub in seeded
+    }
+    want_us = set()
+    s_by_user: dict = {}
+    for u, sub, soff in sdd:
+        s_by_user.setdefault(u, []).append((sub, soff))
+    for u, ivs in s_by_user.items():
+        ivs.sort(key=lambda t: (t[1], t[0]))
+        for i, (sub, soff) in enumerate(ivs):
+            nxt = ivs[i + 1][1] if i + 1 < len(ivs) else None
+            end = (
+                base + datetime.timedelta(days=nxt - 1)
+                if nxt is not None
+                else None
+            )
+            want_us.add(
+                (u, sub, base + datetime.timedelta(days=soff), end)
+            )
+    got_us = {
+        (r["username"], r["subscription_type_name"],
+         r["start_date"], r["end_date"])
+        for r in r2.silver["user_subscription"]
+        .join(r2.silver["users"].select("user_id", "username"), "user_id")
+        .collect()
+    }
+    assert got_us == want_us
