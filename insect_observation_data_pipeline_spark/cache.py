@@ -8,13 +8,14 @@ eventually release them through Spark's ContextCleaner, but a
 long-lived ingest loop should not depend on GC timing for
 corpus-sized caches.
 
-The mechanism (round-12 generalization of graph.py's
-``_graph_intermediates``): the operator tags its returned DataFrame
-with the persisted frames via :func:`tag_intermediates`; a caller
-that wants surgical release calls :func:`unpersist_intermediates`
-AFTER materializing (collect/write) the result. Harnesses that time
-many queries keep using session-wide ``spark.catalog.clearCache()``
-between runs instead (bench.py, tools/scaling.py).
+The mechanism (round-12 generalization of graph.py's historical
+``_graph_intermediates``; every operator migrated to the shared tag in
+round 13): the operator tags its returned DataFrame with the persisted
+frames via :func:`tag_intermediates`; a caller that wants surgical
+release calls :func:`unpersist_intermediates` AFTER materializing
+(collect/write) the result. Harnesses that time many queries keep
+using session-wide ``spark.catalog.clearCache()`` between runs instead
+(bench.py, tools/scaling.py).
 """
 
 from __future__ import annotations
@@ -23,9 +24,8 @@ from collections.abc import Iterable
 
 from pyspark.sql import DataFrame
 
-#: attribute names scanned by :func:`unpersist_intermediates` — the
-#: generic tag plus graph.py's pre-existing module-specific one
-_TAG_ATTRS = ("_persisted_intermediates", "_graph_intermediates")
+#: attribute names scanned by :func:`unpersist_intermediates`
+_TAG_ATTRS = ("_persisted_intermediates",)
 
 
 def tag_intermediates(df: DataFrame, frames: Iterable[DataFrame]) -> DataFrame:

@@ -55,10 +55,17 @@ def cm_weights(term_counts, term_col: str, cnt_col: str, *,
     min over rows of the term's bucket weight: never an underestimate
     (every occurrence of the term is in each of its buckets), over by
     at most the colliding mass, bounded by ~N/width per row."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"cm_weights needs depth/width >= 1, got {depth}/{width}")
     rows = F.explode(
         F.array(*[F.lit(r) for r in range(depth)])
     ).alias("cm_row")
-    exploded = term_counts.select(
+    # NULL terms are excluded like hll_registers/binned_histogram do
+    # (round-13 review): md5(concat(row, ':', NULL)) is NULL, so a NULL
+    # term minted a phantom (cm_row, NULL) bucket that absorbed its
+    # counts — the per-row weight total then disagreed with N and the
+    # documented ~N/width bound
+    exploded = term_counts.where(F.col(term_col).isNotNull()).select(
         F.col(term_col).alias("__term"), F.col(cnt_col).alias("__cnt"), rows
     )
     bucketed = exploded.select(
@@ -138,9 +145,20 @@ def binned_histogram(
     ordering in the cumulative window (Spark NULLS FIRST vs DuckDB
     NULLS LAST), so the readback would not be engine-portable on
     nullable inputs."""
+    if width < 1:
+        raise ValueError(f"binned_histogram needs width >= 1, got {width!r}")
+    # exact floor division (round-13 review, the band_join lesson):
+    # Spark's `/` casts to DOUBLE and mis-bins |values| > 2^53 (epoch
+    # nanos), and the DuckDB oracle's `//` is exact integer floor — DIV
+    # with the negative-remainder correction matches it at any
+    # magnitude. Fractional inputs still floor correctly (DIV truncates
+    # toward zero; the correction floors negatives).
     binned = rows.where(F.col(value_col).isNotNull()).select(
         *group_cols,
-        F.floor(F.col(value_col) / F.lit(width)).cast("long").alias("bin"),
+        F.expr(
+            f"`{value_col}` DIV {width} - "
+            f"CASE WHEN `{value_col}` % {width} < 0 THEN 1 ELSE 0 END"
+        ).cast("long").alias("bin"),
     )
     return binned.groupBy(*group_cols, "bin").agg(
         F.count(F.lit(1)).alias("cnt")

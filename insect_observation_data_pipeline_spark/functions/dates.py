@@ -15,9 +15,12 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def clamp_day(year: Column, month: Column, day: Column) -> Column:
-    """Clamp impossible day-of-month values (reference quirk: Feb always
-    clamps to 28)."""
+def clamp_day(month: Column, day: Column) -> Column:
+    """Clamp impossible day-of-month values. Deliberately NOT
+    leap-year-aware — Feb always clamps to 28, the reference quirk
+    (04_ETL1_part3.sql:370-377) — which is why this takes no year
+    (round-13: the unread ``year`` parameter implied calendar-correct
+    clamping this function must never do)."""
     return (
         F.when(month.isin(4, 6, 9, 11) & (day > 30), F.lit(30))
         .when((month == 2) & (day > 28), F.lit(28))
@@ -29,7 +32,7 @@ def build_observation_date(year: Column, month: Column, day: Column) -> Column:
     """make_date with the January/day-1 placeholder; NULL year -> NULL."""
     m = F.coalesce(month, F.lit(1))
     d0 = F.coalesce(day, F.lit(1))
-    d = clamp_day(year, m, d0)
+    d = clamp_day(m, d0)
     return F.when(year.isNull(), F.lit(None).cast("date")).otherwise(
         F.make_date(year, m, d)
     )

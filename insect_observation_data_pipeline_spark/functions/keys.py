@@ -30,8 +30,18 @@ from pyspark.sql import functions as F
 
 
 def hash_sk(entity: str, cols: Sequence[Column]) -> Column:
-    """64-bit deterministic surrogate key over the business key columns."""
-    return F.xxhash64(F.lit(entity), *cols)
+    """64-bit deterministic surrogate key over the business key columns.
+
+    Each value column is paired with its ``isNull()`` flag (round-13
+    review): Spark's XxHash64 SKIPS a NULL child — the running seed
+    passes through unchanged — so without the flags, keys that differ
+    only in WHICH column is NULL collide with probability 1
+    (``('X', NULL)`` vs ``(NULL, 'X')`` vs ``('X',)``). The flag column
+    is never NULL, so every position contributes at least one hash step
+    and the n^2/2^65 random-collision bound actually holds.
+    """
+    flagged = [x for c in cols for x in (c, c.isNull())]
+    return F.xxhash64(F.lit(entity), *flagged)
 
 
 def with_hash_sk(df: DataFrame, name: str, business_cols: Sequence[str]) -> DataFrame:

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.cache import tag_intermediates
+
 
 def hash_bucket(key: Column, buckets: int) -> Column:
     """Deterministic uniform bucket in [0, buckets) from md5 of the
@@ -416,8 +418,7 @@ def bigram_lm_scores(
             stable_round(F.col("__nll"), round_digits).alias("avg_nll"),
         )
     )
-    out._graph_intermediates = (dbg, cbg)  # operators.graph.unpersist_intermediates
-    return out
+    return tag_intermediates(out, (dbg, cbg))
 
 
 def temperature_mix(

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.cache import tag_intermediates
 from insect_observation_data_pipeline_spark.functions.numeric import stable_round
 
 
@@ -943,8 +944,7 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "rank", id_col, "score")
     )
-    out._graph_intermediates = (tf,)  # operators.graph.unpersist_intermediates
-    return out
+    return tag_intermediates(out, (tf,))
 
 
 def rrf_fuse(

@@ -40,16 +40,20 @@ def interval_join(
     closed_end: bool = True,
 ) -> DataFrame:
     """Join each probe row to the validity window containing its time."""
+    # qualify the time columns like the equi keys (round-13 review):
+    # bare F.col raises AMBIGUOUS_REFERENCE whenever the two frames
+    # share a time column name (e.g. probing SCD2 output, which has its
+    # own start_date, against another SCD2 table)
     upper = (
-        F.col(win_end).isNull()
+        windows[win_end].isNull()
         | (
-            F.col(probe_time) <= F.col(win_end)
+            probe[probe_time] <= windows[win_end]
             if closed_end
-            else F.col(probe_time) < F.col(win_end)
+            else probe[probe_time] < windows[win_end]
         )
     )
     cond = [probe[k] == windows[k] for k in on] + [
-        F.col(probe_time) >= F.col(win_start),
+        probe[probe_time] >= windows[win_start],
         upper,
     ]
     joined = probe.join(windows, cond, how)
@@ -81,7 +85,13 @@ def priority_match(
     for k in on:
         joined = joined.drop(candidates[k])
     tagged = joined.withColumn("__prio", priority)
-    w = Window.partitionBy(*probe_key).orderBy(F.col("__prio").asc(), *order_by)
+    # nulls LAST (round-13 review): a CASE ladder without an ELSE (or a
+    # condition over a nullable column evaluating UNKNOWN) yields a
+    # NULL priority, and plain asc() would sort that candidate FIRST —
+    # silently beating a genuine priority-1 match
+    w = Window.partitionBy(*probe_key).orderBy(
+        F.col("__prio").asc_nulls_last(), *order_by
+    )
     return (
         tagged.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

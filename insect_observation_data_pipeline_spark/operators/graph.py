@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.cache import tag_intermediates
 from insect_observation_data_pipeline_spark.functions.numeric import stable_round
 
 
@@ -32,8 +33,8 @@ def unpersist_intermediates(df: DataFrame, blocking: bool = False) -> None:
     Round 12: the mechanism generalized to every persisting operator
     (dedup, tf-cosine, source-overlap) — this module-level name stays
     as the historical entry point and delegates to the shared
-    :func:`insect_observation_data_pipeline_spark.cache.unpersist_intermediates`, which
-    also understands this module's ``_graph_intermediates`` tag."""
+    :func:`insect_observation_data_pipeline_spark.cache.unpersist_intermediates`
+    (round 13: this module tags through the shared helper too)."""
     from insect_observation_data_pipeline_spark.cache import (
         unpersist_intermediates as _shared,
     )
@@ -71,11 +72,21 @@ def pagerank(
     # from it, and the caller's edge lineage is typically the expensive
     # part (h4's is a lineitem join chain) — without this it would
     # recompute once per derived frame (the x34b 6x-recompute lesson).
-    e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        F.col(weight).alias("w"),
-    ).persist()
+    # NULL/non-positive weights are dropped as non-edges (round-13
+    # review): they contribute no transition probability, and keeping
+    # them made w/W_out a DIVIDE_BY_ZERO under ANSI (or a silent
+    # rank-mass leak with ANSI off) for a node whose weights sum to 0.
+    # A node ALL of whose edges drop leaves the graph entirely —
+    # consistent with "the graph is the positive-weight edge set".
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            F.col(weight).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -123,8 +134,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    ranks._graph_intermediates = (e, nodes, outw, ep)
-    return ranks
+    return tag_intermediates(ranks, (e, nodes, outw, ep))
 
 
 def triangle_counts(
@@ -241,5 +251,4 @@ def triangle_counts(
         .otherwise(F.lit(0.0))
         .alias("clustering"),
     )
-    out._graph_intermediates = (canon, deg, oriented)
-    return out
+    return tag_intermediates(out, (canon, deg, oriented))

@@ -38,6 +38,18 @@ def scd2_end_date(
     :func:`~insect_observation_data_pipeline_spark.operators.dedupe.distinct_on` first, mirroring the
     reference's dedup-before-insert.
     """
+    if closed_end:
+        # loud guard (round-13 review): date_sub CASTS a timestamp
+        # start to DATE, silently truncating the end bound to midnight
+        # (intervals then overlap by up to a day against a timestamp
+        # probe and the end column's type diverges from the start's)
+        dt = df.schema[start_col].dataType.typeName()
+        if dt.startswith("timestamp"):
+            raise ValueError(
+                f"scd2_end_date: start col {start_col!r} is {dt}; "
+                "closed 'minus one day' end-dating is a DATE semantic — "
+                "pass closed_end=False for half-open timestamp intervals"
+            )
     order = [F.col(start_col).asc()] + (order_tiebreak or [])
     w = Window.partitionBy(*entity_keys).orderBy(*order)
     nxt = F.lead(F.col(start_col)).over(w)

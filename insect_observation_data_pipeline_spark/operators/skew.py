@@ -80,6 +80,15 @@ def salted_join(
     order is keys + large payload + small payload for every branch.
     """
     keys = list(on)
+    if buckets < 1 or buckets != int(buckets):
+        # same guard class as band_join's delta (round-13 review):
+        # buckets=0 makes the salt pmod(hash, 0) — DIVIDE_BY_ZERO under
+        # ANSI, NULL salt + zero replicas otherwise, i.e. a silently
+        # EMPTY inner join; negative buckets replicate into zero
+        # buckets the same way
+        raise ValueError(
+            f"salted_join needs an integer buckets >= 1, got {buckets!r}"
+        )
     if how in ("inner", "left"):
         salted_large = large.withColumn(SALT_COL, _row_salt(large, buckets))
         replicated_small = small.withColumn(

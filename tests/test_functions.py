@@ -42,9 +42,11 @@ def test_normalize_na(spark):
 
 def test_clamp_day_reference_quirks(spark):
     # Feb always clamps to 28, even leap years (04_ETL1_part3.sql:370-377)
-    assert _one(spark, clamp_day(F.lit(2020), F.lit(2), F.lit(29))) == 28
-    assert _one(spark, clamp_day(F.lit(2019), F.lit(4), F.lit(31))) == 30
-    assert _one(spark, clamp_day(F.lit(2019), F.lit(1), F.lit(31))) == 31
+    # no year parameter: Feb clamps to 28 EVEN IN LEAP YEARS (the
+    # reference quirk) — the signature itself now says so (round 13)
+    assert _one(spark, clamp_day(F.lit(2), F.lit(29))) == 28
+    assert _one(spark, clamp_day(F.lit(4), F.lit(31))) == 30
+    assert _one(spark, clamp_day(F.lit(1), F.lit(31))) == 31
 
 
 def test_build_observation_date_placeholders(spark):
@@ -193,3 +195,68 @@ def test_hll_registers_ignore_nulls(spark):
     regs_clean, regs_dirty = snap(clean), snap(dirty)
     assert regs_dirty == regs_clean
     assert all(b is not None for b, _ in regs_clean)
+
+
+def test_hash_sk_distinguishes_null_positions(spark):
+    """Round-13 review: Spark's xxhash64 SKIPS NULL children, so without
+    per-column isNull flags ('X', NULL), (NULL, 'X') and ('X',) all
+    hashed identically — guaranteed surrogate-key collisions on keys
+    differing only in NULL position."""
+    from insect_observation_data_pipeline_spark.functions.keys import hash_sk
+
+    df = spark.range(1)
+    lit = lambda v: F.lit(v).cast("string")
+    vals = [
+        hash_sk("t", [lit("X"), lit(None)]),
+        hash_sk("t", [lit(None), lit("X")]),
+        hash_sk("t", [lit("X")]),
+        hash_sk("t", [lit(None), lit(None)]),
+    ]
+    row = df.select(*[v.alias(f"h{i}") for i, v in enumerate(vals)]).collect()[0]
+    hashes = [row[f"h{i}"] for i in range(len(vals))]
+    assert len(set(hashes)) == len(hashes), hashes
+
+
+def test_cm_weights_excludes_null_terms_and_guards_shape(spark):
+    """Round-13 review: NULL terms minted a phantom NULL bucket that
+    absorbed their counts (md5(concat(...NULL)) is NULL); they are
+    excluded like the sibling sketches, and degenerate depth/width
+    raise."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    tf = spark.createDataFrame(
+        [("a", 3), (None, 5), ("b", 2)], "term string, cnt int"
+    )
+    w = approx.cm_weights(tf, "term", "cnt", depth=2, width=8)
+    rows = w.collect()
+    assert all(r["bucket"] is not None for r in rows)
+    # per sketch row, total weight == sum of NON-NULL term counts
+    per_row = {}
+    for r in rows:
+        per_row[r["cm_row"]] = per_row.get(r["cm_row"], 0) + r["weight"]
+    assert per_row == {0: 5, 1: 5}
+    with pytest.raises(ValueError, match="depth/width"):
+        approx.cm_weights(tf, "term", "cnt", depth=0)
+
+
+def test_binned_histogram_exact_at_large_magnitudes(spark):
+    """Round-13 review: float division mis-bins |values| > 2^53 (epoch
+    nanos); DIV with the negative correction is exact at any magnitude
+    and floors negatives like the DuckDB oracle's // operator."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    big = (1 << 60) + 7  # float(v)/8 would round the low bits away
+    df = spark.createDataFrame(
+        [(big,), (-17,), (15,), (None,)], "v long"
+    )
+    got = {
+        r["bin"]: r["cnt"]
+        for r in approx.binned_histogram(df, "v", width=8).collect()
+    }
+    assert got == {big // 8: 1, -17 // 8: 1, 15 // 8: 1}  # python // = floor
+    with pytest.raises(ValueError, match="width"):
+        approx.binned_histogram(df, "v", width=0)

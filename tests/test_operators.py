@@ -595,3 +595,101 @@ def test_band_join_rejects_sub_one_delta(spark):
             band_join(df, r, F.col("v"), F.col("w"), bad)
     # integer-valued floats stay accepted (exactly representable)
     assert band_join(df, r, F.col("v"), F.col("w"), 2.0).count() == 1
+
+
+def test_salted_join_rejects_bad_buckets(spark):
+    """Round-13 review: buckets=0 made the salt pmod(hash, 0) —
+    DIVIDE_BY_ZERO under ANSI, a silently EMPTY join otherwise; the
+    guard raises like band_join's delta guard."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "a")], "k int, v string")
+    r = spark.createDataFrame([(1, "b")], "k int, w string")
+    for bad in (0, -3, 2.5):
+        with pytest.raises(ValueError, match="buckets"):
+            salted_join(df, r, ["k"], buckets=bad)
+
+
+def test_priority_match_null_priority_sorts_last(spark):
+    """Round-13 review: a candidate whose priority CASE ladder yields
+    NULL (no ELSE arm) must never beat a real priority — __prio orders
+    NULLS LAST."""
+    from insect_observation_data_pipeline_spark.operators import priority_match
+
+    probe = spark.createDataFrame([(1, "x")], "k int, pv string")
+    cand = spark.createDataFrame(
+        [(1, "good", 5), (1, "nullprio", None)],
+        "k int, tag string, flag int",
+    )
+    # ladder without ELSE: flag=5 -> 1; flag NULL -> NULL priority
+    out = priority_match(
+        probe, cand, ["k"], ["pv"],
+        F.when(F.col("flag") == 5, 1),
+        [F.col("tag").asc()],
+    ).collect()
+    assert len(out) == 1 and out[0]["tag"] == "good"
+
+
+def test_interval_join_shared_time_column_names(spark):
+    """Round-13 review: probe and windows sharing a time column name
+    (SCD2 output probed against another SCD2 table) must resolve via
+    frame-qualified references, not raise AMBIGUOUS_REFERENCE."""
+    import datetime
+
+    from insect_observation_data_pipeline_spark.operators import interval_join
+
+    d = datetime.date
+    probe = spark.createDataFrame(
+        [(1, d(2020, 6, 1), d(2020, 1, 1))],
+        "k int, ts date, start_date date",  # probe has its own start_date
+    )
+    windows = spark.createDataFrame(
+        [(1, d(2020, 1, 1), None)],
+        "k int, win_s date, win_e date",
+    ).select(
+        "k", F.col("win_s").alias("start_date"), F.col("win_e").alias("end_date")
+    )
+    out = interval_join(
+        probe.select("k", "ts"), windows, ["k"], "ts", "start_date", "end_date"
+    ).collect()
+    assert len(out) == 1
+
+
+def test_scd2_end_date_rejects_closed_timestamp(spark):
+    """Round-13 review: closed 'minus one day' end-dating on a TIMESTAMP
+    start would silently truncate to DATE; the guard raises and points
+    at closed_end=False."""
+    import pytest
+
+    df = spark.createDataFrame(
+        [(1, "2020-01-01 10:00:00")], "k int, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("start_ts"))
+    with pytest.raises(ValueError, match="closed_end=False"):
+        scd2_end_date(df, ["k"], "start_ts")
+    # half-open stays allowed on timestamps
+    assert scd2_end_date(df, ["k"], "start_ts", closed_end=False).count() == 1
+
+
+def test_pagerank_drops_nonpositive_weight_edges(spark):
+    """Round-13 review: zero/negative/NULL-weight edges are non-edges —
+    no ANSI divide-by-zero from a zero out-weight sum, no rank-mass
+    leak, and ranks still sum to 1."""
+    from insect_observation_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", 1.0),
+            ("b", "a", 2.0),
+            ("c", "a", 0.0),   # c's only out-edge: weight 0 -> dropped
+            ("a", "c", None),  # NULL weight -> dropped
+            ("b", "c", -1.0),  # negative -> dropped
+        ],
+        "src string, dst string, weight double",
+    )
+    ranks = pagerank(edges, iterations=4)
+    rows = {r["node"]: r["rank"] for r in ranks.collect()}
+    # c left the graph entirely (all its edges dropped)
+    assert set(rows) == {"a", "b"}
+    assert abs(sum(rows.values()) - 1.0) < 1e-9
