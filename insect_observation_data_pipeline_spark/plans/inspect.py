@@ -92,12 +92,45 @@ def pushed_filters(df: DataFrame) -> list[str]:
 
 
 def read_schema_columns(df: DataFrame) -> list[list[str]]:
-    """Column lists read by each parquet scan (pruning check)."""
+    """TOP-LEVEL column lists read by each parquet scan (pruning check).
+
+    Angle-bracket matched + top-level split (round-13 review, the same
+    defect class as round-12's pushed_filters fix): the old
+    ``struct<([^>]*)>`` regex stopped at the FIRST ``>`` and the flat
+    ``split(',')`` then minted phantom columns from nested struct
+    fields — ``struct<a:int,b:struct<c:int,d:int>>`` read back as
+    ``['a', 'b', 'd']``."""
     plan = formatted_plan(df)
     out = []
-    for m in re.finditer(r"ReadSchema: struct<([^>]*)>", plan):
-        cols = [c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()]
+    marker = "ReadSchema: struct<"
+    pos = 0
+    while True:
+        start = plan.find(marker, pos)
+        if start < 0:
+            break
+        i, depth = start + len(marker), 1
+        while i < len(plan) and depth:
+            if plan[i] == "<":
+                depth += 1
+            elif plan[i] == ">":
+                depth -= 1
+            i += 1
+        body = plan[start + len(marker) : i - 1]
+        cols, d, cur = [], 0, []
+        for ch in body + ",":
+            if ch == "<":
+                d += 1
+            elif ch == ">":
+                d -= 1
+            if ch == "," and d == 0:
+                seg = "".join(cur).strip()
+                if seg:
+                    cols.append(seg.split(":", 1)[0].strip())
+                cur = []
+            else:
+                cur.append(ch)
         out.append(cols)
+        pos = i
     return out
 
 
@@ -167,10 +200,21 @@ def join_key_names(df: DataFrame) -> list[list[str]]:
     rewrite really moved the salt columns into the shuffle key."""
     plan = formatted_plan(df)
     out: list[list[str]] = []
-    for m in re.finditer(r"(?:Left|Right) keys(?: \[\d+\])?: \[([^\]]*)\]", plan):
+    # bracket-matched like pushed_filters (round-13 review): the old
+    # [^\]]* regex stopped at a ']' INSIDE a key expression (e.g.
+    # arr#3[0]), truncating the key list
+    for m in re.finditer(r"(?:Left|Right) keys(?: \[\d+\])?: \[", plan):
+        i, depth = m.end(), 1
+        while i < len(plan) and depth:
+            if plan[i] == "[":
+                depth += 1
+            elif plan[i] == "]":
+                depth -= 1
+            i += 1
+        entry = plan[m.end() : i - 1]
         cols = [
             re.sub(r"#\d+L?", "", c).strip()
-            for c in _split_top_level(m.group(1))
+            for c in _split_top_level(entry)
             if c.strip()
         ]
         out.append(cols)

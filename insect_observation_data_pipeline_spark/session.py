@@ -19,8 +19,6 @@ import os
 
 from pyspark.sql import SparkSession
 
-DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-
 
 def get_spark(
     app_name: str = "insect-observation-data-pipeline-spark",
@@ -34,6 +32,15 @@ def get_spark(
     master is configured; on a real cluster pass ``master=None`` with
     ``--master`` supplied by spark-submit.
     """
+    if shuffle_partitions is not None and shuffle_partitions < 1:
+        # loud instead of a falsy-zero fallback (round-13 review): a
+        # computed 0 silently became the 32-partition default
+        raise ValueError(
+            f"shuffle_partitions must be >= 1, got {shuffle_partitions!r}"
+        )
+    # read at CALL time, for both master and partitions (round-13
+    # review: the old import-time DEFAULT_SHUFFLE_PARTITIONS snapshot
+    # could disagree with a later env change that master picked up)
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = SparkSession.builder.appName(app_name)
     if master is not None:
@@ -46,7 +53,7 @@ def get_spark(
         "spark.sql.adaptive.coalescePartitions.enabled": "true",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.shuffle.partitions": str(
-            shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+            shuffle_partitions if shuffle_partitions is not None else int(cpus)
         ),
         "spark.sql.session.timeZone": "UTC",
         # Parquet files written without the UTC-adjusted flag are inferred

@@ -35,9 +35,23 @@ def read_csv_staging(
     """Read a header CSV into an all-string staging DataFrame.
 
     ``defaults`` adds constant columns not present in the file (S3 in
-    SURVEY §2a). ``encoding='ISO-8859-1'`` covers the reference's LATIN1
-    observations file (04_ETL1_part3.sql:46).
+    SURVEY §2a) — a key that collides with ``columns`` raises instead of
+    silently overwriting the file's values (round-13 review).
+    ``encoding='ISO-8859-1'`` covers the reference's LATIN1 observations
+    file (04_ETL1_part3.sql:46).
+
+    ``enforceSchema`` is disabled (round-13 review): Spark's default
+    binds a user schema POSITIONALLY and discards the header, so a file
+    whose column order drifted from ``columns`` was silently mis-mapped
+    column-for-column; with it off, Spark validates header names against
+    the schema and fails loudly on drift.
     """
+    bad_defaults = set(defaults or {}) & set(columns)
+    if bad_defaults:
+        raise ValueError(
+            f"defaults {sorted(bad_defaults)} collide with file columns — "
+            "a constant would silently overwrite every row's value"
+        )
     df = (
         spark.read.option("header", True)
         .option("delimiter", delimiter)
@@ -45,6 +59,7 @@ def read_csv_staging(
         # keep malformed lines: staging never drops rows silently — the
         # quarantine layer decides.
         .option("mode", "PERMISSIVE")
+        .option("enforceSchema", False)
         .schema(all_string_schema(columns))
         .csv(path)
     )

@@ -31,18 +31,37 @@ def read_jsonl(
     schema: StructType,
 ) -> DataFrame:
     """Parse JSONL into ``schema``'s columns plus ``_corrupt_record``
-    (NULL for clean rows, the raw line for malformed/mistyped ones)."""
+    (NULL for clean rows, the raw line for malformed/mistyped ones).
+
+    Blank / whitespace-only lines are DROPPED before parsing (the
+    JSON-lines convention treats them as record separators, not
+    records). Every other line the parser cannot turn into a record —
+    including inputs like a bare ``null``, where from_json returns a
+    NULL struct with the corrupt field unset — is quarantined with its
+    raw text (round-13 review: the NULL-struct shape previously slipped
+    into the GOOD output as an all-NULL row)."""
     parse_schema = StructType(
         list(schema.fields) + [StructField(CORRUPT_COL, StringType(), True)]
     )
-    parsed = spark.read.text(path).select(
-        F.from_json(
-            F.col("value"),
-            parse_schema,
-            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
-        ).alias("j")
+    parsed = (
+        spark.read.text(path)
+        .filter(F.trim("value") != "")
+        .select(
+            F.col("value").alias("__raw"),
+            F.from_json(
+                F.col("value"),
+                parse_schema,
+                {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
+            ).alias("j"),
+        )
     )
-    return parsed.select("j.*")
+    fields = [F.col(f"j.`{f.name}`").alias(f.name) for f in schema.fields]
+    corrupt = (
+        F.when(F.col("j").isNull(), F.col("__raw"))
+        .otherwise(F.col(f"j.`{CORRUPT_COL}`"))
+        .alias(CORRUPT_COL)
+    )
+    return parsed.select(*fields, corrupt)
 
 
 def split_corrupt(df: DataFrame) -> tuple[DataFrame, DataFrame]:

@@ -291,6 +291,11 @@ def write_zordered(
     dims = list(zorder_by)
     if not dims:
         raise ValueError("zorder_by must name at least one column")
+    if "__z" in df.columns:
+        # withColumn would silently REPLACE the caller's column and the
+        # final drop would erase it from the written output (round-13
+        # review)
+        raise ValueError("df already has a '__z' column — rename it first")
     if bits * len(dims) > 63:
         # Java shift amounts wrap mod 64: past 63 bits the interleave
         # would silently fold one dimension's bits onto another's and
@@ -299,33 +304,41 @@ def write_zordered(
             f"bits * len(zorder_by) = {bits * len(dims)} exceeds the "
             "63-bit z-value budget; lower bits or drop dimensions"
         )
-    bounds = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(dims)],
-        *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(dims)],
-    ).collect()[0]
-    n_buckets = (1 << bits) - 1
-    bucket_cols = []
-    for i, c in enumerate(dims):
-        mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
-        span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
-        b = F.least(
-            F.lit(n_buckets),
-            F.floor(
-                (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
-                / F.lit(span)
-                * F.lit(float(n_buckets + 1))
-            ).cast("long"),
+    # the bounds agg executes df's WHOLE plan once and the write
+    # executes it again — pin it for the pair (round-13 review: for a
+    # derived df the recompute doubled the job; for a plain scan the
+    # persist is near-free because the agg only reads the dim columns)
+    df = df.persist()
+    try:
+        bounds = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{i}") for i, c in enumerate(dims)],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{i}") for i, c in enumerate(dims)],
+        ).collect()[0]
+        n_buckets = (1 << bits) - 1
+        bucket_cols = []
+        for i, c in enumerate(dims):
+            mn, mx = bounds[f"mn_{i}"], bounds[f"mx_{i}"]
+            span = (mx - mn) if (mn is not None and mx is not None and mx > mn) else 1.0
+            b = F.least(
+                F.lit(n_buckets),
+                F.floor(
+                    (F.coalesce(F.col(c).cast("double"), F.lit(mn or 0.0)) - F.lit(mn or 0.0))
+                    / F.lit(span)
+                    * F.lit(float(n_buckets + 1))
+                ).cast("long"),
+            )
+            bucket_cols.append(b)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for d, b in enumerate(bucket_cols):
+                bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(F.shiftleft(bit, i * len(dims) + d))
+        out = df.withColumn("__z", z)
+        out = (
+            out.repartitionByRange(num_files, "__z")
+            if num_files
+            else out.repartitionByRange("__z")
         )
-        bucket_cols.append(b)
-    z = F.lit(0).cast("long")
-    for i in range(bits):
-        for d, b in enumerate(bucket_cols):
-            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
-            z = z.bitwiseOR(F.shiftleft(bit, i * len(dims) + d))
-    out = df.withColumn("__z", z)
-    out = (
-        out.repartitionByRange(num_files, "__z")
-        if num_files
-        else out.repartitionByRange("__z")
-    )
-    out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+        out.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+    finally:
+        df.unpersist()

@@ -391,3 +391,15 @@ def test_pushed_filters_returns_whole_entries(spark, tmp_path):
     ), got
     # no sheared fragments
     assert all("(" in e or not e.endswith(")") for e in got), got
+
+
+def test_read_schema_columns_nested_struct(spark, tmp_path):
+    """Round-13 review: nested struct fields must not mint phantom
+    top-level columns or truncate at the first '>'."""
+    p = str(tmp_path / "nested.parquet")
+    spark.createDataFrame(
+        [(1, (2, 3), 4)], "a int, b struct<c:int, d:int>, e int"
+    ).write.parquet(p)
+    df = spark.read.parquet(p).select("a", "b", "e")
+    scans = read_schema_columns(df)
+    assert scans and sorted(scans[0]) == ["a", "b", "e"], scans

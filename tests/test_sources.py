@@ -249,3 +249,69 @@ def test_compact_rejects_cbo_less_join_estimate(spark, tmp_path):
         compact(joined, shuffle=True)
     # scans keep working
     assert compact(df).rdd.getNumPartitions() >= 1
+
+
+def test_jsonl_blank_and_null_lines(spark, tmp_path):
+    """Round-13 review: blank/whitespace-only lines are record
+    SEPARATORS (dropped); a line the parser yields no record for (bare
+    'null' -> NULL struct, corrupt field unset) is QUARANTINED with its
+    raw text — neither may land in GOOD as an all-NULL row."""
+    from insect_observation_data_pipeline_spark.sources.jsonl import read_jsonl, split_corrupt
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    p = str(tmp_path / "docs.jsonl")
+    with open(p, "w") as f:
+        f.write('{"id": 1, "text": "ok"}\n')
+        f.write("\n")            # blank: dropped
+        f.write("   \n")         # whitespace-only: dropped
+        f.write("null\n")        # parses to no record: quarantined
+        f.write('{"id": "x"}\n')  # type mismatch: quarantined
+    schema = StructType(
+        [StructField("id", LongType()), StructField("text", StringType())]
+    )
+    good, bad = split_corrupt(read_jsonl(spark, p, schema))
+    grows = good.collect()
+    assert [(r["id"], r["text"]) for r in grows] == [(1, "ok")]
+    brows = {r["row_data"] for r in bad.collect()}
+    assert brows == {"null", '{"id": "x"}'}
+
+
+def test_csv_staging_rejects_default_collision_and_header_drift(
+    spark, tmp_path
+):
+    """Round-13 review: (a) a defaults key naming a file column raises
+    instead of silently constant-overwriting every row; (b) a file
+    whose header ORDER drifted from the declared columns fails loudly
+    (enforceSchema=False) instead of silently mis-mapping positionally."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.sources.csv import read_csv_staging
+
+    p = str(tmp_path / "inst.csv")
+    with open(p, "w") as f:
+        f.write("city,institution\n")  # swapped vs declared order
+        f.write("Leeds,Solo Lab\n")
+    with pytest.raises(ValueError, match="collide"):
+        read_csv_staging(
+            spark, p, ["institution", "city"], defaults={"city": "X"}
+        )
+    with pytest.raises(Exception, match="(?i)header|schema"):
+        read_csv_staging(spark, p, ["institution", "city"]).collect()
+
+
+def test_write_zordered_rejects_reserved_column(spark, tmp_path):
+    from insect_observation_data_pipeline_spark.sources.parquet import write_zordered
+    import pytest
+
+    df = spark.range(4).withColumn("__z", F.lit(1))
+    with pytest.raises(ValueError, match="__z"):
+        write_zordered(df, str(tmp_path / "z"), zorder_by=("id",))
+
+
+def test_get_spark_rejects_zero_shuffle_partitions():
+    import pytest
+
+    from insect_observation_data_pipeline_spark import get_spark
+
+    with pytest.raises(ValueError, match="shuffle_partitions"):
+        get_spark("t", shuffle_partitions=0)
