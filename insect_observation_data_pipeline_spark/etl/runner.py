@@ -22,6 +22,7 @@ full-rebuild path.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +32,13 @@ from insect_observation_data_pipeline_spark.sources.csv import read_csv_staging
 
 
 def _write_layer(tables: dict[str, DataFrame], layer_dir: str) -> None:
+    # clear the WHOLE layer first (round-13 review): overwrite is
+    # per-table, so a table renamed or dropped between runs left its
+    # old directory behind and _read_layer then fed BOTH the stale and
+    # the fresh frame downstream — the idempotent-rebuild contract is
+    # per-LAYER
+    if os.path.isdir(layer_dir):
+        shutil.rmtree(layer_dir)
     for name, df in tables.items():
         df.write.mode("overwrite").parquet(os.path.join(layer_dir, f"{name}.parquet"))
 

@@ -137,22 +137,18 @@ def bpe_merges(
     """Learn ``rounds`` BPE merges; returns (rank, pair_a, pair_b,
     merged, pair_count) — the ordered merge table, one row per real
     merge (degenerate sentinel rounds are filtered out)."""
+    if rounds < 1:
+        # fail BEFORE paying the corpus scan (round-13 review: rounds=0
+        # crashed with IndexError after the histogram jobs already ran)
+        raise ValueError(f"bpe_merges needs rounds >= 1, got {rounds!r}")
     words = (
         docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(
-            "n",
-            F.concat(
-                # Spark split keeps the trailing empty match (limit -1
-                # semantics), so filter it or every word grows a
-                # phantom '' symbol before the end marker
-                F.filter(
-                    F.split(F.col("w"), "(?!^)"), lambda x: x != F.lit("")
-                ),
-                F.array(F.lit(WORD_END)),
-            ).alias("syms"),
-        )
+        # zero-merge symbol split via the ONE shared fold expression
+        # (round-13 review: this inlined the same split+end-marker
+        # concat _word_syms_expr exists to centralize)
+        .select("n", _word_syms_expr([]).alias("syms"))
         .localCheckpoint(eager=True)
     )
     # Size the ITERATION's partition count to the word-TYPE table, not
@@ -256,7 +252,7 @@ def bpe_encode(
         .distinct()
         .select("w", F.size(_word_syms_expr(merges)).alias("n_syms"))
     )
-    return (
+    totals = (
         per_doc_word.join(types, "w")
         .groupBy("doc_id")
         .agg(
@@ -264,6 +260,22 @@ def bpe_encode(
             .cast("bigint")
             .alias("n_bpe_symbols"),
             F.sum("n_occ").cast("bigint").alias("n_words"),
+        )
+    )
+    # keep zero-token documents (round-13 review): explode emits no
+    # rows for an empty/whitespace/NULL text, so the totals silently
+    # LOST those doc_ids — a downstream join back onto the corpus
+    # undercounted with no error. They tokenize to (0, 0), say so.
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .distinct()
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bpe_symbols", F.lit(0))
+            .cast("bigint")
+            .alias("n_bpe_symbols"),
+            F.coalesce("n_words", F.lit(0)).cast("bigint").alias("n_words"),
         )
     )
 

@@ -46,6 +46,11 @@ def quality_columns(text: Column) -> list[Column]:
     toks = tokens(text)
     n = F.size(toks)
     sum_len = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    # case-SENSITIVE by deliberate choice (round-13 review note): unlike
+    # lang_id's markers (lowercased in round 12 so sentence-initial
+    # 'The' votes), stopword_ratio measures raw-token density and its
+    # DuckDB oracle mirrors this spelling exactly — changing either side
+    # alone breaks x3/x18 parity, so the pair stays as-is by contract
     stop_cnt = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS)))
     # NULL-on-zero denominators (round-12 review): an empty or
     # whitespace-only doc has 0 tokens / 0 length, and under ANSI mode
@@ -112,9 +117,12 @@ def fingerprint128(text: Column) -> Column:
 
 
 def fingerprint64(text: Column) -> Column:
-    """64-bit-ish fingerprint: first 8 hex chars of md5 as a bigint —
-    cheap join key for exact-dup clustering."""
-    return F.conv(F.substring(fingerprint128(text), 1, 8), 16, 10).cast("bigint")
+    """60-bit fingerprint: first 15 hex chars of md5 as a bigint —
+    cheap join key for exact-dup clustering. 15 hex digits (round-13
+    review: the old 8 gave only 32 bits, where a 100k-doc corpus
+    already has >50% birthday-collision odds) is the widest md5 prefix
+    that always fits a SIGNED bigint."""
+    return F.conv(F.substring(fingerprint128(text), 1, 15), 16, 10).cast("bigint")
 
 
 def unicode_census(
@@ -158,8 +166,12 @@ def unicode_census(
         F.octet_length(F.col(text_col)).alias("n_bytes"),
     )
 
+    # derive the group field's type from the input (round-13 review: a
+    # hardcoded 'grp string' broke group_col on non-string columns at
+    # the Arrow boundary)
+    grp_type = per_doc.schema["grp"].dataType.simpleString()
     out_schema = (
-        "grp string, casefold_changed int, has_nonascii int, "
+        f"grp {grp_type}, casefold_changed int, has_nonascii int, "
         "n_chars int, n_bytes int, nfc_changed int"
     )
 
@@ -193,7 +205,10 @@ def unicode_census(
             F.coalesce(F.sum("n_chars"), F.lit(0)).cast("bigint").alias("sum_chars"),
             F.coalesce(F.sum("n_bytes"), F.lit(0)).cast("bigint").alias("sum_bytes"),
         )
-        .orderBy(group_col)
+        # NULLS LAST to match the DuckDB oracle's ASC default (round-13
+        # review: Spark's bare asc is NULLS FIRST — a NULL group row
+        # would order-diverge between the engines)
+        .orderBy(F.asc_nulls_last(group_col))
     )
 
 
@@ -214,5 +229,6 @@ def langid_confusion(
         docs.select(F.col(label_col).alias("lang"), pred.alias("pred_lang"))
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-        .orderBy("lang", "pred_lang")
+        # NULLS LAST: match DuckDB's ASC default (see unicode_census)
+        .orderBy(F.asc_nulls_last("lang"), F.asc_nulls_last("pred_lang"))
     )

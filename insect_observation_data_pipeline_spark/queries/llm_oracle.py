@@ -136,7 +136,8 @@ LLM_ORACLE: dict[str, str] = {
     "x5_fingerprint": f"""
         SELECT doc_id,
                md5({_NORM_TEXT}) AS fp128,
-               ('0x' || substr(md5({_NORM_TEXT}), 1, 8))::BIGINT AS fp64
+               -- 15 hex chars = 60 bits, mirrors textstats.fingerprint64
+               ('0x' || substr(md5({_NORM_TEXT}), 1, 15))::BIGINT AS fp64
         FROM documents
     """,
     "x6_ngram_jaccard": f"""

@@ -823,3 +823,16 @@ def test_edge_pipeline_grain_and_sk_uniqueness(edge_pipeline):
     jun = fact.filter((F.col("year") == 2019) & (F.col("month") == 6)).collect()
     assert len(jun) == 1, jun  # one Pro row...
     assert jun[0]["observation_count"] == 2  # ...counting one obs twice
+
+
+def test_write_layer_clears_stale_tables(spark, tmp_path):
+    """Round-13 review: overwrite is per-table, so a table dropped or
+    renamed between runs survived on disk and _read_layer fed the stale
+    frame downstream — the layer directory is cleared per rebuild."""
+    from insect_observation_data_pipeline_spark.etl.runner import _read_layer, _write_layer
+
+    d = str(tmp_path / "silver")
+    df = spark.createDataFrame([(1,)], "a int")
+    _write_layer({"old_name": df}, d)
+    _write_layer({"new_name": df}, d)
+    assert set(_read_layer(spark, d)) == {"new_name"}

@@ -3389,3 +3389,65 @@ def test_text_quality_edge_docs_cross_engine(spark, tmp_path):
     bigrams = {r["bigram"] for r in x19_bigram_topk(spark, d).collect()}
     assert "word" not in bigrams and "" not in bigrams
     assert "the cat" in bigrams
+
+
+def test_bpe_encode_keeps_zero_token_docs(spark):
+    """Round-13 review: empty/whitespace/NULL texts tokenize to (0, 0)
+    rows instead of silently vanishing from the per-document output."""
+    from insect_observation_data_pipeline_spark.llm import bpe
+
+    docs = spark.createDataFrame(
+        [(1, "low cost low"), (2, ""), (3, None), (4, "   ")],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: (r["n_bpe_symbols"], r["n_words"])
+            for r in bpe.bpe_encode(docs, [("l", "o")]).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[2] == (0, 0) and rows[3] == (0, 0) and rows[4] == (0, 0)
+    assert rows[1][1] == 3 and rows[1][0] > 0
+
+
+def test_bpe_merges_rejects_zero_rounds(spark):
+    """Round-13 review: rounds=0 failed with IndexError after paying the
+    corpus scan; now a loud ValueError before any job."""
+    import pytest
+
+    from insect_observation_data_pipeline_spark.llm import bpe
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    with pytest.raises(ValueError, match="rounds"):
+        bpe.bpe_merges(docs, rounds=0)
+
+
+def test_unicode_census_nonstring_group_and_null_ordering(spark):
+    """Round-13 review: (a) group_col may be non-string (the Arrow
+    out-schema derives the type); (b) a NULL group orders LAST on both
+    engines (DuckDB ASC default), not Spark-default first."""
+    from insect_observation_data_pipeline_spark.llm import textstats
+
+    docs = spark.createDataFrame(
+        [(1, "plain ascii"), (1, "café"), (2, "x"), (None, "y")],
+        "src int, text string",
+    )
+    out = textstats.unicode_census(docs, group_col="src").collect()
+    assert [r["src"] for r in out] == [1, 2, None]
+    by = {r["src"]: r for r in out}
+    assert by[1]["n_docs"] == 2 and by[1]["n_nonascii"] == 1
+
+
+def test_fingerprint64_width(spark):
+    """Round-13 review: 15 hex chars = 60 bits (the widest md5 prefix a
+    signed bigint holds); the old 8-char prefix was 32 bits with
+    certain collisions at corpus scale."""
+    import hashlib
+
+    from insect_observation_data_pipeline_spark.llm import textstats
+
+    got = (
+        spark.createDataFrame([("Some Text  here",)], "text string")
+        .select(textstats.fingerprint64(F.col("text")).alias("fp"))
+        .collect()[0]["fp"]
+    )
+    want = int(hashlib.md5(b"some text here").hexdigest()[:15], 16)
+    assert got == want
+    assert got >= (1 << 32)  # value uses more than the old 32-bit space
