@@ -431,7 +431,7 @@ def _prev_bench() -> dict:
             with open(path) as f:
                 d = json.load(f)
         except (OSError, json.JSONDecodeError):
-            continue
+            d = {}
         body = d if d.get("queries") else d.get("parsed") or {}
         if not body.get("queries"):
             for line in reversed(d.get("tail", "").splitlines()):
@@ -439,8 +439,26 @@ def _prev_bench() -> dict:
                 if cand.get("queries"):
                     body = cand
                     break
+        src = os.path.basename(path)
+        if not body.get("queries"):
+            # belt artifact (round-14 review: BENCH_LOCAL_r{N}.json was
+            # added BECAUSE the driver capture truncates, but this
+            # consumer never read it — the tail salvage could fall back
+            # a whole round while the byte-complete same-round local
+            # capture sat committed beside the truncated file)
+            local = os.path.join(
+                os.path.dirname(path),
+                os.path.basename(path).replace("BENCH_r", "BENCH_LOCAL_r"),
+            )
+            try:
+                with open(local) as f:
+                    cand = json.load(f)
+            except (OSError, json.JSONDecodeError):
+                cand = {}
+            if cand.get("queries"):
+                body, src = cand, os.path.basename(local)
         if body.get("queries"):
-            body["_src"] = os.path.basename(path)
+            body["_src"] = src
             return body
     return {}
 
@@ -552,9 +570,17 @@ def main() -> None:
         for op in calib_ops
         if prev_ops.get(op)
     }
-    if drift_ops_prev:
+    # the COMPUTE median excludes 'sched' (round-14 review: the battery
+    # docstring promised this but the prev-round median was taken over
+    # the full intersection, so vs any r10+ artifact a scheduling-regime
+    # change — the very thing compute normalization must not absorb —
+    # shifted every normalized delta; the epoch path's 3 pinned ops
+    # already exclude it, and the full dict still goes out in
+    # calib_drift_ops_vs_prev for audit)
+    compute_prev = {op: r for op, r in drift_ops_prev.items() if op != "sched"}
+    if compute_prev:
         calib_drift = round(
-            statistics.median(drift_ops_prev.values()), 3
+            statistics.median(compute_prev.values()), 3
         )
     elif prev_calib:
         calib_drift = round(calib_ops["codegen"] / prev_calib, 3)
@@ -670,8 +696,8 @@ def main() -> None:
             # artifact self-attests the tree it measured; the stdout
             # line stays unchanged so the epoch scalars keep their
             # end-of-tail position and the driver capture is
-            # byte-stable)
-            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            # byte-stable); repo root is already on sys.path (module
+            # import time, line 62)
             from tools.compare import artifact_meta
 
             data = json.loads(line)

@@ -288,7 +288,8 @@ def load_users(
     # stays as a LAST-RESORT leg only for the degenerate duplicate
     # (name, city) pair — impossible by construction (institutions are
     # distinct on that pair) except a CSV row colliding with the seeded
-    # 'Unaffiliated'.
+    # 'Unaffiliated' (that one path is pinned by tests/test_etl_pipeline
+    # .py::test_user_institution_duplicate_name_city_tiebreak).
     user_institution = scd2_end_date(
         aff.withColumnRenamed("affiliation_start", "start_date"),
         ["username"],

@@ -147,18 +147,26 @@ def binned_histogram(
     nullable inputs."""
     if width < 1:
         raise ValueError(f"binned_histogram needs width >= 1, got {width!r}")
-    # exact floor division (round-13 review, the band_join lesson):
-    # Spark's `/` casts to DOUBLE and mis-bins |values| > 2^53 (epoch
-    # nanos), and the DuckDB oracle's `//` is exact integer floor — DIV
-    # with the negative-remainder correction matches it at any
-    # magnitude. Fractional inputs still floor correctly (DIV truncates
-    # toward zero; the correction floors negatives).
-    binned = rows.where(F.col(value_col).isNotNull()).select(
-        *group_cols,
-        F.expr(
+    # Exact floor division, branched on the value type (round-13 review
+    # introduced DIV for exactness; round-14 ADVICE: DIV fails analysis
+    # outright on DOUBLE/FLOAT — DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES).
+    # Integral/decimal inputs take the DIV path: Spark's `/` casts to
+    # DOUBLE and mis-bins |values| > 2^53 (epoch nanos), while DIV with
+    # the negative-remainder correction matches DuckDB's exact integer
+    # `//` at any magnitude. Fractional inputs keep F.floor(col/width):
+    # they are already doubles, so the division loses nothing, and floor
+    # handles negatives directly.
+    dtype = rows.schema[value_col].dataType.simpleString()
+    if dtype in ("double", "float"):
+        bin_expr = F.floor(F.col(value_col) / F.lit(width)).cast("long")
+    else:
+        bin_expr = F.expr(
             f"`{value_col}` DIV {width} - "
             f"CASE WHEN `{value_col}` % {width} < 0 THEN 1 ELSE 0 END"
-        ).cast("long").alias("bin"),
+        ).cast("long")
+    binned = rows.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        bin_expr.alias("bin"),
     )
     return binned.groupBy(*group_cols, "bin").agg(
         F.count(F.lit(1)).alias("cnt")

@@ -141,6 +141,18 @@ def pack_sequences(
         )
         offset = (F.sum(tok).over(w) - tok).cast("bigint")
     else:
+        from pyspark.sql.types import NumericType
+
+        odt = df.schema[order_col].dataType
+        if not isinstance(odt, NumericType):
+            raise ValueError(
+                f"range_bucket_width requires a numeric order_col, got "
+                f"{order_col!r}: {odt.simpleString()} — buckets come from "
+                f"floor({order_col}/width), whose NUMERIC ordering diverges "
+                "from the naive window's lexicographic ordering on strings "
+                "('99' sorts after '150' but buckets before it), silently "
+                "producing different pack assignments (round-14 review)"
+            )
         bucket = F.floor(F.col(order_col) / F.lit(range_bucket_width)).alias(
             "__bucket"
         )
@@ -165,7 +177,8 @@ def pack_sequences(
             .alias("__bucket_offset"),
         )
         # NULL-SAFE join keys (round-12 review): a NULL stratum or a
-        # NULL/non-numeric order_col (floor(NULL/width) = NULL bucket)
+        # NULL order_col (floor(NULL/width) = NULL bucket; non-numeric
+        # columns are rejected above)
         # flows through the naive window path (NULLS FIRST) but a plain
         # equi-join would silently drop it here, breaking the
         # "identical output to the naive form" guarantee with data
@@ -630,14 +643,27 @@ def mixture_plan(
             "n_docs",
             "n_tokens",
             "weight",
-            F.expr("(1000000 * weight) DIV __wsum").cast("bigint").alias("share_ppm"),
-            F.expr(f"({int(budget_tokens)} * weight) DIV __wsum")
-            .cast("bigint")
-            .alias("planned_tokens"),
-            stable_round(
-                F.expr(f"({int(budget_tokens)} * weight) DIV __wsum")
-                / F.col("n_tokens").cast("double"),
-                4,
+            # zero guards (round-14 review): a source whose docs are all
+            # empty text has n_tokens = 0 (and weight 0), and a corpus of
+            # only such sources has __wsum = 0 — under the ANSI default
+            # the bare divisions raise DIVIDE_BY_ZERO and kill the plan;
+            # CASE branches evaluate lazily, so the degenerate rows get
+            # NULL instead (no tokens -> no defined share/epochs)
+            F.when(
+                F.col("__wsum") > 0,
+                F.expr("(1000000 * weight) DIV __wsum"),
+            ).cast("bigint").alias("share_ppm"),
+            F.when(
+                F.col("__wsum") > 0,
+                F.expr(f"({int(budget_tokens)} * weight) DIV __wsum"),
+            ).cast("bigint").alias("planned_tokens"),
+            F.when(
+                (F.col("__wsum") > 0) & (F.col("n_tokens") > 0),
+                stable_round(
+                    F.expr(f"({int(budget_tokens)} * weight) DIV __wsum")
+                    / F.col("n_tokens").cast("double"),
+                    4,
+                ),
             ).alias("epochs"),
         )
         .orderBy("source")

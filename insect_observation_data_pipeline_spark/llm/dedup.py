@@ -30,15 +30,27 @@ from insect_observation_data_pipeline_spark.llm.textstats import fingerprint128,
 
 
 def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup via content-hash groupBy: keeper = min id per group."""
-    return (
-        docs.select(F.col(id_col), fingerprint128(F.col(text_col)).alias("fp"))
-        .groupBy("fp")
-        .agg(
-            F.min(id_col).alias("keeper_id"),
-            F.count(F.lit(1)).alias("n_docs"),
-        )
+    """Exact dedup via content-hash groupBy: keeper = min id per group.
+
+    A NULL text (fp NULL) matches NOTHING — each such doc is its own
+    singleton keeper (round-14 review: the bare groupBy grouped every
+    missing-text doc into ONE group, declaring unrelated docs exact
+    duplicates, while the incremental paths' fp equi-joins never match
+    NULL; this aligns the batch path, and keeps the streaming ingest
+    sink's keeper semi-join from dropping missing-text docs)."""
+    hashed = docs.select(
+        F.col(id_col), fingerprint128(F.col(text_col)).alias("fp")
     )
+    grouped = hashed.where(F.col("fp").isNotNull()).groupBy("fp").agg(
+        F.min(id_col).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    singletons = hashed.where(F.col("fp").isNull()).select(
+        "fp",
+        F.col(id_col).alias("keeper_id"),
+        F.lit(1).cast("bigint").alias("n_docs"),
+    )
+    return grouped.unionByName(singletons)
 
 
 def doc_segments(
@@ -446,6 +458,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_df: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """DIRECTED near-dup: containment(A in B) = |A ∩ B| / |A| over n-gram
     shingle sets — the inclusion detector symmetric Jaccard misses (a
@@ -456,8 +469,17 @@ def containment_pairs(
     stop-shingle guard (containment then a lower bound); emits ORDERED
     pairs (doc_a, doc_b, containment) = "doc_a is contained in doc_b",
     both directions scored independently.
+
+    ``shingles`` lets a caller hand in a precomputed (and typically
+    persisted) ``doc_shingles`` frame so the tokenize+explode corpus
+    pass is shared instead of re-planned (round-14 review:
+    :func:`containment_keep` paid the full shingle scan twice).
     """
-    sh = doc_shingles(docs, text_col, id_col, n)
+    sh = (
+        shingles
+        if shingles is not None
+        else doc_shingles(docs, text_col, id_col, n)
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_sh = sh
     if max_df is not None:
@@ -743,15 +765,22 @@ def containment_keep(
     (quadratic on colliding shingles — use ``max_df`` to cut
     stop-shingles); the policy layer itself adds two broadcast-size
     joins over the pair set."""
+    from pyspark import StorageLevel
+
+    # ONE persisted shingle pass (round-14 review): the pair generation
+    # and the size policy joins both need the tokenize+explode corpus
+    # scan — without sharing it, the full explode ran twice per call
+    # (the x34b recompute lesson). The bm25_topk persist+tag pattern:
+    # caller releases via cache.unpersist_intermediates after
+    # materializing.
+    sh = doc_shingles(docs, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     pairs = containment_pairs(
         docs, text_col=text_col, id_col=id_col, n=n,
-        threshold=threshold, max_df=max_df,
+        threshold=threshold, max_df=max_df, shingles=sh,
     )
-    sizes = (
-        doc_shingles(docs, text_col, id_col, n)
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_sh"))
-    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     losers = (
         pairs.join(
             sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a")),
@@ -769,7 +798,7 @@ def containment_keep(
         .distinct()
         .withColumn("__drop", F.lit(True))
     )
-    return (
+    return tag_intermediates(
         docs.select(F.col(id_col).alias("doc_id"))
         .join(losers, "doc_id", "left")
         .select(
@@ -778,7 +807,8 @@ def containment_keep(
             F.when(F.col("__drop"), F.lit("contained"))
             .otherwise(F.lit("kept"))
             .alias("reason"),
-        )
+        ),
+        (sh,),
     )
 
 
@@ -1395,14 +1425,22 @@ def cluster_representatives(
     Output: one row per cluster — component_id, keep_<id_col>,
     n_members, best_score.
 
+    A member MISSING from ``scored`` still counts (round-14 review: the
+    old inner join silently shrank n_members and made a cluster with no
+    scored member vanish entirely, dropping every member from the
+    downstream keep-list): the join is LEFT, an unscored member ranks
+    after every scored one (desc NULLS LAST, both engines' default for
+    DESC), and an all-unscored cluster falls back to the min-id keeper
+    with best_score NULL.
+
     Shape: one equi-join on the doc id, then a window partitioned by
     component_id. Cluster sizes are bounded by near-dup cluster width
     (shallow, small), so the window partitions are tiny; everything
     shuffles on high-cardinality keys. No collect, no skew funnel.
     """
-    joined = components.join(scored.select(id_col, score_col), id_col)
+    joined = components.join(scored.select(id_col, score_col), id_col, "left")
     w = Window.partitionBy("component_id").orderBy(
-        F.desc(score_col), F.asc(id_col)
+        F.desc_nulls_last(score_col), F.asc(id_col)
     )
     return (
         joined.withColumn("rn", F.row_number().over(w))

@@ -42,8 +42,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
+    """NULL for a zero-norm side (round-14 review): under the ANSI
+    default a bare division raises DIVIDE_BY_ZERO and kills the job on
+    the first all-zero embedding; CASE branches evaluate lazily, so the
+    division never runs for the degenerate rows. A NULL similarity then
+    fails every ``>= threshold`` filter and sorts last under ``desc``
+    ranking in both engines — zero-norm vectors never pair."""
     a, b = _as_double(a), _as_double(b)
-    return dot(a, b) / (norm(a) * norm(b))
+    denom = norm(a) * norm(b)
+    return F.when(denom != 0, dot(a, b) / denom)
 
 
 def _with_norm(
@@ -57,14 +64,28 @@ def _with_norm(
     to a single dot product — the arithmetic ``dot/(n_a*n_b)`` is
     unchanged, so results are bit-identical to the naive form (no
     oracle-hash risk), but the HOF work per pair drops ~3x. At 100 TB
-    you'd persist the normalized/norm columns with the embeddings."""
+    you'd persist the normalized/norm columns with the embeddings.
+
+    Zero-norm rows are DROPPED here (round-14 review): their cosine is
+    undefined (0/0 raises under the ANSI default), and guarding the
+    per-PAIR division instead was measured ~1.5-2x slower on x9's
+    all-pairs loop — one per-ROW filter costs n, a per-pair branch
+    costs n^2. A zero-norm vector therefore never pairs and never
+    appears as a query or neighbor, the same drop semantics as
+    near_dup_pairs' kernels."""
     v = _as_double(F.col(vec_col))
-    return df.select(F.col(id_col).alias(id_out), v.alias(vec_out)).withColumn(
-        norm_out, norm(F.col(vec_out))
+    return (
+        df.select(F.col(id_col).alias(id_out), v.alias(vec_out))
+        .withColumn(norm_out, norm(F.col(vec_out)))
+        .filter(F.col(norm_out) != 0)
     )
 
 
 def _pair_cosine(vec_a: str, vec_b: str, norm_a: str, norm_b: str) -> Column:
+    # PRECONDITION: both sides are zero-norm-free (every caller builds
+    # them through _with_norm's filter or its own norm != 0 filter), so
+    # the bare division is ANSI-safe. Guarding per PAIR here instead
+    # was measured ~1.5-2x slower on x9's all-pairs loop (round-14).
     return dot(F.col(vec_a), F.col(vec_b)) / (F.col(norm_a) * F.col(norm_b))
 
 
@@ -220,11 +241,17 @@ def ivf_topk(
         .filter(F.col("rn") <= nprobe)
         .select("query_id", "q_vec", "q_norm", "cell")
     )
-    c = candidates.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(cell_col).alias("cell"),
-        _as_double(F.col(vec_col)).alias("c_vec"),
-    ).withColumn("c_norm", norm(F.col("c_vec")))
+    c = (
+        candidates.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(cell_col).alias("cell"),
+            _as_double(F.col(vec_col)).alias("c_vec"),
+        )
+        .withColumn("c_norm", norm(F.col("c_vec")))
+        # zero-norm candidates never pair (see _with_norm) — per-row
+        # filter so the pair loop keeps the bare division
+        .filter(F.col("c_norm") != 0)
+    )
     scored = routed.join(c, "cell").select(
         "query_id",
         "neighbor_id",
@@ -279,9 +306,12 @@ def near_dup_pairs(
       task: cap 2k ~ 32 MB, cap 10k ~ 800 MB — size the cap to the
       executor, or fall back to hof).
 
-    Both kernels treat a zero-norm vector differently (JVM 0/0 = NaN
-    compares high, numpy NaN compares low) — callers must drop
-    zero-norm vectors first if they can occur.
+    Both kernels DROP pairs involving a zero-norm vector (round-14
+    review unified this: the hof path's guarded cosine yields NULL,
+    which fails the threshold filter; the gram path's numpy 0/0 yields
+    NaN, which fails the same comparison) — and both drop NULL-cell
+    (unassigned) vectors before pairing, so kernel and cap choice never
+    change which pairs exist.
 
     ``max_cell_rows`` guards the skewed-mega-cell case: a cell with m
     rows puts an m^2 pair space in ONE shuffle partition. With the cap
@@ -311,16 +341,26 @@ def near_dup_pairs(
         )
     if kernel != "hof":
         raise ValueError(f"unknown kernel {kernel!r}; expected 'gram' or 'hof'")
-    a = vectors.select(
-        F.col(cell_col).alias("cell"),
-        F.col(id_col).alias("a_id"),
-        _as_double(F.col(vec_col)).alias("a_vec"),
-    ).withColumn("a_norm", norm(F.col("a_vec")))
-    b = vectors.select(
-        F.col(cell_col).alias("cell"),
-        F.col(id_col).alias("b_id"),
-        _as_double(F.col(vec_col)).alias("b_vec"),
-    ).withColumn("b_norm", norm(F.col("b_vec")))
+    # zero-norm rows filtered per SIDE (n cost), keeping the per-pair
+    # division bare — same drop semantics as the gram kernel's NaN
+    a = (
+        vectors.select(
+            F.col(cell_col).alias("cell"),
+            F.col(id_col).alias("a_id"),
+            _as_double(F.col(vec_col)).alias("a_vec"),
+        )
+        .withColumn("a_norm", norm(F.col("a_vec")))
+        .filter(F.col("a_norm") != 0)
+    )
+    b = (
+        vectors.select(
+            F.col(cell_col).alias("cell"),
+            F.col(id_col).alias("b_id"),
+            _as_double(F.col(vec_col)).alias("b_vec"),
+        )
+        .withColumn("b_norm", norm(F.col("b_vec")))
+        .filter(F.col("b_norm") != 0)
+    )
     sim = stable_round(
         _pair_cosine("a_vec", "b_vec", "a_norm", "b_norm"), round_digits
     )
@@ -457,7 +497,12 @@ def _near_dup_pairs_gram(
         mb = np.vstack(b_rows["vec"].to_numpy()).astype(np.float64)
         na = np.sqrt((ma * ma).sum(axis=1))
         nb = np.sqrt((mb * mb).sum(axis=1))
-        sim = (ma @ mb.T) / np.outer(na, nb)
+        # zero-norm rows produce NaN here (0/0), which fails the
+        # threshold comparison below — same drop semantics as the hof
+        # kernel's NULL-guarded cosine; errstate just silences the
+        # expected divide warnings
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = (ma @ mb.T) / np.outer(na, nb)
         # stable_round, vectorized: floor(|x|*s + 0.5)/s with sign back
         rounded = (
             np.floor(np.abs(sim) * scale + 0.5)
@@ -479,6 +524,13 @@ def _near_dup_pairs_gram(
         F.col(cell_col).alias("cell"),
         F.col(id_col).alias("_id"),
         _as_double(F.col(vec_col)).alias("vec"),
+    ).filter(
+        # NULL cell = unassigned: the hof kernel's equi-join and this
+        # path's capped meta-join both drop it implicitly, but the
+        # uncapped groupBy kept the NULL group and paired unassigned
+        # vectors with each other (round-14 review) — filter once here
+        # so every kernel/cap combination blocks identically
+        F.col("cell").isNotNull()
     )
     if max_cell_rows is None:
         return src.groupBy("cell").applyInPandas(kern, out_schema)
@@ -890,7 +942,6 @@ def bm25_topk(
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     doclen = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
     stats = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs")).crossJoin(
         tf.agg(F.sum("tf").alias("total_tokens"))
     )
@@ -903,9 +954,20 @@ def bm25_topk(
             )
         ).alias("term"),
     ).distinct()
+    # df over QUERY TERMS ONLY (round-14 review): a join cannot push
+    # below an aggregate, so the old groupBy-then-join aggregated df for
+    # the entire corpus vocabulary and then threw away every non-query
+    # term. Semi-restricting the postings to query terms BEFORE the
+    # groupBy shuffles only candidate postings; the df values are
+    # identical (all (doc, term) rows of a kept term survive the join).
+    df_t = (
+        tf.join(F.broadcast(qt.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    )
     cand = tf.join(F.broadcast(qt), "term")
     scored = (
-        cand.join(F.broadcast(df_t.join(F.broadcast(qt.select("term").distinct()), "term")), "term")
+        cand.join(F.broadcast(df_t), "term")
         .join(doclen, id_col)
         .crossJoin(F.broadcast(stats))
         .select(
@@ -972,6 +1034,10 @@ def rrf_fuse(
     """
     from functools import reduce
 
+    if not rankings:
+        raise ValueError(
+            "rrf_fuse needs at least one ranking DataFrame, got []"
+        )
     parts = [
         r.select(
             F.col(query_col),

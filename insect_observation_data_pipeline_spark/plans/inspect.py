@@ -118,9 +118,9 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
         body = plan[start + len(marker) : i - 1]
         cols, d, cur = [], 0, []
         for ch in body + ",":
-            if ch == "<":
+            if ch in "<(":
                 d += 1
-            elif ch == ">":
+            elif ch in ">)":
                 d -= 1
             if ch == "," and d == 0:
                 seg = "".join(cur).strip()

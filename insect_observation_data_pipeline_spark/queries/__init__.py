@@ -261,14 +261,13 @@ ROTATION_EXEMPT: dict[str, str] = {
     # register kernel (shuffle capped at 256 rows/group instead of one
     # row per distinct combination). Both halves are driver-verified
     # via their rotating carriers, the inverse of the x13/x26 pattern.
-    "w2b_best_month_sketch": (
-        "HLL-register scale variant of rotating w2_best_month_per_customer "
-        "(same join/rank shape) over the kernel rotating x40_hll_distinct "
-        "driver-verifies (approx.hll_registers/hll_state/hll_estimate, "
-        "called verbatim); 20%-accuracy vs w2's exact counts "
-        "pytest-pinned; in the bench extended set and the local oracle "
-        "run every round"
-    ),
+    # Round 14: w2b swapped INTO rotation for one round (the x50
+    # precedent — round-13 verdict task #1: it was one of three queries
+    # never driver-verified, and the one the 100x-scale story leans on
+    # hardest). Never-green, so it sorts into the window through the
+    # rotation slack; re-exempt in round 15 once its driver row lands,
+    # restoring the carrier rationale above verbatim. x43_bpe_vocab is
+    # queued for the r15 swap and x45_bm25_topk for r16.
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

@@ -76,11 +76,18 @@ _BANDS_UNION = "\n        UNION ALL\n".join(
 
 LLM_ORACLE: dict[str, str] = {
     "x1_dedup_exact": f"""
+        -- NULL text matches nothing: singleton keepers, in lockstep
+        -- with exact_groups (round-14 review)
         SELECT md5({_NORM_TEXT}) AS fp,
                min(doc_id) AS keeper_id,
                count(*) AS n_docs
         FROM documents
+        WHERE text IS NOT NULL
         GROUP BY 1
+        UNION ALL
+        SELECT NULL AS fp, doc_id AS keeper_id, CAST(1 AS BIGINT) AS n_docs
+        FROM documents
+        WHERE text IS NULL
     """,
     "x3_text_quality": f"""
         WITH base AS (
@@ -625,6 +632,10 @@ LLM_ORACLE["x20_chunk_documents"] = f"""
            array_to_string(tk[s : s + 49], ' ') AS chunk_text,
            CAST(len(tk[s : s + 49]) AS INTEGER) AS n_chunk_tokens
     FROM s
+    -- lockstep with the Spark side (round-14 review): drop a trailing
+    -- start whose window adds no new tokens (strict subset of the
+    -- previous chunk); 9 = size - stride - 1
+    WHERE s = 1 OR s + 9 < len(tk)
 """
 
 LLM_ORACLE["x21_decontaminate"] = f"""

@@ -589,7 +589,15 @@ def x20_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     stride 40 (10-token overlap). One explode over the per-doc start
     offsets — rows out ~= tokens/stride, no Python, no shuffle at all
     (pure per-row expansion; downstream embedding would batch these
-    through mapInPandas)."""
+    through mapInPandas).
+
+    A trailing start whose window adds NO new tokens is dropped
+    (round-14 review): with len % stride in 1..(size - stride) the last
+    start's chunk is a strict subset of its predecessor (len=90: start
+    81 covers 81-90, already inside 41-90) — a redundant row that would
+    embed and retrieve as a near-exact duplicate. A start survives iff
+    it is the doc's first or its window reaches past the previous
+    window's end: s + (size - stride - 1) < len(tk)."""
     stride, size = 40, 50
     d = _t(spark, sf_dir, "documents")
     toked = d.select("doc_id", textstats.tokens(F.col("text")).alias("tk"))
@@ -601,6 +609,9 @@ def x20_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1), F.greatest(F.size("tk"), F.lit(1)), F.lit(stride)
             )
         ).alias("s"),
+    ).filter(
+        (F.col("s") == 1)
+        | (F.col("s") + F.lit(size - stride - 1) < F.size("tk"))
     )
     chunk = F.slice("tk", F.col("s"), size)
     return starts.select(
@@ -779,13 +790,15 @@ def e2_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     tagged = e.withColumn(
         "new_session", F.when(gap > 600 * 1_000_000, 1).otherwise(0)
     )
-    return (
-        tagged.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            (F.lit(1) + F.sum("new_session")).alias("n_sessions"),
-        )
-        .orderBy("user_id")
+    # no presentation orderBy: the result is per-user grain (unbounded
+    # at scale) and a corpus-wide range exchange purely for output order
+    # is the kind of cost that matters at 100 TB — the correctness
+    # compare is order-insensitive (the x42 precedent; round-14 review —
+    # e25_session_census re-executes this verbatim, so the cost was
+    # paid twice)
+    return tagged.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.lit(1) + F.sum("new_session")).alias("n_sessions"),
     )
 
 
@@ -958,12 +971,10 @@ def e9_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("d1") == F.col("d0")) & (F.col("d2") == F.col("d0")))
     )
-    return (
-        tri.groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n_paths"))
-        .orderBy(F.col("n_paths").desc(), F.col("path").asc())
-        .limit(20)
-    )
+    from insect_observation_data_pipeline_spark.operators.topk import top_k
+
+    counted = tri.groupBy("path").agg(F.count(F.lit(1)).alias("n_paths"))
+    return top_k(counted, [F.col("n_paths").desc(), F.col("path").asc()], 20)
 
 
 def x48_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -640,10 +640,12 @@ ORACLE["f_levenshtein_fuzzy"] = """
 def _w2b_oracle_sql() -> str:
     """w2b: rebuild the identical per-(customer, month) md5-register HLL
     (p=8, m=256) and its readback, then w2's rank/top-10 shape on the
-    estimate. Literals come from functions/approx.py (the x40 oracle's
-    discipline): everything upstream of the one add+divide (+ ln on the
-    linear-counting branch) is integer-exact, so both engines rank the
-    identical doubles."""
+    ROUNDED estimate. Literals come from functions/approx.py (the x40
+    oracle's discipline): everything upstream of the one add+divide is
+    integer-exact, and the ln on the linear-counting branch — the one
+    libm call that is NOT guaranteed bit-exact across engines — is
+    neutralized by ranking on stable_round(est, 2) in lockstep with the
+    Spark side (round-14 review)."""
     from insect_observation_data_pipeline_spark.functions.approx import hll_sql
 
     frag = hll_sql("supp")
@@ -673,19 +675,24 @@ def _w2b_oracle_sql() -> str:
         FROM regs GROUP BY 1, 2
     ),
     est_t AS (
-        SELECT o_custkey, month_year, {est} AS est FROM per
+        -- rank on the ROUNDED estimate (round-14 review, lockstep with
+        -- the Spark side: libm ln in the linear-counting branch is not
+        -- bit-exact across engines; after rounding, ties fall to the
+        -- month/name tiebreaks identically)
+        SELECT o_custkey, month_year, {_sr(est, 2)} AS est_suppliers
+        FROM per
     ),
     ranked AS (
         SELECT *, row_number() OVER (
-            PARTITION BY o_custkey ORDER BY est DESC, month_year
+            PARTITION BY o_custkey ORDER BY est_suppliers DESC, month_year
         ) AS rn
         FROM est_t
     )
-    SELECT c.c_name, r.month_year, {_sr('r.est', 2)} AS est_suppliers
+    SELECT c.c_name, r.month_year, r.est_suppliers
     FROM ranked r
     JOIN customer c ON r.o_custkey = c.c_custkey
     WHERE rn = 1
-    ORDER BY r.est DESC, c.c_name, r.month_year
+    ORDER BY r.est_suppliers DESC, c.c_name, r.month_year
     LIMIT 10
 """
 

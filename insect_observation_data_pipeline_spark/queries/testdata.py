@@ -295,8 +295,13 @@ def w2b_best_month_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     within the noise — use w2 when the answer must be exact, this form
     when the corpus no longer fits the exact shuffle (README
     "Switching w2 at scale" note). Deterministic: same md5 registers
-    on every engine, so the DuckDB oracle replays the ranking
-    bit-identically."""
+    on every engine, and the rank/top-k ORDER on the ROUNDED estimate
+    (round-14 review, the x45/bm25 discipline: the linear-counting
+    branch goes through libm ln, which is not bit-exact across
+    engines, so ranking on the raw double would let a last-ulp
+    difference flip two near-equal months; after stable_round(…, 2)
+    ties fall to the month/name tiebreaks identically in both
+    engines)."""
     from insect_observation_data_pipeline_spark.functions import approx
 
     l = _t(spark, sf_dir, "lineitem")
@@ -315,12 +320,12 @@ def w2b_best_month_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = per.select(
         "o_custkey",
         "month_year",
-        approx.hll_estimate(
-            F.col("regs_used"), F.col("sum_scaled")
-        ).alias("__est"),
+        stable_round(
+            approx.hll_estimate(F.col("regs_used"), F.col("sum_scaled")), 2
+        ).alias("est_suppliers"),
     )
     w = Window.partitionBy("o_custkey").orderBy(
-        F.desc("__est"), F.asc("month_year")
+        F.desc("est_suppliers"), F.asc("month_year")
     )
     best = (
         monthly.withColumn("rn", F.row_number().over(w))
@@ -332,13 +337,9 @@ def w2b_best_month_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return top_k(
         best,
-        [F.desc("__est"), F.asc("c_name"), F.asc("month_year")],
+        [F.desc("est_suppliers"), F.asc("c_name"), F.asc("month_year")],
         10,
-    ).select(
-        "c_name",
-        "month_year",
-        stable_round(F.col("__est"), 2).alias("est_suppliers"),
-    )
+    ).select("c_name", "month_year", "est_suppliers")
 
 
 # ---------------------------------------------------------------------------
@@ -557,9 +558,7 @@ def j13_asof_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = e.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("asof_start")
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "event_id", "user_id", "ts"
-    )
+    purchases = _purchases(spark, sf_dir)
     out = asof_join(
         purchases,
         signups,
@@ -573,9 +572,13 @@ def j13_asof_latest_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def j14_band_join_coincident(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band join WITHOUT an equi key (the proximity shape missing from
-    the J9-J13 temporal family): per event, how many OTHER users
-    produced an event within +-5 seconds — cross-user coincidence
-    density. Natively this predicate has no equi component, so Spark
+    the J9-J13 temporal family): per event, how many EVENTS from other
+    users landed within +-5 seconds — cross-user coincidence density at
+    event-pair grain (a user firing 3 in-band events contributes 3, not
+    1; the distinct-user variant would need countDistinct(r_user_id) —
+    round-14 review aligned this docstring with what the code and the
+    oracle have always computed). Natively this predicate has no equi
+    component, so Spark
     would plan a nested-loop cross join; operators/rangejoin.py
     rewrites it as a bucketized equi-join (5 s buckets, one side
     replicated to the 3 candidate buckets, exact band residual) —
@@ -1015,16 +1018,23 @@ def f_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised in-plan but the hashed representation is a plain double.
     """
     e = _t(spark, sf_dir, "events")
+    return e.select("event_id", *_cast_census_cols())
+
+
+def _cast_census_cols() -> list:
+    """The cast-census expressions, shared verbatim between
+    :func:`f_cast_census` and the consolidated
+    :func:`f_event_cast_census` (round-14 review: one definition, so
+    the consolidated form can be a single scan without a drift risk)."""
     flag = F.when(F.col("event_type") == "click", F.lit("Y")).otherwise(F.lit("N"))
-    return e.select(
-        "event_id",
+    return [
         F.get_json_object("props", "$.k").cast("int").alias("k_int"),
         stable_round(F.col("value"), 2)
         .cast("decimal(9,2)")
         .cast("double")
         .alias("value_dec"),
         (F.upper(flag) == "Y").alias("is_click"),
-    )
+    ]
 
 
 def f_stats_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1219,9 +1229,16 @@ def f_yn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's ::BOOLEAN relies on, over a flag synthesized from
     event_type so every branch (mixed case, yes/no, t/f, digits, invalid
     -> NULL) appears in the data."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", *_yn_cast_cols())
+
+
+def _yn_cast_cols() -> list:
+    """The boolean-ladder expressions, shared verbatim between
+    :func:`f_yn_cast` and :func:`f_event_cast_census` (see
+    :func:`_cast_census_cols`)."""
     from insect_observation_data_pipeline_spark.functions.text import boolean_literal
 
-    e = _t(spark, sf_dir, "events")
     flag = (
         F.when(F.col("event_type") == "click", F.lit("Y"))
         .when(F.col("event_type") == "view", F.lit("n"))
@@ -1229,11 +1246,10 @@ def f_yn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "signup", F.lit("FALSE"))
         .otherwise(F.lit("maybe"))
     )
-    return e.select(
-        "event_id",
+    return [
         flag.alias("flag_raw"),
         boolean_literal(flag).alias("flag_bool"),
-    )
+    ]
 
 
 def f_string_date_census(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1291,10 +1307,13 @@ def f_event_cast_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Consolidated §2h cast census (round 7): the JSON/decimal/boolean
     cast census and the 'Y'/'N' boolean-literal ladder share the events
     grain, so they merge into one select — column union of
-    :func:`f_cast_census` and :func:`f_yn_cast`, one driver slot."""
-    c = f_cast_census(spark, sf_dir)
-    y = f_yn_cast(spark, sf_dir)
-    return c.join(y, "event_id")
+    :func:`f_cast_census` and :func:`f_yn_cast`, one driver slot.
+    Round-14 review: literally ONE select over one events scan (the old
+    ``c.join(y, "event_id")`` re-scanned events and paid a sort-merge
+    join for a column union); the expression lists are shared with the
+    component queries, so the census semantics cannot drift apart."""
+    e = _t(spark, sf_dir, "events")
+    return e.select("event_id", *_cast_census_cols(), *_yn_cast_cols())
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {

@@ -45,7 +45,7 @@ def read_jsonl(
     )
     parsed = (
         spark.read.text(path)
-        .filter(F.trim("value") != "")
+        .filter(F.col("value").rlike(r"\S"))
         .select(
             F.col("value").alias("__raw"),
             F.from_json(

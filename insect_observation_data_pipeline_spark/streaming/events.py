@@ -133,16 +133,16 @@ def sessionized_event_counts(
     )
 
 
-def run_batch_backfill(spark: SparkSession, path: str) -> DataFrame:
-    """Same rollup in batch mode (backfill path shares the stream code)."""
-    import os
+def run_batch_backfill(
+    spark: SparkSession, path: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Same rollup in batch mode (backfill path shares the stream code).
 
-    from insect_observation_data_pipeline_spark.sources.parquet import read_table
-
-    # os.path.split, not rsplit('/') — a bare relative filename has no
-    # separator and the 2-tuple unpack raised ValueError (round-12
-    # review); split returns ('', name) there and read_table treats the
-    # empty base as the cwd
-    base, name = os.path.split(path)
-    events = read_table(spark, base or ".", name.removesuffix(".parquet"))
+    Accepts the SAME path contract as :func:`read_events_stream` —
+    any file/directory the format source can load, read with the same
+    explicit schema (round-14 review: the old detour through
+    ``read_table``'s ``{base}/{name}.parquet`` convention silently
+    rewrote the path, so a directory that streamed fine failed the
+    advertised backfill/live-tail parity with PATH_NOT_FOUND)."""
+    events = spark.read.format(fmt).schema(EVENTS_SCHEMA).load(path)
     return windowed_event_counts(events)

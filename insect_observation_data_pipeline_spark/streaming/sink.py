@@ -32,6 +32,7 @@ import shutil
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from insect_observation_data_pipeline_spark.cache import unpersist_intermediates
 from insect_observation_data_pipeline_spark.operators.dedupe import distinct_on
 
 # bucketed data files carry the writer's bucket id: `..._00003.c000...`;
@@ -584,17 +585,30 @@ def dedup_ingest_sink(
         if not _epoch_begin(path, epoch_id, spark,
                             tables=(index_table, bands_table)):
             return
+        # cut lineage FIRST (round-14 review, the scrub sinks' idiom
+        # applied back here): batch_df feeds the exact-keeper semi-join,
+        # the LSH pair generation, the indexed incremental probe, and
+        # the final joins — without the cut, every downstream action
+        # re-drives the stream source scan per subtree
+        batch_df = batch_df.localCheckpoint(eager=True)
         keepers = exact_groups(batch_df, text_col, id_col).select(
             F.col("keeper_id").alias(id_col)
         )
         batch = batch_df.join(keepers, id_col, "left_semi")
+        # keep the TAGGED results in scope: minhash_lsh_dedup and
+        # incremental_dedup_indexed persist corpus-scale intermediates
+        # and tag them for the caller to release — chaining .select()
+        # drops the tag attribute, and a long-running stream that never
+        # releases them grows executor storage by ~5 cached frames per
+        # epoch (round-14 review)
+        near_pairs = minhash_lsh_dedup(
+            batch, text_col=text_col, id_col=id_col, threshold=threshold
+        )
         near_losers = (
-            minhash_lsh_dedup(batch, text_col=text_col, id_col=id_col,
-                              threshold=threshold)
-            .select(F.col("doc_b").alias(id_col))
-            .distinct()
+            near_pairs.select(F.col("doc_b").alias(id_col)).distinct()
         )
         batch = batch.join(near_losers, id_col, "left_anti")
+        kept_flags = None
         # guard on DATA FILES, not the directory: a first-epoch crash
         # after _publish_staged leaves the live dir existing but EMPTIED
         # by the replay's rollback, and schema inference on an empty dir
@@ -631,15 +645,14 @@ def dedup_ingest_sink(
                 )
             index = spark.table(index_table)
             band_index = spark.table(bands_table)
-            kept = (
-                incremental_dedup_indexed(
-                    index, corpus, batch,
-                    text_col=text_col, id_col=id_col, threshold=threshold,
-                    band_index=band_index,
-                    candidate_pushdown=candidate_pushdown,
-                )
-                .filter(F.col("keep"))
-                .select(F.col("doc_id").alias(id_col))
+            kept_flags = incremental_dedup_indexed(
+                index, corpus, batch,
+                text_col=text_col, id_col=id_col, threshold=threshold,
+                band_index=band_index,
+                candidate_pushdown=candidate_pushdown,
+            )
+            kept = kept_flags.filter(F.col("keep")).select(
+                F.col("doc_id").alias(id_col)
             )
             batch = batch.join(kept, id_col, "left_semi")
         # HARD lineage cut, not just a cache hint: the survivor set was
@@ -649,6 +662,12 @@ def dedup_ingest_sink(
         # judge every doc an exact duplicate (observed: the second
         # bucketed write recomputed past persist() and appended nothing).
         batch = batch.localCheckpoint(eager=True)
+        # survivors are materialized — release the tagged per-epoch
+        # intermediates now (round-14 review: they were never released,
+        # leaking cached frames for the stream's lifetime)
+        unpersist_intermediates(near_pairs)
+        if kept_flags is not None:
+            unpersist_intermediates(kept_flags)
         # every append goes stage -> log target names -> move (see
         # _epoch_begin): a crash in ANY window is either an orphaned
         # epoch-namespaced stage dir or logged target files the replay
@@ -1106,6 +1125,13 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
         if col_idx < 0:
             missing_col.append(fn)
             continue
+        # a NON-STRING key (foreign file with e.g. an int64 seg_hash)
+        # must land in the foreign/quarantine diagnosis, not raise an
+        # opaque TypeError from len(int) (round-14 review); width -1 is
+        # the "not a string key" sentinel and never equals 16/32
+        def _key_width(v: object) -> int:
+            return len(v) if isinstance(v, (str, bytes)) else -1
+
         lengths: set[int] = set()
         has_nulls = False
         stats_ok = True
@@ -1116,8 +1142,8 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
                 break
             if st.null_count:
                 has_nulls = True
-            lengths.add(len(st.min))
-            lengths.add(len(st.max))
+            lengths.add(_key_width(st.min))
+            lengths.add(_key_width(st.max))
         # Footer stats are a FAST PATH trusted only to PASS a file
         # (pure 32-hex): a writer is allowed to TRUNCATE binary min/max
         # statistics, so ANY other reported width — the legacy-looking
@@ -1129,7 +1155,7 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
             col = pq.read_table(fpath, columns=["seg_hash"]).column(0)
             vals = col.to_pylist()
             has_nulls = any(v is None for v in vals)
-            lengths = {len(v) for v in vals if v is not None}
+            lengths = {_key_width(v) for v in vals if v is not None}
         if has_nulls:
             null_keys.append(fn)
         if 16 in lengths:
@@ -1152,9 +1178,10 @@ def _audit_seg_hash_width(spark, index_path: str) -> None:
         widths = sorted(set().union(*foreign.values()))
         problems.append(
             f"files {sorted(foreign)[:3]} carry non-32-hex seg_hash keys "
-            f"of widths {widths}: no version of this sink ever wrote "
-            "such keys — the files are corrupted or foreign; quarantine "
-            "them and re-count their epochs from a raw corpus copy"
+            f"of widths {widths} (-1 = non-string key type): no version "
+            "of this sink ever wrote such keys — the files are corrupted "
+            "or foreign; quarantine them and re-count their epochs from "
+            "a raw corpus copy"
         )
     if null_keys:
         problems.append(

@@ -268,13 +268,19 @@ def advance_funnel_state(
     continuation (a funnel spanning a batch boundary) is unit-testable
     without a streaming harness. Exact parity with the batch query
     holds when batches arrive in ts order (the same in-order-replay
-    assumption the sessionizer makes); a strictly-late event could
-    only ever move a step EARLIER, never invalidate a later step's
-    strict ordering.
+    assumption the sessionizer makes). State is MONOTONE across
+    batches: once a step fires it never moves, so a cross-batch late
+    event that predates a set t1 is DROPPED (round-14 review: the old
+    branch moved t1 earlier while t2/t3 stayed computed against the
+    old t1, emitting (t1', t2, t3) triples no batch replay over the
+    same data could ever produce — and the divergence was permanent
+    because the displaced events are gone from state; within one
+    sorted batch the earliest qualifying event still wins, so in-order
+    parity is unchanged).
     """
     for ts, typ in events_sorted:
         if typ == steps[0]:
-            if t1_us is None or ts < t1_us:
+            if t1_us is None:
                 t1_us = ts
         elif typ == steps[1]:
             if t1_us is not None and ts > t1_us and t2_us is None:

@@ -741,3 +741,27 @@ def test_green_summary_refuses_to_write_on_corrupt_artifact(tmp_path, monkeypatc
     assert green_summary.main() == 0
     got = json.loads((tmp_path / "GREEN_SUMMARY.json").read_text())
     assert got["folded_through"] == 2 and got["last_green"] == {"qa": 2}
+
+
+def test_readme_test_count_floor():
+    """Round-13 verdict #5: the README's test count was hand-edited and
+    drifted twice (said 286 when the suite was 291). It now states a
+    FLOOR ("N+ tests") and this test derives the real number — the
+    count of collected-style `def test_` functions across tests/ — so
+    the claim can never silently overstate again. Raise the README
+    floor deliberately; it can only fail by claiming more than exists."""
+    import re
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    m = re.search(r"\| `tests/` \| (\d+)\+ tests", (root / "README.md").read_text())
+    assert m, "README tests/ row must state an 'N+ tests' floor"
+    claimed_floor = int(m.group(1))
+    defined = sum(
+        len(re.findall(r"^def test_", p.read_text(), re.MULTILINE))
+        for p in (root / "tests").glob("test_*.py")
+    )
+    assert defined >= claimed_floor, (
+        f"README claims {claimed_floor}+ tests but only {defined} test "
+        "functions are defined — lower the README floor"
+    )

@@ -727,6 +727,49 @@ def test_user_institution_reference_parity_edges(spark):
     assert ends[("Solo Lab", "Leeds")] is None
 
 
+def test_user_institution_duplicate_name_city_tiebreak(spark):
+    """Round-13 verdict #3: the ONE path where two institution rows share
+    the full business identity (name, city) — a CSV row named
+    'Unaffiliated' with no city colliding with the seeded Unaffiliated
+    (institution_id=0, city NULL) — must still yield a deterministic
+    SCD2 chain via the last-resort institution_id tiebreak leg
+    (etl/etl1.py order_tiebreak). A user affiliating with that name fans
+    out to BOTH ids tied on (start, name, city): the smaller id is
+    end-dated to start-1, the larger stays open, independent of shuffle
+    order."""
+    import datetime
+
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    inst_stg = spark.createDataFrame(
+        [("Unaffiliated", None, None, "United Kingdom")],
+        "institution string, city string, county string, country string",
+    )
+    r1 = etl1.load_institutions(inst_stg)
+    inst_rows = r1.silver["institutions"].collect()
+    ids = sorted(r["institution_id"] for r in inst_rows)
+    assert len(ids) == 2 and 0 in ids, ids  # CSV row + seed collided
+
+    users_stg = spark.createDataFrame(
+        [("C. Three", "cthree", "c@x.org", "Unaffiliated", "2020-01-01",
+          "", "", "Free", "2020-01-01", "2020-01-01")],
+        "full_name string, username string, email string, institution string,"
+        " affiliation_start string, city string, county string,"
+        " subscription_type string, subscription_start string,"
+        " join_date string",
+    )
+    r2 = etl1.load_users(
+        users_stg, r1.silver["institutions"], r1.silver["cities"]
+    )
+    ui = {
+        r["institution_id"]: r["end_date"]
+        for r in r2.silver["user_institution"].collect()
+    }
+    assert set(ui) == set(ids), ui  # both ids minted an interval
+    assert ui[min(ids)] == datetime.date(2019, 12, 31)  # end-dated
+    assert ui[max(ids)] is None  # open interval — deterministic winner
+
+
 def test_user_subscription_reference_parity_edges(spark):
     """Round-13 parity (03_ETL1_part2.sql:137-156), mirroring the
     institution edge test one table over:

@@ -260,3 +260,23 @@ def test_binned_histogram_exact_at_large_magnitudes(spark):
     assert got == {big // 8: 1, -17 // 8: 1, 15 // 8: 1}  # python // = floor
     with pytest.raises(ValueError, match="width"):
         approx.binned_histogram(df, "v", width=0)
+
+
+def test_binned_histogram_fractional_values(spark):
+    """Round-14 ADVICE: the SQL DIV rewrite fails analysis outright on
+    DOUBLE/FLOAT value columns (DATATYPE_MISMATCH.BINARY_OP_DIFF_TYPES);
+    fractional inputs must take the F.floor(col/width) path and still
+    floor negatives like DuckDB's // on doubles."""
+    from insect_observation_data_pipeline_spark.functions import approx
+
+    df = spark.createDataFrame(
+        [(16.5,), (-0.25,), (7.999,), (None,)], "v double"
+    )
+    got = {
+        r["bin"]: r["cnt"]
+        for r in approx.binned_histogram(df, "v", width=8).collect()
+    }
+    assert got == {2: 1, -1: 1, 0: 1}
+    # the quantile readback built on top must analyze too
+    q = approx.binned_quantiles(df, "v", width=8, pcts=(50,)).collect()
+    assert q[0]["n_rows"] == 3

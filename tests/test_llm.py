@@ -2535,6 +2535,40 @@ def test_path_trigrams_hand_corpus(spark, tmp_path):
     ]
 
 
+def test_chunk_documents_drops_subset_trailing_chunk(spark, tmp_path):
+    """x20 (round-14 review): a trailing start whose 50-token window
+    adds no new tokens (len % 40 in 1..10, len > 50) is a strict subset
+    of the previous chunk and must be dropped; a start that reaches one
+    token further survives. Short docs still get exactly one chunk."""
+    from insect_observation_data_pipeline_spark.queries.llm_testdata import (
+        x20_chunk_documents,
+    )
+
+    def doc(did, n):
+        return (did, " ".join(f"w{i}" for i in range(1, n + 1)))
+
+    df = spark.createDataFrame(
+        [doc(1, 90), doc(2, 91), doc(3, 50), doc(4, 10)],
+        "doc_id long, text string",
+    )
+    sf = str(tmp_path / "chunks")
+    df.write.parquet(f"{sf}/documents.parquet")
+
+    rows = x20_chunk_documents(spark, sf).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # len 90: start 81 covers 81-90 c 41-90 -> dropped (2 chunks)
+    assert sorted(r["chunk_idx"] for r in by_doc[1]) == [0, 1]
+    # len 91: start 81 adds token 91 -> kept (3 chunks, last is 11 tokens)
+    assert sorted(r["chunk_idx"] for r in by_doc[2]) == [0, 1, 2]
+    assert {r["chunk_idx"]: r["n_chunk_tokens"] for r in by_doc[2]}[2] == 11
+    # len 50: start 41 covers 41-50 c 1-50 -> dropped (1 full chunk)
+    assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in by_doc[3]] == [(0, 50)]
+    # len 10 (< size): exactly one chunk of 10
+    assert [(r["chunk_idx"], r["n_chunk_tokens"]) for r in by_doc[4]] == [(0, 10)]
+
+
 def test_session_census_unions_components(spark):
     """e25 = e2 rows (grain per_user, NULL interval) + e5 rows (grain
     per_session, NULL n_sessions), both component functions verbatim."""
@@ -3451,3 +3485,143 @@ def test_fingerprint64_width(spark):
     want = int(hashlib.md5(b"some text here").hexdigest()[:15], 16)
     assert got == want
     assert got >= (1 << 32)  # value uses more than the old 32-bit space
+
+
+# ---------------------------------------------------------------------------
+# round-14 review hardening: degenerate inputs must not crash or silently
+# change semantics across code paths
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_zero_norm_yields_null_not_crash(spark):
+    """ANSI divide guard: a zero-norm embedding gives cosine NULL (never
+    DIVIDE_BY_ZERO), so it fails every threshold filter and sorts last
+    in desc rankings."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    got = df.crossJoin(
+        df.select(
+            F.col("vec_id").alias("b_id"), F.col("embedding").alias("b_emb")
+        )
+    ).select(
+        "vec_id",
+        "b_id",
+        similarity.cosine(F.col("embedding"), F.col("b_emb")).alias("sim"),
+    ).collect()
+    sims = {(r["vec_id"], r["b_id"]): r["sim"] for r in got}
+    assert sims[(1, 1)] == pytest.approx(1.0)
+    assert sims[(1, 2)] is None and sims[(2, 2)] is None
+    # end-to-end: brute_force_topk over a corpus containing the zero
+    # vector completes; the zero-norm row is DROPPED per-side (n-cost
+    # filter, keeping the pair loop's division bare) so it never
+    # appears as a neighbor — and a zero-norm query emits no rows
+    out = similarity.brute_force_topk(
+        df.filter(F.col("vec_id") == 1), df, k=2
+    ).collect()
+    assert [(r["rank"], r["neighbor_id"], r["cosine_sim"]) for r in out] == [
+        (1, 1, 1.0)
+    ]
+    assert (
+        similarity.brute_force_topk(
+            df.filter(F.col("vec_id") == 2), df, k=2
+        ).count()
+        == 0
+    )
+
+
+def test_near_dup_pairs_kernels_agree_on_null_cell_and_zero_norm(spark):
+    """Blocking parity: NULL-cell (unassigned) and zero-norm vectors
+    never pair, identically for kernel gram/hof, capped or not."""
+    v = [0.6, 0.8]
+    df = spark.createDataFrame(
+        [
+            (1, v, None),
+            (2, v, None),          # NULL cell pair: must NOT emit
+            (3, v, "c1"),
+            (4, v, "c1"),          # real pair
+            (5, [0.0, 0.0], "c1"),  # zero-norm: must NOT pair
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    for kernel in ("gram", "hof"):
+        for cap in (None, 2):
+            pairs = sorted(
+                (r["a_id"], r["b_id"])
+                for r in similarity.near_dup_pairs(
+                    df, threshold=0.9, kernel=kernel, max_cell_rows=cap
+                ).collect()
+            )
+            assert pairs == [(3, 4)], (kernel, cap, pairs)
+
+
+def test_exact_groups_null_text_singletons(spark):
+    """NULL text matches NOTHING: each missing-text doc is its own
+    keeper (the incremental paths' NULL-join semantics), never an
+    'exact duplicate' of another missing-text doc."""
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "hello"), (4, "hello")],
+        "doc_id long, text string",
+    )
+    rows = dedup.exact_groups(df).collect()
+    by_keeper = {r["keeper_id"]: (r["fp"], r["n_docs"]) for r in rows}
+    assert by_keeper[1] == (None, 1) and by_keeper[2] == (None, 1)
+    assert by_keeper[3][1] == 2 and by_keeper[3][0] is not None
+    assert len(rows) == 3
+
+
+def test_cluster_representatives_keeps_unscored_members(spark):
+    """A member missing from `scored` still counts in n_members, ranks
+    after scored members, and an all-unscored cluster keeps min id with
+    best_score NULL (the old inner join dropped both)."""
+    comps = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 2), (11, 2)],
+        "doc_id long, component_id long",
+    )
+    scored = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9)], "doc_id long, quality_score double"
+    )  # 3 unscored; cluster 2 entirely unscored
+    out = {r["component_id"]: r for r in dedup.cluster_representatives(comps, scored).collect()}
+    assert out[1]["keep_doc_id"] == 2 and out[1]["n_members"] == 3
+    assert out[1]["best_score"] == pytest.approx(0.9)
+    assert out[2]["keep_doc_id"] == 10 and out[2]["n_members"] == 2
+    assert out[2]["best_score"] is None
+
+
+def test_mixture_plan_zero_token_source(spark):
+    """A source whose docs are all empty text must get NULL epochs (not
+    DIVIDE_BY_ZERO under ANSI); an all-empty corpus yields NULL shares."""
+    from insect_observation_data_pipeline_spark.llm.curation import mixture_plan
+
+    df = spark.createDataFrame(
+        [("a", "x y z"), ("a", "x"), ("b", ""), ("b", "  ")],
+        "source string, text string",
+    )
+    rows = {r["source"]: r for r in mixture_plan(df, budget_tokens=100).collect()}
+    assert rows["b"]["n_tokens"] == 0 and rows["b"]["epochs"] is None
+    assert rows["a"]["epochs"] is not None and rows["a"]["planned_tokens"] == 100
+    empty = spark.createDataFrame([("a", ""), ("b", "")], "source string, text string")
+    for r in mixture_plan(empty, budget_tokens=100).collect():
+        assert r["share_ppm"] is None and r["epochs"] is None
+
+
+def test_pack_sequences_rejects_string_order_col_when_bucketed(spark):
+    """floor(str/width) buckets NUMERICALLY while the naive window
+    orders LEXICOGRAPHICALLY — silent divergence, so the bucketed path
+    refuses string order columns."""
+    from insect_observation_data_pipeline_spark.llm.curation import pack_sequences
+
+    df = spark.createDataFrame(
+        [("99", 10), ("150", 10), ("2000", 10)], "doc_id string, n_tokens int"
+    )
+    # naive path still fine on strings
+    assert pack_sequences(df, token_col="n_tokens", budget=15).count() == 3
+    with pytest.raises(ValueError, match="numeric order_col"):
+        pack_sequences(
+            df, token_col="n_tokens", budget=15, range_bucket_width=100
+        )
+
+
+def test_rrf_fuse_empty_rankings_raises(spark):
+    with pytest.raises(ValueError, match="at least one ranking"):
+        similarity.rrf_fuse([])

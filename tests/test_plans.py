@@ -403,3 +403,18 @@ def test_read_schema_columns_nested_struct(spark, tmp_path):
     df = spark.read.parquet(p).select("a", "b", "e")
     scans = read_schema_columns(df)
     assert scans and sorted(scans[0]) == ["a", "b", "e"], scans
+
+
+def test_read_schema_columns_parenthesized_types(spark, tmp_path):
+    """Round-14 ADVICE: parenthesized type args (decimal(10,2)) must not
+    split into phantom columns — commas inside '(' ')' are not
+    top-level either."""
+    from decimal import Decimal
+
+    p = str(tmp_path / "dec.parquet")
+    spark.createDataFrame(
+        [(Decimal("1.25"), 2)], "a decimal(10,2), b int"
+    ).write.parquet(p)
+    df = spark.read.parquet(p).select("a", "b")
+    scans = read_schema_columns(df)
+    assert scans and sorted(scans[0]) == ["a", "b"], scans

@@ -264,6 +264,8 @@ def test_jsonl_blank_and_null_lines(spark, tmp_path):
         f.write('{"id": 1, "text": "ok"}\n')
         f.write("\n")            # blank: dropped
         f.write("   \n")         # whitespace-only: dropped
+        f.write("\t\t\n")        # tab-only: dropped (r14 ADVICE: trim
+        f.write(" \t \r\n")      # only caught spaces; CR/tab leaked)
         f.write("null\n")        # parses to no record: quarantined
         f.write('{"id": "x"}\n')  # type mismatch: quarantined
     schema = StructType(

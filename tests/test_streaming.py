@@ -1035,6 +1035,11 @@ def test_advance_funnel_state_across_batch_boundary():
     assert advance_funnel_state(
         None, None, None, [(3, "click"), (4, "purchase")]
     ) == (None, None, None)
+    # state is MONOTONE (round-14): a cross-batch late view predating a
+    # set t1 is dropped — moving t1 earlier would leave t2/t3 computed
+    # against the old t1, a triple no batch replay can produce
+    st = advance_funnel_state(None, None, None, [(10, "view"), (20, "click")])
+    assert advance_funnel_state(*st, [(1, "view")]) == (10, 20, None)
 
 
 def test_stateful_funnel_state_carries_across_real_microbatches(spark, tmp_path):

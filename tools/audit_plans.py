@@ -13,10 +13,15 @@ Usage: python tools/audit_plans.py [out.json] [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import re
 import sys
 
-sys.path.insert(0, ".")
+# anchor on __file__, not cwd (round-14 review: '.' made both the
+# package import and the late tools.compare import fail — the latter
+# only AFTER the full multi-minute audit — when run from outside the
+# repo root; every sibling tool already anchors this way)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from insect_observation_data_pipeline_spark.plans.inspect import (  # noqa: E402
     executed_plan_string,

@@ -88,22 +88,31 @@ def artifact_meta(extra: dict | None = None) -> dict:
     it."""
     import subprocess
 
-    def _git(*args: str) -> str:
-        return subprocess.run(
-            ["git", *args], cwd=REPO_ROOT,
-            capture_output=True, text=True,
-        ).stdout.strip()
+    def _git(*args: str) -> str | None:
+        """None when git is absent or the tree is not a repo (round-14
+        review: ignoring the return code stamped commit='' and
+        dirty=false on an exported copy — a FALSE clean-tree
+        attestation; null says 'provenance unknown', which consumers
+        must treat as not-attested rather than clean)."""
+        try:
+            p = subprocess.run(
+                ["git", *args], cwd=REPO_ROOT,
+                capture_output=True, text=True,
+            )
+        except OSError:
+            return None
+        return p.stdout.strip() if p.returncode == 0 else None
 
+    head = _git("rev-parse", "HEAD")
+    status = _git("status", "--porcelain", "--",
+                  "insect_observation_data_pipeline_spark/",
+                  *HARNESS_FILES)
     meta = {
-        "generated_at_commit": _git("rev-parse", "HEAD"),
+        "generated_at_commit": head,
         # dirty = uncommitted changes to ANY fingerprint-covered file
         # (package OR harness), so the flag and the fingerprint attest
-        # the same tree (round-12 review)
-        "package_dirty": bool(
-            _git("status", "--porcelain", "--",
-                 "insect_observation_data_pipeline_spark/",
-                 *HARNESS_FILES)
-        ),
+        # the same tree (round-12 review); None = git unavailable
+        "package_dirty": bool(status) if status is not None else None,
         "package_ast_fingerprint": package_ast_fingerprint(),
     }
     if extra:
@@ -241,6 +250,14 @@ def main() -> int:
             )
         )
     qs, oracles = queries(), oracle_sql()
+    # a typo'd/renamed name in the positional filter must FAIL, not run
+    # zero comparisons and exit 0 (round-14 review: a scripted flow
+    # treating exit 0 as "verified" would go green having checked
+    # nothing, and --json would even write an artifact of only __meta__)
+    unknown = only - set(qs)
+    if unknown:
+        print(f"ERROR: unknown queries in filter: {sorted(unknown)}")
+        return 2
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
