@@ -47,7 +47,6 @@ from insect_observation_data_pipeline_spark.functions.text import (
 from insect_observation_data_pipeline_spark.operators import (
     Rule,
     distinct_on,
-    priority_match,
     scd2_end_date,
     split_valid_invalid,
 )
@@ -216,6 +215,18 @@ def load_users(
         for c in ["affiliation_start", "subscription_start", "join_date"]
     ]
     valid, invalid = split_valid_invalid(staging, rules)
+    # the reference deletes EVERY staging row sharing a username with
+    # any invalid row (03_ETL1_part2.sql:72-74), so a user with one bad
+    # row never half-exists (round-14 review: the per-row split kept the
+    # valid twin and minted the user plus SCD2 intervals the reference
+    # excludes). Anti-join on the quarantined usernames — raw values,
+    # exactly the reference's IN-subquery; the tiny invalid side
+    # broadcasts.
+    valid = valid.join(
+        F.broadcast(invalid.select("username").distinct()),
+        "username",
+        "left_anti",
+    )
     valid = valid.select(
         F.trim("full_name").alias("full_name"),
         F.trim("username").alias("username"),
@@ -360,8 +371,25 @@ def load_users(
 # ---------------------------------------------------------------------------
 
 #: NBN-code canonicalization by species name (04_ETL1_part3.sql:240-290).
-NBN_REPAIRS_POLLINATOR = {"Apis mellifera": "NHMSYS0000875385"}
-NBN_REPAIRS_PLANT = {"Prunella vulgaris": "NBNSYS0000004312"}
+#: Round-14 review (reference parity): the reference canonicalizes SIX
+#: pollinator species unconditionally (matched case-insensitively —
+#: its predicates are LOWER(species) = LOWER('...')), and its one PLANT
+#: repair applies only where the OLD code is the known-bad
+#: 'NHMSYS0000462067'. The previous table carried a wrong Apis code
+#: (…385 for the reference's …423), an unconditional plant repair with
+#: a wrong target (…4312 for …4225), and missed five species — the
+#: DuckDB replay oracle had mirrored the same wrong constants, which is
+#: exactly why the hash gate could not catch it.
+NBN_REPAIRS_POLLINATOR = {
+    "apis mellifera": "NHMSYS0000875423",
+    "andrena flavipes": "NHMSYS0000875202",
+    "andrena haemorrhoa": "NHMSYS0000875215",
+    "andrena cineraria": "NHMSYS0000875177",
+    "andrena scotica": "NHMSYS0000875268",
+    "melanostoma mellinum": "NBNSYS0000006866",
+}
+#: plant repair: (lowercase species, required OLD code, replacement)
+NBN_REPAIR_PLANT = ("prunella vulgaris", "NHMSYS0000462067", "NBNSYS0000004225")
 
 
 def observation_rules() -> list[Rule]:
@@ -452,16 +480,18 @@ def _repair_codes(df: DataFrame) -> DataFrame:
         df = df.withColumn(
             "nbn_pollinator_code",
             F.when(
-                F.col("pollinator_species") == species, F.lit(code)
+                F.lower("pollinator_species") == species, F.lit(code)
             ).otherwise(F.col("nbn_pollinator_code")),
         )
-    for species, code in NBN_REPAIRS_PLANT.items():
-        df = df.withColumn(
-            "nbn_plant_code",
-            F.when(F.col("plant_species") == species, F.lit(code)).otherwise(
-                F.col("nbn_plant_code")
-            ),
-        )
+    p_species, p_old, p_new = NBN_REPAIR_PLANT
+    df = df.withColumn(
+        "nbn_plant_code",
+        F.when(
+            (F.lower("plant_species") == p_species)
+            & (F.col("nbn_plant_code") == p_old),
+            F.lit(p_new),
+        ).otherwise(F.col("nbn_plant_code")),
+    )
     return df
 
 
@@ -559,17 +589,24 @@ def load_observations(
             "end_date",
         )
     )
+    # INNER, not left (round-14 review, reference parity): the reference
+    # builds stg_with_user with JOIN users and then JOIN
+    # user_institution (04_ETL1_part3.sql:390-416) — an observation
+    # whose authors match no user, or whose only matched users carry no
+    # affiliation interval, is NEVER INSERTED (observations.
+    # user_institution_id is NOT NULL in 01_create_oltp.sql). The old
+    # left join + priority 9 kept such rows with a NULL attribution,
+    # inflating every downstream rollup relative to the reference; the
+    # replay oracle mirrors the inner join in lockstep.
     matched = dated.join(
         F.broadcast(cand),
         F.lower(F.col("authors")).contains(F.lower(F.col("last_name"))),
-        "left",
     )
     first_start = F.min("start_date").over(
         Window.partitionBy("raw_data_id", "user_id")
     )
     prio = (
-        F.when(F.col("user_id").isNull(), F.lit(9))
-        .when(
+        F.when(
             F.col("observation_date").isNotNull()
             & (F.col("observation_date") >= F.col("start_date"))
             & (F.col("end_date").isNull() | (F.col("observation_date") <= F.col("end_date"))),

@@ -170,7 +170,9 @@ def fixtures_dir(tmp_path_factory) -> Path:
             quality="5"),                                          # pollination
         obs("Smith A.", "apis mellifera", "prunella vulgaris",
             pollen="X"),                                           # pollen flag
-        # unknown author -> no user match
+        # unknown author -> no user match -> DROPPED, never inserted
+        # (reference INNER join, 04_ETL1_part3.sql:390-395; its species
+        # still reach the lookup tables, populated pre-attribution)
         obs("Unknownperson Z.", "apis mellifera", "prunella vulgaris"),
     ]
     write_csv(d / "observations.csv", OBS_HEADER, rows)
@@ -231,7 +233,8 @@ def edge_fixtures_dir(tmp_path_factory) -> Path:
             ("S. Subton", "subuser", "s@x.org", "Solo Lab", "2019-01-01",
              "Colchester", "Essex", "HiveMind", "2020-01-01", "2019-03-01"),
             # ghostu: only affiliation names an unknown institution ->
-            # NO interval -> authored observations stay unattributed
+            # NO interval -> authored observations are DROPPED (the
+            # reference's INNER join to user_institution; round-14)
             ("G. Ghostman", "ghostu", "g@x.org", "Ghost Lab", "2019-01-01",
              "", "", "Free", "2019-01-01", "2019-01-01"),
         ],
@@ -270,7 +273,9 @@ def edge_fixtures_dir(tmp_path_factory) -> Path:
         # exact duplicate of row 1 — append-only, must survive
         _obs_row("Dupont D.", "apis mellifera", "prunella vulgaris",
                  year="2019", month="6", day="15"),
-        # unattributed: valid user with no interval / unknown author
+        # DROPPED, never inserted (reference INNER joins to users AND
+        # user_institution): a user with no affiliation interval, and an
+        # author matching no user (round-14 parity)
         _obs_row("Ghostman G.", "bombus terrestris", "trifolium repens",
                  year="2019", month="7", day="2"),
         _obs_row("Nobody N.", "apis mellifera", "prunella vulgaris",

@@ -124,7 +124,14 @@ CREATE VIEW users_valid AS
          try_strptime(trim(subscription_start), '%Y-%m-%d')::DATE
            AS subscription_start,
          try_strptime(trim(join_date), '%Y-%m-%d')::DATE AS join_date
-  FROM users_tagged WHERE error_message IS NULL;
+  FROM users_tagged WHERE error_message IS NULL
+    -- reference 03_ETL1_part2.sql:72-74 deletes EVERY staging row
+    -- sharing a username with any invalid row (round-14 parity); the
+    -- IS NOT NULL guard keeps the NOT IN three-valued logic sane
+    AND username NOT IN (
+      SELECT username FROM users_tagged
+      WHERE error_message IS NOT NULL AND username IS NOT NULL
+    );
 
 CREATE VIEW users_bk AS
   WITH ranked AS (
@@ -261,11 +268,21 @@ CREATE VIEW obs_norm AS
          caste AS caste_n,
          CASE WHEN habitat IS NULL THEN NULL
               ELSE initcap1(habitat) END AS habitat_n,
-         CASE WHEN spcase(pollinator_species) = 'Apis mellifera'
-              THEN 'NHMSYS0000875385'
+         -- the reference's six unconditional pollinator repairs +
+         -- conditional plant repair (04_ETL1_part3.sql:240-290;
+         -- round-14 parity — the old constants here mirrored the
+         -- engine's wrong codes, masking the divergence)
+         CASE lower(pollinator_species)
+              WHEN 'apis mellifera' THEN 'NHMSYS0000875423'
+              WHEN 'andrena flavipes' THEN 'NHMSYS0000875202'
+              WHEN 'andrena haemorrhoa' THEN 'NHMSYS0000875215'
+              WHEN 'andrena cineraria' THEN 'NHMSYS0000875177'
+              WHEN 'andrena scotica' THEN 'NHMSYS0000875268'
+              WHEN 'melanostoma mellinum' THEN 'NBNSYS0000006866'
               ELSE upper(nbn_pollinator_code) END AS nbn_poll,
-         CASE WHEN spcase(plant_species) = 'Prunella vulgaris'
-              THEN 'NBNSYS0000004312'
+         CASE WHEN lower(plant_species) = 'prunella vulgaris'
+                   AND upper(nbn_plant_code) = 'NHMSYS0000462067'
+              THEN 'NBNSYS0000004225'
               ELSE upper(nbn_plant_code) END AS nbn_plant,
          TRY_CAST(interactions AS INTEGER) AS interaction_count,
          TRY_CAST(pollination AS INTEGER) AS pollination_quality_id,
@@ -331,12 +348,14 @@ CREATE VIEW obs_attr AS
            min(c.start_date) OVER (PARTITION BY o.rid, c.username)
              AS first_start
     FROM obs_dated o
-    LEFT JOIN cand c
+    -- INNER (round-14 parity): the reference never inserts an
+    -- observation whose authors match no user with an affiliation
+    -- interval (04_ETL1_part3.sql:390-416, NOT NULL FK)
+    JOIN cand c
       ON contains(lower(o.authors), lower(c.last_name))
   ), prio AS (
     SELECT *,
       CASE
-        WHEN username IS NULL THEN 9
         WHEN observation_date IS NOT NULL
              AND observation_date >= start_date
              AND (end_date IS NULL OR observation_date <= end_date) THEN 1

@@ -118,7 +118,9 @@ def test_duplicates_survive_and_rerun_doubles(spark, pipeline):
     doubles the data by design (README.md:19)."""
     obs = pipeline["silver"]["observations"]
     n = obs.count()
-    assert n == 8  # 14 staged - 6 quarantined
+    # 14 staged - 6 quarantined - 1 unmatched author (the reference's
+    # INNER author->user join never inserts it; round-14 parity)
+    assert n == 7
     doubled_stg = pipeline["obs_stg"].unionByName(pipeline["obs_stg"]).withColumn(
         "raw_data_id", F.monotonically_increasing_id()
     )
@@ -879,3 +881,86 @@ def test_write_layer_clears_stale_tables(spark, tmp_path):
     _write_layer({"old_name": df}, d)
     _write_layer({"new_name": df}, d)
     assert set(_read_layer(spark, d)) == {"new_name"}
+
+
+def test_nbn_repairs_reference_parity(spark):
+    """Round-14 parity (04_ETL1_part3.sql:240-290): six pollinator
+    canonicalizations matched case-insensitively, and the plant repair
+    CONDITIONAL on the known-bad old code — the old table carried a
+    wrong Apis code, an unconditional plant repair with a wrong target,
+    and missed five species (the replay oracle had mirrored the same
+    constants, so only a source-level check could catch it)."""
+    from insect_observation_data_pipeline_spark.etl.etl1 import _repair_codes
+
+    df = spark.createDataFrame(
+        [
+            (1, "APIS MELLIFERA", "junk", "Prunella vulgaris",
+             "nhmsys0000462067"),
+            (2, "Andrena flavipes", "xx", "PRUNELLA VULGARIS",
+             "NBNSYS0000004225"),
+            (3, "Melanostoma mellinum", None, "Other plant",
+             "nhmsys0000462067"),
+            (4, "Andrena scotica", "yy", "Trifolium repens", "keepme"),
+        ],
+        "rid int, pollinator_species string, nbn_pollinator_code string,"
+        " plant_species string, nbn_plant_code string",
+    )
+    rows = {r["rid"]: r for r in _repair_codes(df).collect()}
+    assert rows[1]["nbn_pollinator_code"] == "NHMSYS0000875423"
+    assert rows[2]["nbn_pollinator_code"] == "NHMSYS0000875202"
+    assert rows[3]["nbn_pollinator_code"] == "NBNSYS0000006866"
+    assert rows[4]["nbn_pollinator_code"] == "NHMSYS0000875268"
+    # plant: repaired only where species matches AND old code is the bad one
+    assert rows[1]["nbn_plant_code"] == "NBNSYS0000004225"  # repaired
+    assert rows[2]["nbn_plant_code"] == "NBNSYS0000004225"  # already right
+    assert rows[3]["nbn_plant_code"] == "NHMSYS0000462067"  # other species
+    assert rows[4]["nbn_plant_code"] == "KEEPME"  # only uppercased
+
+
+def test_user_validation_cascades_by_username(spark):
+    """Round-14 parity (03_ETL1_part2.sql:72-74): ONE invalid staging row
+    poisons the username — the reference deletes every row sharing it,
+    so the valid twin must not mint the user (the old per-row split
+    created alice plus her SCD2 intervals)."""
+    from insect_observation_data_pipeline_spark.etl import etl1
+
+    inst = etl1.load_institutions(
+        spark.createDataFrame(
+            [("Lab", "Leeds", "West Yorkshire", "UK")],
+            "institution string, city string, county string, country string",
+        )
+    )
+    stg = spark.createDataFrame(
+        [
+            ("A. One", "alice", "a@x.org", "Lab", "2020-01-01", "", "",
+             "Free", "2020-01-01", "2020-01-01"),
+            ("A. One", "alice", "a@x.org", "Lab", "garbage", "", "",
+             "Free", "2020-01-01", "2020-01-01"),
+            ("B. Two", "bob", "b@x.org", "Lab", "2020-01-01", "", "",
+             "Free", "2020-01-01", "2020-01-01"),
+        ],
+        "full_name string, username string, email string,"
+        " institution string, affiliation_start string, city string,"
+        " county string, subscription_type string,"
+        " subscription_start string, join_date string",
+    )
+    r = etl1.load_users(stg, inst.silver["institutions"], inst.silver["cities"])
+    assert {u["username"] for u in r.silver["users"].collect()} == {"bob"}
+    assert (
+        r.silver["user_institution"]
+        .join(r.silver["users"], "user_id")
+        .filter(F.col("username") == "alice")
+        .count()
+        == 0
+    )
+    # the quarantine still reports only the offending ROW
+    assert r.quarantine["invalid_users"].count() == 1
+
+
+def test_unmatched_authors_never_inserted(pipeline):
+    """Round-14 parity (04_ETL1_part3.sql:390-416): the reference's
+    INNER author->user->affiliation joins never insert an observation
+    without an attribution — silver carries no NULL
+    user_institution_id."""
+    obs = pipeline["silver"]["observations"]
+    assert obs.filter(F.col("user_institution_id").isNull()).count() == 0
