@@ -123,7 +123,11 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
     )
 
     countries = _sk(
-        valid.select("country_name").distinct(), "country_id", ["country_name"]
+        valid.filter(F.col("country_name").isNotNull())
+        .select("country_name")
+        .distinct(),
+        "country_id",
+        ["country_name"],
     )
     counties = _sk(
         valid.filter(F.col("county_name").isNotNull())
@@ -134,33 +138,50 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
     ).join(F.broadcast(countries), "country_name").select(
         "county_id", "county_name", "country_id"
     )
+    # cities INNER-join counties BY NAME (02_ETL1_part1.sql:57-64,
+    # round-15 parity): a staging city whose county is NULL (or names no
+    # county) never lands — the old left join kept (city, NULL county)
+    # rows the reference never inserts. Joining the counties TABLE on
+    # bare name also reproduces the reference's fan-out: one county name
+    # under two countries yields one city row per county row. The
+    # surrogate therefore hashes the joined county_id, not the raw
+    # county string.
     cities = _sk(
         valid.filter(F.col("city_name").isNotNull())
         .select("city_name", "county_name")
-        .distinct(),
+        .distinct()
+        .join(
+            F.broadcast(counties.select("county_id", "county_name")),
+            "county_name",
+        )
+        .select("city_name", "county_id"),
         "city_id",
-        ["city_name", "county_name"],
-    ).join(
-        # counties alone: every county row already carries a country by
-        # construction, so the old counties-JOIN-countries here was dead
-        # work (round-12 review) — no rows added, none filtered, nothing
-        # selected from countries
-        F.broadcast(counties.select("county_id", "county_name")),
-        "county_name",
-        "left",
+        ["city_name", "county_id"],
     ).select("city_id", "city_name", "county_id")
 
-    institutions = (
-        _sk(
-            valid.select("institution_name", "city_name").distinct(),
-            "institution_id",
-            # full distinct tuple: the same institution name can appear
-            # with two cities, and a hash key must be unique per ROW
-            ["institution_name", "city_name"],
-        )
-        .join(F.broadcast(cities), "city_name", "left")
-        .select("institution_id", "institution_name", "city_id")
-    )
+    # institutions dedup AFTER the city join, on (name, city_id) — the
+    # reference's SELECT DISTINCT stg.institution, cit.city_id FROM stg
+    # LEFT JOIN cities ON city name (02_ETL1_part1.sql:69-78,
+    # round-15 parity): two staging rows whose cities both resolve to
+    # NULL collapse into ONE institution row, and one city NAME under
+    # two counties fans one staging row into two institution rows with
+    # DISTINCT ids (the old (name, city_name) hash minted the same id
+    # for both — the duplicate-institution_id hazard).
+    institutions = _sk(
+        valid.select("institution_name", "city_name")
+        # the reference's insert filters stg.institution NOT IN (SELECT
+        # institution_name FROM institutions) against a table PRE-SEEDED
+        # with 'Unaffiliated' (01_create_oltp.sql:148-150), so a CSV row
+        # named exactly 'Unaffiliated' never inserts — one row (the
+        # seed), not two (round-15 review: the old union minted a
+        # second, hash-id row for it)
+        .filter(F.col("institution_name") != "Unaffiliated")
+        .join(F.broadcast(cities.select("city_id", "city_name")), "city_name", "left")
+        .select("institution_name", "city_id")
+        .distinct(),
+        "institution_id",
+        ["institution_name", "city_id"],
+    ).select("institution_id", "institution_name", "city_id")
     # seeded 'Unaffiliated' institution (01_create_oltp.sql:148-150)
     spark = staging.sparkSession
     unaff = spark.createDataFrame(
@@ -188,20 +209,32 @@ def load_institutions(staging: DataFrame) -> Etl1Result:
 # ---------------------------------------------------------------------------
 
 
-def load_users(
-    staging: DataFrame, institutions: DataFrame, cities: DataFrame
-) -> Etl1Result:
-    """Staging users -> users, user_institution (SCD2), user_subscription
-    (SCD2). Reference: 03_ETL1_part2.sql:54-246.
+def load_users(staging: DataFrame, geography: dict[str, DataFrame]) -> Etl1Result:
+    """Staging users -> users (now with city_id), user_institution (SCD2),
+    user_subscription (SCD2), PLUS the users-batch geography additions.
+    Reference: 03_ETL1_part2.sql:54-246.
 
-    ``cities`` (the silver cities frame) recovers each institution's CITY
-    NAME: (institution_name, city_name) is the institution's business
-    identity (the OLTP UNIQUE is per name+city), and every ordering that
-    must break ties between same-named institutions does so on that
-    business pair — replayable by any engine — rather than on the
-    engine-local hash id (round-13, closing the round-12 ADVICE item).
-    Required, not optional: an engine-only fallback ordering would be a
-    silent semantics fork between callers."""
+    ``geography`` is part 1's silver dict (countries, counties, cities,
+    institutions). The reference's part-2 script ALSO inserts
+    countries/counties/cities from the users CSV — insert-if-absent by
+    bare NAME against the table state left by the institutions batch
+    (03_ETL1_part2.sql:76-107) — and stores each user's ``city_id``
+    resolved by a LEFT JOIN on city name (:108-127). The returned silver
+    dict therefore carries the UPDATED countries/counties/cities frames
+    (batch-1 rows plus users-batch additions); the runner's dict merge
+    replaces part 1's versions with these.
+
+    Institution identity: (institution_name, city_id), where a city's own
+    identity is (city_name, county). Every ordering that must break ties
+    between same-named institutions does so on the business chain
+    (name, city_name, county_name) — replayable by any engine — with the
+    engine-local hash id only as a last-resort leg for the degenerate
+    duplicate-(name, city, county) shape (round-13 policy, extended to
+    county grain in round 15)."""
+    institutions = geography["institutions"]
+    countries = geography["countries"]
+    counties = geography["counties"]
+    cities = geography["cities"]
     required = [
         "full_name", "username", "email", "institution",
         "affiliation_start", "subscription_type", "subscription_start",
@@ -227,6 +260,15 @@ def load_users(
         "username",
         "left_anti",
     )
+    # the reference's stg_users DDL defaults country to 'United Kingdom'
+    # (03_ETL1_part2.sql:17) and the CSV COPY never lists the column, so
+    # every row carries the default; a staging frame that does carry an
+    # explicit country column (the runner adds the same constant via
+    # read_csv_staging defaults) is used as-is.
+    country_col = (
+        F.trim("country") if "country" in staging.columns
+        else F.lit("United Kingdom")
+    )
     valid = valid.select(
         F.trim("full_name").alias("full_name"),
         F.trim("username").alias("username"),
@@ -234,17 +276,94 @@ def load_users(
         F.trim("institution").alias("institution_name"),
         F.try_to_date("affiliation_start", "yyyy-MM-dd").alias("affiliation_start"),
         normalize_na(F.col("city")).alias("city_name"),
+        normalize_na(F.col("county")).alias("county_name"),
+        country_col.alias("country_name"),
         F.trim("subscription_type").alias("subscription_type_name"),
         F.try_to_date("subscription_start", "yyyy-MM-dd").alias("subscription_start"),
         F.try_to_date("join_date", "yyyy-MM-dd").alias("join_date"),
     )
 
+    # users-batch geography: insert-if-absent by bare NAME against the
+    # institutions-batch tables (03_ETL1_part2.sql:76-107, round-15
+    # parity). A county/city name already present — even under a
+    # DIFFERENT parent — is never re-inserted; only genuinely new names
+    # land, parented by the full (both-batch) country/county tables.
+    new_countries = _sk(
+        valid.filter(F.col("country_name").isNotNull())
+        .select("country_name")
+        .distinct()
+        .join(F.broadcast(countries.select("country_name")), "country_name", "left_anti"),
+        "country_id",
+        ["country_name"],
+    )
+    countries_full = countries.unionByName(new_countries)
+    new_counties = _sk(
+        valid.filter(F.col("county_name").isNotNull())
+        .select("county_name", "country_name")
+        .distinct()
+        .join(F.broadcast(counties.select("county_name")), "county_name", "left_anti"),
+        "county_id",
+        ["county_name", "country_name"],
+    ).join(F.broadcast(countries_full), "country_name").select(
+        "county_id", "county_name", "country_id"
+    )
+    counties_full = counties.unionByName(new_counties)
+    new_cities = _sk(
+        valid.filter(F.col("city_name").isNotNull())
+        .select("city_name", "county_name")
+        .distinct()
+        .join(F.broadcast(cities.select("city_name")), "city_name", "left_anti")
+        .join(
+            # INNER by name, as in part 1: NULL/unknown county -> no city
+            F.broadcast(counties_full.select("county_id", "county_name")),
+            "county_name",
+        )
+        .select("city_name", "county_id"),
+        "city_id",
+        ["city_name", "county_id"],
+    ).select("city_id", "city_name", "county_id")
+    cities_full = cities.unionByName(new_cities)
+
+    # city lookup with its business identity chain (county, country) —
+    # the deterministic-ordering legs wherever a bare city NAME is
+    # ambiguous across counties
+    city_lkp = (
+        cities_full.join(
+            F.broadcast(
+                counties_full.select(
+                    "county_id", F.col("county_name").alias("city_county_name"),
+                    "country_id",
+                )
+            ),
+            "county_id",
+        )
+        .join(
+            F.broadcast(
+                countries_full.select(
+                    "country_id", F.col("country_name").alias("city_country_name")
+                )
+            ),
+            "country_id",
+        )
+        .select("city_id", "city_name", "city_county_name", "city_country_name")
+    )
+
     # users: first row per username by join_date (DISTINCT ON,
-    # 03_ETL1_part2.sql:108-127) with deterministic tiebreaks.
+    # 03_ETL1_part2.sql:108-127) with deterministic tiebreaks; the row's
+    # city resolves via LEFT JOIN on city name (:125), so the city legs
+    # extend the order — a city name under two counties must pick the
+    # same county in every engine.
     first = distinct_on(
-        valid,
+        valid.join(F.broadcast(city_lkp), "city_name", "left"),
         ["username"],
-        [F.col("join_date").asc(), F.col("email").asc(), F.col("full_name").asc()],
+        [
+            F.col("join_date").asc(),
+            F.col("email").asc(),
+            F.col("full_name").asc(),
+            F.col("city_name").asc_nulls_last(),
+            F.col("city_county_name").asc_nulls_last(),
+            F.col("city_country_name").asc_nulls_last(),
+        ],
     )
     users = _sk(
         first.select(
@@ -252,6 +371,7 @@ def load_users(
             parse_first_name(F.col("full_name")).alias("first_name"),
             parse_last_name(F.col("full_name")).alias("last_name"),
             "email",
+            "city_id",
             "join_date",
         ),
         "user_id",
@@ -276,10 +396,12 @@ def load_users(
     #   double-counted those observations in the user facts).
     inst_dim = (
         institutions.select("institution_id", "institution_name", "city_id")
-        .join(
-            F.broadcast(cities.select("city_id", "city_name")), "city_id", "left"
+        .join(F.broadcast(city_lkp), "city_id", "left")
+        .select(
+            "institution_id", "institution_name", "city_name",
+            F.col("city_county_name").alias("county_name"),
+            F.col("city_country_name").alias("country_name"),
         )
-        .select("institution_id", "institution_name", "city_name")
     )
     aff = distinct_on(
         valid.select("username", "institution_name", "affiliation_start").join(
@@ -289,18 +411,22 @@ def load_users(
         ["username", "institution_id", "affiliation_start"],
         [F.col("institution_name").asc()],
     )
-    # tiebreak: the institution's BUSINESS identity (name, city) — two
-    # same-named institutions in different cities give a user two rows
-    # tied on (username, start, name), and without a total order the
-    # lead() end-date chain flips per shuffle (round-12 follow-up
-    # review). Ordering on (name, city) instead of the engine-local hash
-    # id makes the pick replayable by any engine (the DuckDB e2e oracle
-    # orders the same way; round-13 ADVICE close-out). institution_id
-    # stays as a LAST-RESORT leg only for the degenerate duplicate
-    # (name, city) pair — impossible by construction (institutions are
-    # distinct on that pair) except a CSV row colliding with the seeded
-    # 'Unaffiliated' (that one path is pinned by tests/test_etl_pipeline
-    # .py::test_user_institution_duplicate_name_city_tiebreak).
+    # tiebreak: the institution's BUSINESS identity chain (name, city,
+    # county, country) — two same-named institutions give a user two
+    # rows tied on (username, start, name), and without a total order
+    # the lead() end-date chain flips per shuffle (round-12 follow-up
+    # review). With round-15's name-keyed city identity one institution
+    # NAME + city NAME can even pair with two COUNTIES (the reference's
+    # city-name fan-out), so the county/country legs extend the order.
+    # Ordering on business names instead of the engine-local hash id
+    # makes the pick replayable by any engine (the DuckDB e2e oracle
+    # orders the same way); institution_id stays as a pure-safety last
+    # leg — a duplicate (name, city, county, country) tuple is
+    # impossible by construction, including the historical
+    # 'Unaffiliated' seed collision, which the reference's NOT-IN
+    # insert gate removes (round-15 review; pinned by
+    # tests/test_etl_pipeline.py::
+    # test_user_institution_duplicate_name_city_tiebreak).
     user_institution = scd2_end_date(
         aff.withColumnRenamed("affiliation_start", "start_date"),
         ["username"],
@@ -308,13 +434,15 @@ def load_users(
         order_tiebreak=[
             F.col("institution_name").asc(),
             F.col("city_name").asc_nulls_last(),
+            F.col("county_name").asc_nulls_last(),
+            F.col("country_name").asc_nulls_last(),
             F.col("institution_id").asc(),
         ],
     ).join(F.broadcast(users.select("user_id", "username")), "username")
     user_institution = _sk(
         user_institution.select(
             "user_id", "institution_id", "institution_name", "city_name",
-            "start_date", "end_date",
+            "county_name", "country_name", "start_date", "end_date",
         ),
         "user_institution_id",
         ["user_id", "institution_id", "start_date"],
@@ -361,6 +489,11 @@ def load_users(
             "users": users,
             "user_institution": user_institution,
             "user_subscription": user_subscription,
+            # users-batch geography additions folded in: these replace
+            # part 1's frames in the runner's silver merge
+            "countries": countries_full,
+            "counties": counties_full,
+            "cities": cities_full,
         },
         quarantine={"invalid_users": invalid},
     )
@@ -473,14 +606,21 @@ def observation_rules() -> list[Rule]:
 
 def _repair_codes(df: DataFrame) -> DataFrame:
     """Manual data repairs (P6): uppercase NBN codes + per-species
-    canonicalization (04_ETL1_part3.sql:240-290)."""
+    canonicalization (04_ETL1_part3.sql:240-290).
+
+    Each pollinator UPDATE in the reference is gated by
+    ``nbn_pollinator_code != '<new>'``, which never fires on NULL codes
+    (NULL != x is NULL) — so a NULL code stays NULL.  Since SET-to-equal
+    is a no-op, that gate reduces to IS NOT NULL."""
     df = df.withColumn("nbn_pollinator_code", F.upper("nbn_pollinator_code"))
     df = df.withColumn("nbn_plant_code", F.upper("nbn_plant_code"))
     for species, code in NBN_REPAIRS_POLLINATOR.items():
         df = df.withColumn(
             "nbn_pollinator_code",
             F.when(
-                F.lower("pollinator_species") == species, F.lit(code)
+                F.col("nbn_pollinator_code").isNotNull()
+                & (F.lower("pollinator_species") == species),
+                F.lit(code),
             ).otherwise(F.col("nbn_pollinator_code")),
         )
     p_species, p_old, p_new = NBN_REPAIR_PLANT
@@ -585,6 +725,8 @@ def load_observations(
             "user_institution_id",
             "institution_name",
             "city_name",
+            "county_name",
+            "country_name",
             "start_date",
             "end_date",
         )
@@ -636,13 +778,18 @@ def load_observations(
         F.col("start_date").asc_nulls_last(),
         F.col("username").asc_nulls_last(),
         F.col("institution_name").asc_nulls_last(),
-        # (name, city) is the institution's business identity: same-named
-        # institutions in two cities tie on everything above, and the
-        # city leg keeps the pick replayable by any engine (the DuckDB
-        # e2e oracle orders identically; round-13). The hash id is a
-        # last-resort leg for the degenerate duplicate-(name, city) pair
-        # only.
+        # (name, city, county, country) is the institution's business
+        # identity chain: same-named institutions in two cities — or,
+        # after round-15's name-keyed city identity, one city NAME in
+        # two counties (or countries) — tie on everything above, and
+        # the city/county/country legs keep the pick replayable by any
+        # engine (the DuckDB e2e oracle orders identically). The hash
+        # id is a pure-safety last leg: no reachable shape ties through
+        # country (the 'Unaffiliated' seed collision is gated off by
+        # the reference's NOT-IN insert, below).
         F.col("city_name").asc_nulls_last(),
+        F.col("county_name").asc_nulls_last(),
+        F.col("country_name").asc_nulls_last(),
         F.col("user_institution_id").asc_nulls_last(),
     )
     attributed = (
@@ -651,7 +798,8 @@ def load_observations(
         .filter(F.col("__rn") == 1)
         .drop(
             "__prio", "__rn", "username", "last_name", "institution_name",
-            "city_name", "start_date", "end_date",
+            "city_name", "county_name", "country_name", "start_date",
+            "end_date",
         )
     )
 

@@ -64,7 +64,13 @@ def run_etl1(spark: SparkSession, raw_dir: str, warehouse: str) -> str:
         defaults={"country": "United Kingdom"},
     )
     users_stg = read_csv_staging(
-        spark, os.path.join(raw_dir, "users.csv"), etl1.USERS_COLS
+        spark,
+        os.path.join(raw_dir, "users.csv"),
+        etl1.USERS_COLS,
+        # the reference's stg_users DDL default (03_ETL1_part2.sql:17):
+        # the users batch also feeds the geography tables, so the
+        # country column must exist
+        defaults={"country": "United Kingdom"},
     )
     # MATERIALIZE the id-stamped staging frame (round-12 review +
     # follow-up): every silver/quarantine table below is its own write
@@ -94,9 +100,9 @@ def run_etl1(spark: SparkSession, raw_dir: str, warehouse: str) -> str:
     )
 
     r1 = etl1.load_institutions(inst_stg)
-    r2 = etl1.load_users(
-        users_stg, r1.silver["institutions"], r1.silver["cities"]
-    )
+    # r2's silver carries the UPDATED countries/counties/cities (users-
+    # batch insert-if-absent additions) — the merge below replaces r1's
+    r2 = etl1.load_users(users_stg, r1.silver)
     r3 = etl1.load_observations(
         obs_stg, r2.silver["users"], r2.silver["user_institution"]
     )

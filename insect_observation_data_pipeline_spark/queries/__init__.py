@@ -161,12 +161,15 @@ ROTATION_EXEMPT: dict[str, str] = {
     # 12-round form — the x12/x13 shallower-rotating precedent, where
     # the exempt query is the widened variant of the driver-verified
     # kernel.
-    "x43_bpe_vocab": (
-        "bpe_merges kernel driver-verified via rotating x47_bpe_tokenize "
-        "(train + encode, rounds=6 of the same trainer); the 12-round "
-        "merge-table oracle stays pinned locally every round and the "
-        "trainer is pytest-pinned against a sequential reference"
-    ),
+    # Round 15: x43_bpe_vocab swapped INTO rotation for one round (the
+    # w2b/x50 precedent — it had never had its own driver row; carrier
+    # x47 runs the same trainer at rounds=6 vs 12). Re-exempt in round
+    # 16 once its driver row lands, restoring the rationale:
+    # "bpe_merges kernel driver-verified via rotating x47_bpe_tokenize
+    # (train + encode, rounds=6 of the same trainer); the 12-round
+    # merge-table oracle stays pinned locally every round and the
+    # trainer is pytest-pinned against a sequential reference".
+    # x45_bm25_topk is queued for the r16 swap.
     # Round 8 (cont.): the sessionization pair folds into the rotating
     # e25_session_census, which CALLS both component functions verbatim
     # (the e8_window_census precedent) — one driver row re-verifies the
@@ -262,12 +265,17 @@ ROTATION_EXEMPT: dict[str, str] = {
     # row per distinct combination). Both halves are driver-verified
     # via their rotating carriers, the inverse of the x13/x26 pattern.
     # Round 14: w2b swapped INTO rotation for one round (the x50
-    # precedent — round-13 verdict task #1: it was one of three queries
-    # never driver-verified, and the one the 100x-scale story leans on
-    # hardest). Never-green, so it sorts into the window through the
-    # rotation slack; re-exempt in round 15 once its driver row lands,
-    # restoring the carrier rationale above verbatim. x43_bpe_vocab is
-    # queued for the r15 swap and x45_bm25_topk for r16.
+    # precedent — round-13 verdict task #1). Its driver row landed
+    # hash-green in CORRECTNESS_r14, so round 15 re-exempts it with the
+    # carrier rationale restored verbatim below.
+    "w2b_best_month_sketch": (
+        "HLL-register scale variant of rotating w2_best_month_per_customer "
+        "(same join/rank shape) over the kernel rotating x40_hll_distinct "
+        "driver-verifies (approx.hll_registers/hll_state/hll_estimate, "
+        "called verbatim); 20%-accuracy vs w2's exact counts "
+        "pytest-pinned; in the bench extended set and the local oracle "
+        "run every round"
+    ),
     # Round 7 (cont.): exact-decontamination baseline whose scale twin
     # rotates AND re-computes the baseline's answer as one of its
     # columns.

@@ -286,3 +286,92 @@ def edge_fixtures_dir(tmp_path_factory) -> Path:
     ]
     write_csv(d / "observations.csv", OBS_HEADER, rows)
     return d
+
+
+@pytest.fixture(scope="session")
+def geo_fixtures_dir(tmp_path_factory) -> Path:
+    """GEOGRAPHY edge fixtures (round-15 parity rework): the reference's
+    name-keyed insert-if-absent geography semantics
+    (02_ETL1_part1.sql:37-78, 03_ETL1_part2.sql:76-127) —
+    - one city NAME under two counties in the institutions CSV: both
+      city rows land (in-statement DISTINCT over pairs), and every
+      institution in that city fans into one row PER city row with
+      DISTINCT ids (the old (name, city_name) hash minted duplicates);
+    - a NULL-county institution city: the cities insert INNER-joins
+      counties, so the city never lands and the institution's city_id
+      stays NULL;
+    - users-CSV-only geography: a county+city seen only in users.csv is
+      inserted by the users batch, and the user's city_id resolves;
+    - a user in the ambiguous city: the city-name LEFT JOIN fans, and
+      the deterministic (city, county, country) order legs pick one;
+    - a user affiliated with the fanned institution: two same-dated
+      intervals whose end-date chain and attribution tiebreak on COUNTY.
+    Consumed by the FULL ETL1+ETL2 DuckDB replay parity test."""
+    d = tmp_path_factory.mktemp("geo_fixtures")
+
+    write_csv(
+        d / "institutions.csv",
+        ["institution", "city", "county"],
+        [
+            # Marsden exists in BOTH West Yorkshire and Cumbria ->
+            # cities fan; every Marsden institution fans with them
+            ("Riverside Institute", "Marsden", "West Yorkshire"),
+            ("Canalside Labs", "Marsden", "Cumbria"),
+            # NULL county -> Ghylldale never lands as a city
+            ("Hilltop Observatory", "Ghylldale", "NA"),
+            # plain control row
+            ("Lowland Archive", "Colchester", "Essex"),
+        ],
+    )
+
+    write_csv(
+        d / "users.csv",
+        USERS_HEADER,
+        [
+            # marsfan: lives in the AMBIGUOUS city; affiliated with the
+            # fanned institution -> two same-dated intervals
+            ("M. Marsfan", "marsfan", "m@x.org", "Riverside Institute",
+             "2019-01-01", "Marsden", "West Yorkshire", "Free",
+             "2019-01-01", "2019-01-01"),
+            # newcity: county+city exist ONLY in users.csv -> users-batch
+            # geography insert; city_id resolves
+            ("N. Newton", "newcity", "n@x.org", "Lowland Archive",
+             "2019-02-01", "Ambleton", "Loamshire", "Pro",
+             "2019-02-01", "2019-02-01"),
+            # ghyll: city named only by the NULL-county institution row
+            # (never landed) and with NULL county here too -> city_id NULL
+            ("G. Ghyll", "ghyll", "g@x.org", "Hilltop Observatory",
+             "2019-03-01", "Ghylldale", "", "Free",
+             "2019-03-01", "2019-03-01"),
+            # knownc: NEW city name under a county that already exists
+            # from the institutions batch -> users-batch city insert
+            # parented by the existing county
+            ("K. Knowles", "knownc", "k@x.org", "Canalside Labs",
+             "2019-04-01", "Newtown", "West Yorkshire", "HiveMind",
+             "2019-04-01", "2019-04-01"),
+        ],
+    )
+
+    rows = [
+        # p1: of marsfan's two same-start county-fanned slices the
+        # county order end-dates Cumbria degenerately (end < start), so
+        # the open West Yorkshire slice is the only p1
+        _obs_row("Marsfan M.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="6", day="15"),
+        # predates marsfan's first affiliation: BOTH slices share the
+        # earliest start -> both p3 -> the county leg picks Cumbria
+        _obs_row("Marsfan M.", "bombus terrestris", "trifolium repens",
+                 year="2018", month="5", day="1", habitat="meadow"),
+        # plain attributions through the users-batch-geography users
+        _obs_row("Newton N.", "apis mellifera", "prunella vulgaris",
+                 year="2019", month="7", day="2", lat="51.5", lon="-0.1"),
+        _obs_row("Ghyll G.", "bombus terrestris", "prunella vulgaris",
+                 year="2019", month="8", day="3"),
+        _obs_row("Knowles K.", "apis mellifera", "trifolium repens",
+                 year="2019", month="9", day="4"),
+        # NULL date -> p2 open-ended interval for the fanned user
+        _obs_row("Marsfan M.", "apis mellifera", "trifolium repens",
+                 year="NA", month="NA", day="NA"),
+    ]
+    write_csv(d / "observations.csv", OBS_HEADER, rows)
+    return d

@@ -16,19 +16,28 @@ exactly (SK uniqueness and FK resolution are asserted separately in
 test_surrogate_keys_unique_and_no_global_window).
 
 Caveats that keep this oracle honest but fixture-scoped:
-- initcap here is single-word (fixture habitats are single words);
-- county names are unique in the fixtures (the geography chain joins
-  counties by name).
+- initcap here is single-word (fixture habitats are single words).
 
-Institution identity is ID-GRAIN throughout (round-13): the business
-identity of an institution is (institution_name, city_name) — the OLTP
-UNIQUE — and every join and every ordering in the attribution chain
-below carries the city, so a same-named institution in two cities flows
+Geography is reference-exact as of round 15 (02_ETL1_part1.sql:37-78,
+03_ETL1_part2.sql:76-127): insert-if-absent by bare NAME across the
+institutions-then-users batch order, cities INNER-join counties by name
+(NULL-county cities never land; one city name under two counties fans),
+institutions dedup AFTER their LEFT city join, and users carry a
+city_id resolved by city-name LEFT JOIN.
+
+Institution identity is ID-GRAIN throughout (round-13, extended to
+county grain in round-15): the business identity of an institution is
+(institution_name, city identity) where a city's own identity is
+(city_name, county, country) — and every join and every ordering in the
+attribution chain below carries the city AND county, so a same-named
+institution in two cities — or one city NAME in two counties — flows
 through this replay exactly as through the engine (two intervals, two
-fact slices). The only shape still out of scope is a duplicate
-(name, city) PAIR — impossible by construction except a raw CSV row
-colliding with the seeded 'Unaffiliated' — where the engine falls back
-to its hash-id tiebreak that no other engine can replay.
+fact slices). No reachable shape ties past the country leg: a duplicate
+(name, city, county, country) tuple is impossible by construction —
+the one historical path, a raw CSV row colliding with the seeded
+'Unaffiliated', is now gated off by the reference's NOT-IN insert
+filter (round-15 review) — so the engine's last-resort hash-id leg is
+pure safety, never semantics.
 
 Subscriptions are TYPE-GRAIN (round-13, mirroring
 03_ETL1_part2.sql:137-156): intervals exist only for the five seeded
@@ -61,20 +70,40 @@ CREATE VIEW inst_valid AS
   FROM stg_inst
   WHERE NOT (institution IS NULL OR trim(institution) = '');
 
-CREATE VIEW countries_bk AS SELECT DISTINCT country_name FROM inst_valid;
+-- Geography, reference-exact (round-15 parity): part 1 inserts from the
+-- institutions batch (02_ETL1_part1.sql:37-78), part 2 adds users-batch
+-- rows insert-if-absent by bare NAME (03_ETL1_part2.sql:76-107). Within
+-- a batch the INSERT's NOT-IN subquery sees only the PRE-statement
+-- table, so one name under two parents lands twice; across batches a
+-- name already present is never re-inserted. Cities INNER-join counties
+-- BY NAME (a NULL-county city never lands, and one county name under
+-- two countries fans the city); institutions dedup AFTER their LEFT
+-- city join, on (name, city identity).
+CREATE VIEW countries1 AS
+  SELECT DISTINCT country_name FROM inst_valid
+  WHERE country_name IS NOT NULL;
 
-CREATE VIEW counties_bk AS
+CREATE VIEW counties1 AS
   SELECT DISTINCT county_name, country_name
-  FROM inst_valid WHERE county_name IS NOT NULL;
+  FROM inst_valid
+  WHERE county_name IS NOT NULL AND country_name IS NOT NULL;
 
-CREATE VIEW cities_bk AS
-  SELECT DISTINCT city_name, county_name
-  FROM inst_valid WHERE city_name IS NOT NULL;
+CREATE VIEW cities1 AS
+  SELECT DISTINCT v.city_name, c.county_name, c.country_name
+  FROM inst_valid v JOIN counties1 c ON v.county_name = c.county_name
+  WHERE v.city_name IS NOT NULL;
 
 CREATE VIEW institutions_bk AS
-  SELECT DISTINCT institution_name, city_name FROM inst_valid
+  -- the reference filters stg.institution NOT IN (SELECT
+  -- institution_name FROM institutions) against a table pre-seeded
+  -- with 'Unaffiliated' (01_create_oltp.sql:148-150), so a CSV row by
+  -- that exact name never inserts (round-15 review)
+  SELECT DISTINCT v.institution_name, ci.city_name, ci.county_name,
+         ci.country_name
+  FROM inst_valid v LEFT JOIN cities1 ci ON v.city_name = ci.city_name
+  WHERE v.institution_name <> 'Unaffiliated'
   UNION ALL
-  SELECT 'Unaffiliated', NULL;
+  SELECT 'Unaffiliated', NULL, NULL, NULL;
 
 -- ============================== ETL1 part 2: users =======================
 CREATE VIEW stg_users AS
@@ -120,6 +149,9 @@ CREATE VIEW users_valid AS
          try_strptime(trim(affiliation_start), '%Y-%m-%d')::DATE
            AS affiliation_start,
          nna(city) AS city_name,
+         nna(county) AS county_name,
+         -- reference stg_users DDL default (03_ETL1_part2.sql:17)
+         'United Kingdom' AS country_name,
          trim(subscription_type) AS subscription_type_name,
          try_strptime(trim(subscription_start), '%Y-%m-%d')::DATE
            AS subscription_start,
@@ -133,13 +165,52 @@ CREATE VIEW users_valid AS
       WHERE error_message IS NOT NULL AND username IS NOT NULL
     );
 
-CREATE VIEW users_bk AS
+-- users-batch geography additions (03_ETL1_part2.sql:76-107):
+-- insert-if-absent by bare NAME against the institutions-batch tables
+CREATE VIEW countries2 AS
+  SELECT DISTINCT country_name FROM users_valid
+  WHERE country_name IS NOT NULL
+    AND country_name NOT IN (SELECT country_name FROM countries1);
+CREATE VIEW countries_bk AS
+  SELECT * FROM countries1 UNION ALL SELECT * FROM countries2;
+
+CREATE VIEW counties2 AS
+  SELECT DISTINCT u.county_name, u.country_name FROM users_valid u
+  WHERE u.county_name IS NOT NULL
+    AND u.country_name IN (SELECT country_name FROM countries_bk)
+    AND u.county_name NOT IN (SELECT county_name FROM counties1);
+CREATE VIEW counties_bk AS
+  SELECT * FROM counties1 UNION ALL SELECT * FROM counties2;
+
+CREATE VIEW cities2 AS
+  SELECT DISTINCT u.city_name, c.county_name, c.country_name
+  FROM users_valid u JOIN counties_bk c ON u.county_name = c.county_name
+  WHERE u.city_name IS NOT NULL
+    AND u.city_name NOT IN (SELECT city_name FROM cities1);
+CREATE VIEW cities_bk AS
+  SELECT * FROM cities1 UNION ALL SELECT * FROM cities2;
+
+-- users pick their first row by join_date; the row's city resolves by
+-- LEFT JOIN on city name (03_ETL1_part2.sql:108-127) — the city legs
+-- extend the deterministic order exactly as the engine's distinct_on
+CREATE VIEW users_picked AS
   WITH ranked AS (
-    SELECT *, row_number() OVER (
-      PARTITION BY username ORDER BY join_date, email, full_name
-    ) AS rn
-    FROM users_valid
+    SELECT u.*,
+           ci.city_name AS u_city, ci.county_name AS u_city_county,
+           ci.country_name AS u_city_country,
+           row_number() OVER (
+             PARTITION BY u.username
+             ORDER BY u.join_date, u.email, u.full_name,
+                      u.city_name ASC NULLS LAST,
+                      ci.county_name ASC NULLS LAST,
+                      ci.country_name ASC NULLS LAST
+           ) AS rn
+    FROM users_valid u
+    LEFT JOIN cities_bk ci ON u.city_name = ci.city_name
   )
+  SELECT * FROM ranked WHERE rn = 1;
+
+CREATE VIEW users_bk AS
   SELECT username,
          CASE WHEN full_name LIKE '%.% %' THEN
            left(full_name,
@@ -148,8 +219,9 @@ CREATE VIEW users_bk AS
          CASE WHEN full_name LIKE '%.% %' THEN
            reverse(split_part(reverse(full_name), ' ', 1))
          ELSE full_name END AS last_name,
-         email, join_date
-  FROM ranked WHERE rn = 1;
+         email, join_date,
+         u_city AS city_name, u_city_county AS county_name
+  FROM users_picked;
 
 -- round-12 parity fix, mirroring the engine and the reference
 -- (03_ETL1_part2.sql:191-211): INNER join to institutions BEFORE the
@@ -160,15 +232,19 @@ CREATE VIEW users_bk AS
 CREATE VIEW user_institution_bk AS
   WITH dd AS (
     SELECT DISTINCT u.username, i.institution_name, i.city_name,
+           i.county_name, i.country_name,
            u.affiliation_start AS start_date
     FROM users_valid u
     JOIN institutions_bk i ON i.institution_name = u.institution_name
   )
-  SELECT username, institution_name, city_name, start_date,
+  SELECT username, institution_name, city_name, county_name,
+         country_name, start_date,
          lead(start_date) OVER (
            PARTITION BY username
            ORDER BY start_date, institution_name,
-                    city_name ASC NULLS LAST
+                    city_name ASC NULLS LAST,
+                    county_name ASC NULLS LAST,
+                    country_name ASC NULLS LAST
          ) - 1 AS end_date
   FROM dd;
 
@@ -268,18 +344,22 @@ CREATE VIEW obs_norm AS
          caste AS caste_n,
          CASE WHEN habitat IS NULL THEN NULL
               ELSE initcap1(habitat) END AS habitat_n,
-         -- the reference's six unconditional pollinator repairs +
-         -- conditional plant repair (04_ETL1_part3.sql:240-290;
-         -- round-14 parity — the old constants here mirrored the
-         -- engine's wrong codes, masking the divergence)
-         CASE lower(pollinator_species)
+         -- the reference's six pollinator repairs + conditional
+         -- plant repair (04_ETL1_part3.sql:240-290; round-14 parity —
+         -- the old constants here mirrored the engine's wrong codes,
+         -- masking the divergence).  Each reference UPDATE is gated
+         -- `nbn_pollinator_code != '<new>'`, which never fires on NULL
+         -- (round-15 ADVICE): NULL codes stay NULL.
+         CASE WHEN nbn_pollinator_code IS NULL THEN NULL
+              ELSE CASE lower(pollinator_species)
               WHEN 'apis mellifera' THEN 'NHMSYS0000875423'
               WHEN 'andrena flavipes' THEN 'NHMSYS0000875202'
               WHEN 'andrena haemorrhoa' THEN 'NHMSYS0000875215'
               WHEN 'andrena cineraria' THEN 'NHMSYS0000875177'
               WHEN 'andrena scotica' THEN 'NHMSYS0000875268'
               WHEN 'melanostoma mellinum' THEN 'NBNSYS0000006866'
-              ELSE upper(nbn_pollinator_code) END AS nbn_poll,
+              ELSE upper(nbn_pollinator_code) END
+              END AS nbn_poll,
          CASE WHEN lower(plant_species) = 'prunella vulgaris'
                    AND upper(nbn_plant_code) = 'NHMSYS0000462067'
               THEN 'NBNSYS0000004225'
@@ -339,11 +419,12 @@ CREATE VIEW locations_bk AS
 CREATE VIEW obs_attr AS
   WITH cand AS (
     SELECT u.username, u.last_name, ui.institution_name, ui.city_name,
-           ui.start_date, ui.end_date
+           ui.county_name, ui.country_name, ui.start_date, ui.end_date
     FROM users_bk u JOIN user_institution_bk ui USING (username)
   ), matched AS (
     SELECT o.*, c.username, c.institution_name AS inst_name,
-           c.city_name AS inst_city,
+           c.city_name AS inst_city, c.county_name AS inst_county,
+           c.country_name AS inst_country,
            c.start_date, c.end_date,
            min(c.start_date) OVER (PARTITION BY o.rid, c.username)
              AS first_start
@@ -375,7 +456,8 @@ CREATE VIEW obs_attr AS
       -- including one NAME in two cities — and the engine orders by the
       -- same (name, city) pair (round-13 id-grain)
       ORDER BY p, start_date ASC NULLS LAST, username ASC NULLS LAST,
-               inst_name ASC NULLS LAST, inst_city ASC NULLS LAST
+               inst_name ASC NULLS LAST, inst_city ASC NULLS LAST,
+               inst_county ASC NULLS LAST, inst_country ASC NULLS LAST
     ) AS rn
     FROM prio
   )
@@ -384,6 +466,7 @@ CREATE VIEW obs_attr AS
 CREATE VIEW observations_bk AS
   SELECT username, start_date AS aff_start,
          inst_name AS institution_name, inst_city AS city_name,
+         inst_county AS county_name,
          poll_sp AS pollinator_species, caste_n AS caste_name,
          plant_sp AS plant_species, habitat_n AS habitat_name,
          -- location-resolved: the silver FK is NULL unless BOTH coords
@@ -450,6 +533,8 @@ CREATE VIEW obs_user AS
     ON s2.username = o.username
    AND s2.institution_name = o.inst_name
    AND s2.city_name IS NOT DISTINCT FROM o.inst_city
+   AND s2.county_name IS NOT DISTINCT FROM o.inst_county
+   AND s2.country_name IS NOT DISTINCT FROM o.inst_country
   LEFT JOIN user_subscription_bk sa
     ON sa.username = o.username
    AND sa.start_date <= o.observation_date

@@ -17,16 +17,19 @@ def _build_pipeline(spark, d):
         defaults={"country": "United Kingdom"},
     )
     users_stg = read_csv_staging(
-        spark, str(d / "users.csv"), etl1.USERS_COLS
+        spark, str(d / "users.csv"), etl1.USERS_COLS,
+        # mirror the runner (round-15 review): the parity suite must
+        # exercise the production trim('country') branch, not only
+        # load_users' missing-column lit() fallback (unit tests cover
+        # that branch with bare createDataFrame staging)
+        defaults={"country": "United Kingdom"},
     )
     obs_stg = read_csv_staging(
         spark, str(d / "observations.csv"), etl1.OBSERVATIONS_COLS
     ).withColumn("raw_data_id", F.monotonically_increasing_id())
 
     r1 = etl1.load_institutions(inst_stg)
-    r2 = etl1.load_users(
-        users_stg, r1.silver["institutions"], r1.silver["cities"]
-    )
+    r2 = etl1.load_users(users_stg, r1.silver)
     r3 = etl1.load_observations(
         obs_stg, r2.silver["users"], r2.silver["user_institution"]
     )
@@ -401,11 +404,18 @@ def _assert_duckdb_parity(pipeline, fixtures_dir):
     dbl = lambda c: F.col(c).cast("double")
 
     counties = s["counties"].join(s["countries"], "country_id")
+    # city identity is (city_name, county, country) as of round 15 —
+    # the geography chain is name-keyed, so a bare city name can be
+    # ambiguous and every projection carries the full chain
     cities = s["cities"].join(
-        s["counties"].select("county_id", "county_name"), "county_id", "left"
+        counties.select("county_id", "county_name", "country_name"),
+        "county_id",
+        "left",
     )
     institutions = s["institutions"].join(
-        s["cities"].select("city_id", "city_name"), "city_id", "left"
+        cities.select("city_id", "city_name", "county_name", "country_name"),
+        "city_id",
+        "left",
     )
     ui_bk = s["user_institution"].join(
         s["users"].select("user_id", "username"), "user_id"
@@ -418,7 +428,7 @@ def _assert_duckdb_parity(pipeline, fixtures_dir):
         .join(
             ui_bk.select(
                 "user_institution_id", "username", "institution_name",
-                "city_name",
+                "city_name", "county_name",
                 F.col("start_date").alias("aff_start"),
             ),
             "user_institution_id",
@@ -516,14 +526,25 @@ def _assert_duckdb_parity(pipeline, fixtures_dir):
     pairs = {
         "countries_bk": s["countries"].select("country_name"),
         "counties_bk": counties.select("county_name", "country_name"),
-        "cities_bk": cities.select("city_name", "county_name"),
-        "institutions_bk": institutions.select("institution_name", "city_name"),
-        "users_bk": s["users"].select(
-            "username", "first_name", "last_name", "email", "join_date"
+        "cities_bk": cities.select("city_name", "county_name", "country_name"),
+        "institutions_bk": institutions.select(
+            "institution_name", "city_name", "county_name", "country_name"
+        ),
+        "users_bk": s["users"]
+        .join(
+            cities.select(
+                "city_id", "city_name", "county_name"
+            ),
+            "city_id",
+            "left",
+        )
+        .select(
+            "username", "first_name", "last_name", "email", "join_date",
+            "city_name", "county_name",
         ),
         "user_institution_bk": ui_bk.select(
-            "username", "institution_name", "city_name", "start_date",
-            "end_date",
+            "username", "institution_name", "city_name", "county_name",
+            "country_name", "start_date", "end_date",
         ),
         "user_subscription_bk": us_bk.select(
             "username", "subscription_type_name", "start_date", "end_date"
@@ -543,6 +564,7 @@ def _assert_duckdb_parity(pipeline, fixtures_dir):
         "obs_q_bk": q["invalid_observations"].select("error_message"),
         "observations_bk": obs_bk.select(
             "username", "aff_start", "institution_name", "city_name",
+            "county_name",
             "pollinator_species", "caste_name",
             "plant_species", "habitat_name",
             dbl("latitude").alias("latitude"),
@@ -699,9 +721,7 @@ def test_user_institution_reference_parity_edges(spark):
         " subscription_type string, subscription_start string,"
         " join_date string",
     )
-    r2 = etl1.load_users(
-        users_stg, r1.silver["institutions"], r1.silver["cities"]
-    )
+    r2 = etl1.load_users(users_stg, r1.silver)
     ui = r2.silver["user_institution"].collect()
     by_user = {}
     for row in ui:
@@ -730,17 +750,16 @@ def test_user_institution_reference_parity_edges(spark):
 
 
 def test_user_institution_duplicate_name_city_tiebreak(spark):
-    """Round-13 verdict #3: the ONE path where two institution rows share
-    the full business identity (name, city) — a CSV row named
-    'Unaffiliated' with no city colliding with the seeded Unaffiliated
-    (institution_id=0, city NULL) — must still yield a deterministic
-    SCD2 chain via the last-resort institution_id tiebreak leg
-    (etl/etl1.py order_tiebreak). A user affiliating with that name fans
-    out to BOTH ids tied on (start, name, city): the smaller id is
-    end-dated to start-1, the larger stays open, independent of shuffle
-    order."""
-    import datetime
-
+    """Round-15 parity (was round-13 verdict #3): a CSV row named exactly
+    'Unaffiliated' collides with the PRE-SEEDED institution, and the
+    reference's insert gate — stg.institution NOT IN (SELECT
+    institution_name FROM institutions), run against the seeded table
+    (02_ETL1_part1.sql:69-78 + 01_create_oltp.sql:148-150) — means it
+    is never inserted: ONE institution row (the seed, id 0), one SCD2
+    interval per affiliated user. (Until round 15 the engine minted a
+    second hash-id row here — the last shape where two institution rows
+    shared a full business identity; with it gated off, the hash-id
+    tiebreak leg is pure safety, never semantics.)"""
     from insect_observation_data_pipeline_spark.etl import etl1
 
     inst_stg = spark.createDataFrame(
@@ -749,8 +768,9 @@ def test_user_institution_duplicate_name_city_tiebreak(spark):
     )
     r1 = etl1.load_institutions(inst_stg)
     inst_rows = r1.silver["institutions"].collect()
-    ids = sorted(r["institution_id"] for r in inst_rows)
-    assert len(ids) == 2 and 0 in ids, ids  # CSV row + seed collided
+    assert [(r["institution_id"], r["city_id"]) for r in inst_rows] == [
+        (0, None)
+    ]
 
     users_stg = spark.createDataFrame(
         [("C. Three", "cthree", "c@x.org", "Unaffiliated", "2020-01-01",
@@ -760,16 +780,10 @@ def test_user_institution_duplicate_name_city_tiebreak(spark):
         " subscription_type string, subscription_start string,"
         " join_date string",
     )
-    r2 = etl1.load_users(
-        users_stg, r1.silver["institutions"], r1.silver["cities"]
-    )
-    ui = {
-        r["institution_id"]: r["end_date"]
-        for r in r2.silver["user_institution"].collect()
-    }
-    assert set(ui) == set(ids), ui  # both ids minted an interval
-    assert ui[min(ids)] == datetime.date(2019, 12, 31)  # end-dated
-    assert ui[max(ids)] is None  # open interval — deterministic winner
+    r2 = etl1.load_users(users_stg, r1.silver)
+    ui = r2.silver["user_institution"].collect()
+    assert len(ui) == 1  # one interval, at the seed
+    assert ui[0]["institution_id"] == 0 and ui[0]["end_date"] is None
 
 
 def test_user_subscription_reference_parity_edges(spark):
@@ -812,9 +826,7 @@ def test_user_subscription_reference_parity_edges(spark):
         " subscription_type string, subscription_start string,"
         " join_date string",
     )
-    r2 = etl1.load_users(
-        users_stg, r1.silver["institutions"], r1.silver["cities"]
-    )
+    r2 = etl1.load_users(users_stg, r1.silver)
     users = {r["username"] for r in r2.silver["users"].collect()}
     assert users == {"aone", "btwo"}  # unknown type never drops the USER
     us = r2.silver["user_subscription"].collect()
@@ -908,7 +920,10 @@ def test_nbn_repairs_reference_parity(spark):
     rows = {r["rid"]: r for r in _repair_codes(df).collect()}
     assert rows[1]["nbn_pollinator_code"] == "NHMSYS0000875423"
     assert rows[2]["nbn_pollinator_code"] == "NHMSYS0000875202"
-    assert rows[3]["nbn_pollinator_code"] == "NBNSYS0000006866"
+    # NULL code stays NULL: the reference gates each UPDATE with
+    # `nbn_pollinator_code != '<new>'`, which never fires on NULL
+    # (round-15 ADVICE).
+    assert rows[3]["nbn_pollinator_code"] is None
     assert rows[4]["nbn_pollinator_code"] == "NHMSYS0000875268"
     # plant: repaired only where species matches AND old code is the bad one
     assert rows[1]["nbn_plant_code"] == "NBNSYS0000004225"  # repaired
@@ -944,7 +959,7 @@ def test_user_validation_cascades_by_username(spark):
         " county string, subscription_type string,"
         " subscription_start string, join_date string",
     )
-    r = etl1.load_users(stg, inst.silver["institutions"], inst.silver["cities"])
+    r = etl1.load_users(stg, inst.silver)
     assert {u["username"] for u in r.silver["users"].collect()} == {"bob"}
     assert (
         r.silver["user_institution"]
@@ -964,3 +979,116 @@ def test_unmatched_authors_never_inserted(pipeline):
     user_institution_id."""
     obs = pipeline["silver"]["observations"]
     assert obs.filter(F.col("user_institution_id").isNull()).count() == 0
+
+
+@pytest.fixture(scope="module")
+def geo_pipeline(spark, geo_fixtures_dir):
+    return _build_pipeline(spark, geo_fixtures_dir)
+
+
+def test_duckdb_end_to_end_parity_geography_edges(
+    geo_pipeline, geo_fixtures_dir
+):
+    """Round-15 parity (VERDICT r14 #1): the FULL replay over the
+    geography edge fixtures — one city name in two counties (cities
+    fan; institutions fan with DISTINCT ids), a NULL-county city that
+    never lands, users-CSV-only geography inserts, users.city_id
+    resolution through the ambiguous name, and county-grain SCD2 /
+    attribution tiebreaks — must hash-match table-for-table."""
+    _assert_duckdb_parity(geo_pipeline, geo_fixtures_dir)
+
+
+def test_geography_name_keyed_insert_if_absent(geo_pipeline):
+    """Round-15 parity (02_ETL1_part1.sql:37-78, 03_ETL1_part2.sql:
+    76-107): geography dedups by bare NAME across the institutions-then-
+    users batch order, cities INNER-join counties, and the users batch
+    adds only genuinely new names."""
+    s = geo_pipeline["silver"]
+    cities = {
+        (r["city_name"], r["county_id"]) for r in s["cities"].collect()
+    }
+    counties = {r["county_id"]: r["county_name"] for r in s["counties"].collect()}
+    by_name: dict = {}
+    for city, cid in cities:
+        by_name.setdefault(city, set()).add(counties[cid])
+    # the ambiguous name landed once per county (in-batch fan)...
+    assert by_name["Marsden"] == {"West Yorkshire", "Cumbria"}
+    # ...the NULL-county city never landed (INNER join to counties)...
+    assert "Ghylldale" not in by_name
+    # ...and the users-batch additions landed under the right county
+    assert by_name["Ambleton"] == {"Loamshire"}
+    assert by_name["Newtown"] == {"West Yorkshire"}
+    # users-batch county insert: Loamshire is new; West Yorkshire was
+    # NOT duplicated by knownc's row (insert-if-absent by name)
+    names = sorted(counties.values())
+    assert names == ["Cumbria", "Essex", "Loamshire", "West Yorkshire"]
+
+
+def test_institution_city_fanout_distinct_ids(geo_pipeline):
+    """Round-15 parity: one city NAME under two counties fans each
+    institution in that city into one row per city row — with DISTINCT
+    surrogate ids (the old (name, city_name) hash minted the same id
+    twice), while two all-NULL-city staging rows would collapse (dedup
+    AFTER the city join, on (name, city_id))."""
+    from insect_observation_data_pipeline_spark.functions.keys import assert_unique
+
+    s = geo_pipeline["silver"]
+    inst = s["institutions"].collect()
+    assert_unique(s["institutions"], "institution_id")
+    fanned = [r for r in inst if r["institution_name"] == "Riverside Institute"]
+    assert len(fanned) == 2
+    assert len({r["institution_id"] for r in fanned}) == 2
+    assert len({r["city_id"] for r in fanned}) == 2
+    # the NULL-county institution has a NULL city_id (its city never
+    # landed), not a minted city row
+    hilltop = [r for r in inst if r["institution_name"] == "Hilltop Observatory"]
+    assert len(hilltop) == 1 and hilltop[0]["city_id"] is None
+
+
+def test_users_city_id_resolution(geo_pipeline):
+    """Round-15 parity (03_ETL1_part2.sql:108-127): silver users carry a
+    city_id resolved by city-name LEFT JOIN — the ambiguous name picks
+    deterministically by the (city, county, country) order legs, the
+    users-batch city resolves, and an unmatched city stays NULL."""
+    s = geo_pipeline["silver"]
+    cities = {r["city_id"]: (r["city_name"], r["county_id"]) for r in s["cities"].collect()}
+    counties = {r["county_id"]: r["county_name"] for r in s["counties"].collect()}
+    users = {r["username"]: r for r in s["users"].collect()}
+    assert "city_id" in s["users"].columns
+
+    def city_of(u):
+        cid = users[u]["city_id"]
+        if cid is None:
+            return None
+        name, county_id = cities[cid]
+        return (name, counties[county_id])
+
+    # ambiguous name: Cumbria < West Yorkshire on the county leg
+    assert city_of("marsfan") == ("Marsden", "Cumbria")
+    # users-batch-only geography resolves
+    assert city_of("newcity") == ("Ambleton", "Loamshire")
+    assert city_of("knownc") == ("Newtown", "West Yorkshire")
+    # Ghylldale never landed as a city -> NULL
+    assert city_of("ghyll") is None
+
+
+def test_fanned_affiliation_county_tiebreak(geo_pipeline):
+    """Round-15 parity: marsfan's one affiliation row fans into BOTH
+    county-variants of Riverside Institute (the reference's
+    institution-name join), end-dated deterministically on the county
+    leg; attribution picks the open slice for in-interval dates and the
+    county-ordered slice for the p3 fallback."""
+    s = geo_pipeline["silver"]
+    users = {r["user_id"]: r["username"] for r in s["users"].collect()}
+    ui = [
+        r
+        for r in s["user_institution"].collect()
+        if users[r["user_id"]] == "marsfan"
+        and r["institution_name"] == "Riverside Institute"
+    ]
+    assert len(ui) == 2
+    by_county = {r["county_name"]: r for r in ui}
+    assert set(by_county) == {"Cumbria", "West Yorkshire"}
+    # county order end-dates Cumbria degenerately; West Yorkshire open
+    assert by_county["Cumbria"]["end_date"] is not None
+    assert by_county["West Yorkshire"]["end_date"] is None

@@ -217,9 +217,7 @@ def test_user_histories_match_python_model(spark, rows):
         " subscription_type string, subscription_start string,"
         " join_date string",
     )
-    r2 = etl1.load_users(
-        users_stg, r1.silver["institutions"], r1.silver["cities"]
-    )
+    r2 = etl1.load_users(users_stg, r1.silver)
 
     # ---- python model: user_institution ----
     by_name: dict = {}

@@ -161,7 +161,17 @@ QUERY_NOTES: dict[str, str] = {
         "and at these scales that shuffle is a few MB either way. It "
         "becomes the bound — memory and network — when the distinct "
         "combinations no longer fit, which is the switch rule README "
-        "documents; accuracy (<=20%/group) is pytest-pinned."
+        "documents; accuracy (<=20%/group) is pytest-pinned. "
+        "Crossover, from SHUFFLE_EVIDENCE_r14's measured rows: sf0.1 "
+        "carries ~4.3 distinct (month,supplier) combos per customer "
+        "(598,646 triples / 138,330 groups), so the 256-row cap binds "
+        "only past ~60x that per-group density. On TPC-H-shaped growth "
+        "(groups scale with data, density flat) the exact shuffle "
+        "stays group-proportional and w2 remains fine at any sf; the "
+        "register form is for the BOUNDED-group/high-density rollup "
+        "shape (e.g. per-month-only grain at 100 TB), where exact "
+        "shuffle rows grow with distinct combos without bound while "
+        "w2b's stay <= groups x 256 regardless of data volume."
     ),
     "x52_repeated_spans": (
         "round-10 entrant: net ratio ~5x per 10x data on a ~0.6 s "
