@@ -1,0 +1,47 @@
+"""Capture ``.explain("formatted")`` for queries into plans/r15/.
+
+Usage: python tools/capture_plans.py <suffix> [sf_dir] [query ...]
+Writes plans/r15/<query>_<suffix>.txt for each query (suffix is
+"before" / "after").
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO_ROOT)
+
+from insect_observation_data_pipeline_spark import get_spark  # noqa: E402
+from insect_observation_data_pipeline_spark.queries import QUERIES  # noqa: E402
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    args = sys.argv[2:]
+    sf_dir = "/root/testdata/sf0.1"
+    if args and os.path.isdir(args[0]):
+        sf_dir, args = args[0], args[1:]
+    names = args or list(QUERIES)
+    out_dir = os.path.join(REPO_ROOT, "plans", "r15")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark("capture-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        try:
+            df = QUERIES[name](spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+        except Exception as e:  # noqa: BLE001
+            plan = f"ERROR building plan: {type(e).__name__}: {e}\n"
+        finally:
+            spark.catalog.clearCache()
+        with open(os.path.join(out_dir, f"{name}_{suffix}.txt"), "w") as f:
+            f.write(plan)
+        print(name)
+
+
+if __name__ == "__main__":
+    main()
