@@ -521,6 +521,7 @@ def tf_cosine_pairs(
     threshold: float = 0.5,
     max_df: int | None = None,
     candidate_max_df: int | None = None,
+    kernel: str = "join",
 ) -> DataFrame:
     """Sparse lexical cosine pairs over TERM-FREQUENCY vectors via an
     inverted-index self-join — the bag-of-words complement to the dense
@@ -528,7 +529,8 @@ def tf_cosine_pairs(
     cosine(a, b) = sum(tf_a * tf_b) / (||tf_a|| * ||tf_b||).
 
     Text front-end over :func:`tf_cosine_pairs_from_tf` (whitespace
-    tokenization, lowercased); see that function for the scale knobs.
+    tokenization, lowercased); see that function for the scale knobs
+    and the ``kernel`` choice.
     """
     terms = docs.select(
         F.col(id_col).alias("doc_id"),
@@ -538,7 +540,11 @@ def tf_cosine_pairs(
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     return tf_cosine_pairs_from_tf(
-        tf, threshold=threshold, max_df=max_df, candidate_max_df=candidate_max_df
+        tf,
+        threshold=threshold,
+        max_df=max_df,
+        candidate_max_df=candidate_max_df,
+        kernel=kernel,
     )
 
 
@@ -548,6 +554,7 @@ def tf_cosine_pairs_from_tf(
     threshold: float = 0.5,
     max_df: int | None = None,
     candidate_max_df: int | None = None,
+    kernel: str = "join",
 ) -> DataFrame:
     """Sparse cosine pairs from an already-built term-frequency frame
     (doc_id, term, tf) — the core of :func:`tf_cosine_pairs`, exposed
@@ -588,6 +595,35 @@ def tf_cosine_pairs_from_tf(
             "prunes the dot product (lower-bound scores), candidate_max_df "
             "prunes candidate generation (exact scores); pick one."
         )
+    if kernel == "gram":
+        # ``kernel="gram"``: the exact all-pairs path for CLOSED / SMALL
+        # vocabularies (round-16). The inverted-index self-join's fan-out
+        # is sum over terms of df^2 — on a closed vocabulary every term's
+        # df grows with the corpus, so the join is quadratic in ROWS
+        # SHUFFLED (x34 at sf0.1: 448M join rows from 116k postings, 46 s;
+        # SCALING_r15 measured 26.8x per 10x data). The gram kernel blocks
+        # doc pairs into bounded (i, j) grid tasks and computes each
+        # block's integer dot matrix with one BLAS matmul — identical
+        # scores (integer sums are exact in float64, the sqrt/divide/round
+        # are the same IEEE ops), ~1000x less per-pair cost, per-task
+        # memory bounded by the block size. Pair enumeration is still
+        # O(n^2/blocks) FLOPS — for OPEN vocabularies candidate_max_df
+        # remains the scale path (sub-quadratic by construction).
+        if max_df is not None or candidate_max_df is not None:
+            raise ValueError(
+                "kernel='gram' is the exact all-pairs kernel; the df "
+                "guards only apply to the inverted-index join kernel"
+            )
+        if threshold <= 0:
+            raise ValueError(
+                "kernel='gram' requires threshold > 0: the join kernel "
+                "only ever emits pairs sharing at least one term, and a "
+                "non-positive threshold would let the gram kernel emit "
+                "zero-dot pairs the join kernel never sees"
+            )
+        return _tf_cosine_pairs_gram(tf, threshold=threshold)
+    if kernel != "join":
+        raise ValueError(f"unknown kernel {kernel!r}; expected 'join' or 'gram'")
     # tf feeds every downstream subtree — norms, the df count, the
     # rare-term projection, and BOTH sides of the dot join (5 uses on
     # the candidate path, 3 on the baseline). When the caller's tf is
@@ -741,6 +777,157 @@ def tf_cosine_pairs_from_tf(
         .select("doc_a", "doc_b", "cosine_tf"),
         (tf,),
     )
+
+
+def _tf_cosine_pairs_gram(
+    tf: DataFrame,
+    *,
+    threshold: float,
+    round_digits: int = 4,
+    block_rows: int = 2048,
+) -> DataFrame:
+    """Blocked gram-matrix kernel for the EXACT tf-cosine pair path
+    (same contract as the unguarded join kernel: every unordered doc
+    pair with rounded cosine >= threshold, scores bit-identical).
+
+    Same (i, j) grid as similarity._near_dup_pairs_gram, with ONE
+    implicit cell (all-pairs): each doc's postings are hashed into one
+    of g = ceil(n_docs / block_rows) groups; a doc enters task (t, j)
+    as an ``a``-side row for every j and task (i, t) as a ``b``-side
+    row for every i, so task (i, j) holds exactly groups i and j and
+    the ``doc_a < doc_b`` mask keeps each pair in exactly one task.
+    Inside a task the block's dot matrix is one float64 BLAS matmul
+    over the task-local dense vocabulary — every dot and squared norm
+    is a sum of INTEGER products (exact in float64), and the
+    sqrt/divide/round steps are the same IEEE-754 ops as the join
+    kernel's expressions, so the emitted pairs and scores are
+    bit-identical (pytest-pinned; pairs sharing no term score 0 and
+    fail the positive threshold, which is why the caller enforces
+    threshold > 0).
+
+    Memory: a task holds two (<= block_rows x V_task) posting matrices
+    plus the (<= block_rows^2) similarity matrix — ~35 MB at the 2048
+    default. V_task is the task-local DISTINCT TERM count, which is
+    what limits this kernel to closed/small vocabularies; when a
+    task's dense build would exceed ~64M cells the kernel falls back
+    to per-term outer-product accumulation (same integer arithmetic,
+    join-fan-out-shaped cost) rather than allocating an unbounded
+    matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark import StorageLevel
+
+    id_type = tf.schema["doc_id"].dataType.simpleString()
+    out_schema = f"doc_a {id_type}, doc_b {id_type}, cosine_tf double"
+    scale = float(10**round_digits)
+
+    def kern(pdf: pd.DataFrame) -> pd.DataFrame:
+        a_rows = pdf[pdf["side"] == "a"]
+        b_rows = pdf[pdf["side"] == "b"]
+        empty = pd.DataFrame(
+            {
+                "doc_a": pdf["doc_id"].iloc[:0],
+                "doc_b": pdf["doc_id"].iloc[:0],
+                "cosine_tf": pd.Series([], dtype="float64"),
+            }
+        )
+        if a_rows.empty or b_rows.empty:
+            return empty
+        a_idx, a_docs = pd.factorize(a_rows["doc_id"])
+        b_idx, b_docs = pd.factorize(b_rows["doc_id"])
+        terms = pd.factorize(pd.concat([a_rows["term"], b_rows["term"]]))[0]
+        ta, tb = terms[: len(a_rows)], terms[len(a_rows):]
+        tfa = a_rows["tf"].to_numpy(dtype=np.float64)
+        tfb = b_rows["tf"].to_numpy(dtype=np.float64)
+        na, nb, v = len(a_docs), len(b_docs), int(terms.max()) + 1
+        sqa = np.zeros(na)
+        sqb = np.zeros(nb)
+        np.add.at(sqa, a_idx, tfa * tfa)
+        np.add.at(sqb, b_idx, tfb * tfb)
+        if (na + nb) * v <= 64_000_000:
+            ma = np.zeros((na, v))
+            mb = np.zeros((nb, v))
+            ma[a_idx, ta] = tfa
+            mb[b_idx, tb] = tfb
+            dot = ma @ mb.T
+        else:
+            # accumulation fallback: group postings by term and add one
+            # integer outer product per shared term — never allocates
+            # the dense vocabulary, costs what the join kernel's
+            # fan-out costs (sum over terms of df_a * df_b)
+            dot = np.zeros((na, nb))
+            oa, ob = np.argsort(ta, kind="stable"), np.argsort(tb, kind="stable")
+            ta_s, tb_s = ta[oa], tb[ob]
+            ua, sa = np.unique(ta_s, return_index=True)
+            ub, sb = np.unique(tb_s, return_index=True)
+            ea = np.append(sa[1:], len(ta_s))
+            eb = np.append(sb[1:], len(tb_s))
+            pa = {t: (sa[i], ea[i]) for i, t in enumerate(ua)}
+            for i, t in enumerate(ub):
+                span = pa.get(t)
+                if span is None:
+                    continue
+                ia = oa[span[0]: span[1]]
+                ib = ob[sb[i]: eb[i]]
+                dot[np.ix_(a_idx[ia], b_idx[ib])] += np.outer(tfa[ia], tfb[ib])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sim = dot / np.outer(np.sqrt(sqa), np.sqrt(sqb))
+        # stable_round, vectorized: floor(|x|*s + 0.5)/s with sign back
+        rounded = (
+            np.floor(np.abs(sim) * scale + 0.5)
+            / scale
+            * np.where(sim < 0, -1.0, 1.0)
+            + 0.0
+        )
+        keep = (
+            a_docs.to_numpy()[:, None] < b_docs.to_numpy()[None, :]
+        ) & (rounded >= threshold)
+        ia, ib = np.nonzero(keep)
+        if not len(ia):
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": a_docs.to_numpy()[ia],
+                "doc_b": b_docs.to_numpy()[ib],
+                "cosine_tf": rounded[ia, ib],
+            }
+        )
+
+    # tf feeds the block-count agg and both replicated sides — persist
+    # once (the join kernel's rationale; for x34 tf is a corpus explode
+    # + groupBy that would otherwise run 3x)
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    meta = tf.agg(
+        F.ceil(F.count_distinct(F.col("doc_id")) / F.lit(block_rows))
+        .cast("int")
+        .alias("g")
+    )
+    tagged = tf.crossJoin(F.broadcast(meta)).withColumn(
+        "grp", F.pmod(F.xxhash64("doc_id"), F.col("g")).cast("int")
+    )
+    others = F.explode(F.sequence(F.lit(0), F.col("g") - 1))
+    a_side = tagged.select(
+        F.col("grp").alias("i"),
+        others.alias("j"),
+        F.lit("a").alias("side"),
+        "doc_id",
+        "term",
+        "tf",
+    )
+    b_side = tagged.select(
+        others.alias("i"),
+        F.col("grp").alias("j"),
+        F.lit("b").alias("side"),
+        "doc_id",
+        "term",
+        "tf",
+    )
+    out = (
+        a_side.unionByName(b_side)
+        .groupBy("i", "j")
+        .applyInPandas(kern, out_schema)
+    )
+    return tag_intermediates(out, (tf,))
 
 
 def containment_keep(

@@ -1406,6 +1406,64 @@ def test_tf_cosine_guard_subset_randomized(spark):
     assert prev_keys == set(exact)
 
 
+def test_tf_cosine_gram_kernel_matches_join_kernel(spark):
+    """kernel='gram' (round-16: blocked BLAS integer-dot for closed
+    vocabularies — the x34 rewrite) emits EXACTLY the join kernel's
+    pair set with bit-identical scores, on the same randomized corpus
+    the guard-subset sweep uses, and with block_rows forced small so
+    the multi-block (i, j) grid path is exercised; the guard/threshold
+    misuse combinations raise."""
+    import random
+
+    rng = random.Random(41)
+    vocab = [f"w{i}" for i in range(12)]
+    rows = []
+    for doc_id in range(40):
+        toks = [vocab[rng.randrange(12)] for _ in range(rng.randint(5, 15))]
+        if rng.random() < 0.4:
+            toks.append(f"rare{rng.randrange(8)}")
+        rows.append((doc_id, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(df, threshold=0.6).collect()
+    }
+    gram = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup.tf_cosine_pairs(
+            df, threshold=0.6, kernel="gram"
+        ).collect()
+    }
+    assert gram == exact and exact  # same pairs, bit-identical scores
+
+    # multi-block grid: block_rows=7 over 40 docs -> g=6, 36 tasks;
+    # every pair must still land in exactly one task
+    tf = (
+        df.select(
+            "doc_id",
+            F.explode(
+                F.filter(F.split(F.lower(F.col("text")), " "), lambda x: x != "")
+            ).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    blocked = {
+        (r["doc_a"], r["doc_b"]): r["cosine_tf"]
+        for r in dedup._tf_cosine_pairs_gram(
+            tf, threshold=0.6, block_rows=7
+        ).collect()
+    }
+    assert blocked == exact
+
+    with pytest.raises(ValueError, match="guards"):
+        dedup.tf_cosine_pairs(df, threshold=0.6, kernel="gram", max_df=2)
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dedup.tf_cosine_pairs(df, threshold=0.0, kernel="gram")
+    with pytest.raises(ValueError, match="unknown kernel"):
+        dedup.tf_cosine_pairs(df, threshold=0.6, kernel="dense")
+
+
 def test_source_overlap_matrix(spark):
     # two sources sharing one 3-gram ("a b c"), a third sharing nothing
     rows = [

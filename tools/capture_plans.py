@@ -1,8 +1,8 @@
-"""Capture ``.explain("formatted")`` for queries into plans/r15/.
+"""Capture ``.explain("formatted")`` for queries into plans/<round>/.
 
 Usage: python tools/capture_plans.py <suffix> [sf_dir] [query ...]
-Writes plans/r15/<query>_<suffix>.txt for each query (suffix is
-"before" / "after").
+Writes plans/$SPARK_GRAFT_PLANS_ROUND/<query>_<suffix>.txt for each
+query (suffix is "before" / "after"; round defaults to r16).
 """
 
 from __future__ import annotations
@@ -24,7 +24,9 @@ def main() -> None:
     if args and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
     names = args or list(QUERIES)
-    out_dir = os.path.join(REPO_ROOT, "plans", "r15")
+    out_dir = os.path.join(
+        REPO_ROOT, "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r16")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("capture-plans")
     spark.sparkContext.setLogLevel("ERROR")
