@@ -214,9 +214,14 @@ def repeated_spans(
     so nothing re-shuffles after the join. No all-pairs anywhere:
     cost is O(corpus tokens) map work + two corpus-token-scale
     shuffles, however many documents share a span."""
+    from pyspark import StorageLevel
+
+    # anchors feeds two consumers (the df count and the flag-back
+    # probe side) — persist the tokenize+md5 corpus pass once instead
+    # of running it per consumer (round 16; the jaccard/minhash idiom)
     anchors = doc_anchors(
         docs, text_col=text_col, id_col=id_col, anchor_words=anchor_words
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     flagged = (
         anchors.groupBy("anchor")
         .agg(F.count_distinct("doc_id").alias("df"))
@@ -224,7 +229,9 @@ def repeated_spans(
         .select("anchor")
     )
     hits = anchors.join(flagged, "anchor", "left_semi")
-    return anchor_spans(hits, anchor_words, min_span_words)
+    return tag_intermediates(
+        anchor_spans(hits, anchor_words, min_span_words), (anchors,)
+    )
 
 
 def doc_anchors(
@@ -240,7 +247,9 @@ def doc_anchors(
     streaming span-scrub sink (one definition, so their outputs
     compose). Docs shorter than ``anchor_words`` produce zero rows."""
     k = anchor_words
-    toked = docs.select(
+    # spread_input: one md5 per token position is the map-heavy shape
+    # the single-split scan serializes (see doc_shingles)
+    toked = spread_input(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     )
     cnt = F.size("__toks")
@@ -380,9 +389,56 @@ def shingles(text: Column, n: int = 3) -> Column:
     return shingles_from_tokens(tokens(text), n)
 
 
+def spread_input(docs: DataFrame) -> DataFrame:
+    """Round-robin repartition a frame whose scan yields far fewer
+    splits than the cluster has cores — guide §2.5's "one huge
+    unsplittable file" input-skew fix, SCALE-ADAPTIVE and applied only
+    at the entry of MAP-HEAVY text kernels (round 16).
+
+    Why surgical, not in read_table: profiled at sf0.1, every testdata
+    parquet is one file with ONE row group, so a scan is a single task
+    and everything below the first exchange serializes — x7 spent 4.7 s
+    of its wall in one single-task tokenize+shingle+8xmd5 partial
+    aggregate, x32 7.3 of 7.5 s across three such stages, on 32 cores.
+    But the same repartition applied to EVERY read measured 1.1-2.7x
+    SLOWER on the cheap-map queries (q1 0.41->1.13 s, x1 0.26->0.50 s):
+    where per-row compute is light or the next operator re-exchanges by
+    key anyway, the extra exchange is pure overhead. So only the
+    shingle/tokenize kernels — whose per-row cost (tokenize + n-gram
+    build + k salted md5s) dwarfs a row's shuffle bytes — opt in.
+
+    Scale posture: triggers only when the input's split count is below
+    a quarter of ``defaultParallelism``; a 100 TB corpus scans as
+    thousands of splits, making this a structural no-op — nothing is
+    tuned to the local core count. Results are partition-independent
+    by engine-wide design (integer/rounded aggregates; pinned by the
+    repartition-stability tests). Conf
+    ``spark.graft.scan.adaptiveParallelism`` ("true" default) disables
+    it for A/B harnesses."""
+    try:
+        spark = docs.sparkSession
+        if (
+            spark.conf.get("spark.graft.scan.adaptiveParallelism", "true")
+            != "true"
+        ):
+            return docs
+        par = spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() * 4 > par:
+            return docs
+    except Exception:
+        # best-effort: an exotic frame/session falls back unspread
+        return docs
+    return docs.repartition(par)
+
+
 def doc_shingles(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded pairs; tokenizes once per row."""
-    toked = docs.select(
+    """(doc_id, shingle) exploded pairs; tokenizes once per row.
+
+    The input is spread across the executor first (:func:`spread_input`)
+    — every downstream consumer (signature aggregation, shingle joins,
+    size counts) does its map-side work per shingle row, so a
+    single-split input serializes the whole kernel otherwise."""
+    toked = spread_input(docs).select(
         F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__toks")
     )
     return toked.select(
@@ -416,7 +472,16 @@ def jaccard_pairs(
     Default None = exact (the oracle-checked x6 path); the MinHash
     pipeline (x7) remains the first-choice scale path.
     """
-    sh = doc_shingles(docs, text_col, id_col, n)
+    from pyspark import StorageLevel
+
+    # the shingle frame feeds 3-4 consumers (sizes, both join sides,
+    # and the df count when max_df is set) — persist it once instead of
+    # re-running the tokenize+shingle corpus pass per consumer (the
+    # minhash_lsh_dedup idiom; round 16 — profiled at sf0.1 each
+    # recompute was a serial single-split stage)
+    sh = doc_shingles(docs, text_col, id_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_sh = sh
     if max_df is not None:
@@ -437,7 +502,7 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
+    return tag_intermediates(
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -449,7 +514,8 @@ def jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
+        .select("doc_a", "doc_b", "jaccard"),
+        (sh,),
     )
 
 
@@ -478,10 +544,16 @@ def containment_pairs(
     pass is shared instead of re-planned (round-14 review:
     :func:`containment_keep` paid the full shingle scan twice).
     """
+    from pyspark import StorageLevel
+
+    own_sh = shingles is None
     sh = (
-        shingles
-        if shingles is not None
-        else doc_shingles(docs, text_col, id_col, n)
+        doc_shingles(docs, text_col, id_col, n).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        if own_sh
+        # caller-supplied frames arrive already persisted (containment_keep)
+        else shingles
     )
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_sh = sh
@@ -502,7 +574,7 @@ def containment_pairs(
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    return (
+    out = (
         inter.join(sa, "doc_a")
         .withColumn(
             "containment",
@@ -511,6 +583,9 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+    # persist the shingle pass once when this call built it (the
+    # jaccard_pairs rationale; 3 consumers: sizes + both join sides)
+    return tag_intermediates(out, (sh,)) if own_sh else out
 
 
 def tf_cosine_pairs(
@@ -532,7 +607,7 @@ def tf_cosine_pairs(
     tokenization, lowercased); see that function for the scale knobs
     and the ``kernel`` choice.
     """
-    terms = docs.select(
+    terms = spread_input(docs).select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.filter(F.split(F.lower(F.col(text_col)), " "), lambda x: x != "")
@@ -624,38 +699,41 @@ def tf_cosine_pairs_from_tf(
         return _tf_cosine_pairs_gram(tf, threshold=threshold)
     if kernel != "join":
         raise ValueError(f"unknown kernel {kernel!r}; expected 'join' or 'gram'")
-    # tf feeds every downstream subtree — norms, the df count, the
-    # rare-term projection, and BOTH sides of the dot join (5 uses on
-    # the candidate path, 3 on the baseline). When the caller's tf is
-    # itself a join+agg (x34b: lineitem JOIN orders, GROUP BY), leaving
-    # it uncached recomputes that upstream work per subtree (round-6
-    # plan audit: 16 scans, 6x recompute — at 100 TB that is 6 passes
-    # over a fact join). One materialization, spill-safe, reused by
-    # every branch; ContextCleaner unpersists when the frame is GC'd.
     from pyspark import StorageLevel
 
-    # Deliberately NOT repartition("term").persist(): pre-keying the
-    # cache by term would let the df count and the term-side joins
-    # read it exchange-free, but term frequency is Zipfian — the
-    # up-front skewed exchange measured slower than the exchanges it
-    # removes (sf0.1: x34 16.9 -> 23.4 s, x34b 1.68 -> 1.86 s).
-    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
-    norms = tf.groupBy("doc_id").agg(
-        F.sum(F.col("tf") * F.col("tf")).alias("sq")
-    )
-    join_tf = tf
-    if max_df is not None:
-        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
-        join_tf = tf.join(dft.filter(F.col("__df") <= max_df), "term").select(
-            "doc_id", "term", "tf"
-        )
     if candidate_max_df is not None:
-        dft_c = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__cdf"))
-        # rare feeds both sides of the self-join; vecs both sides of
-        # the pair join — persist each once instead of re-running its
-        # upstream shuffle per side
+        # Round 16: the candidate path is VECS-ROOTED. Previously tf
+        # itself was persisted and fanned into five subtrees (the df
+        # count, both rare self-join sides, both dot-join vec sides);
+        # AQE materializes query stages and broadcast subtrees
+        # CONCURRENTLY, so consumers raced the still-unfilled cache and
+        # re-ran tf's upstream fact join from the parquet scan (profiled
+        # at sf0.1: the lineitem+orders tf build executed in four
+        # separate stages of 5-9 task-seconds each behind one persist).
+        # Building the per-doc vector frame FIRST and deriving postings,
+        # df counts and candidates from ITS doc-grain cache (one row per
+        # doc) leaves tf exactly one consumer: same (doc, term) set,
+        # same df counts, identical candidates and scores.
+        vecs = (
+            tf.groupBy("doc_id")
+            .agg(
+                F.map_from_entries(
+                    F.collect_list(F.struct("term", "tf"))
+                ).alias("vec"),
+                F.sum(F.col("tf") * F.col("tf")).alias("sq"),
+            )
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        postings = vecs.select(
+            "doc_id", F.explode(F.map_keys("vec")).alias("term")
+        )
+        dft_c = postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("__cdf")
+        )
+        # rare feeds both sides of the self-join — persist it once
+        # instead of re-running the explode + df join per side
         rare = (
-            tf.join(
+            postings.join(
                 dft_c.filter(F.col("__cdf") <= candidate_max_df), "term"
             )
             .select("doc_id", "term")
@@ -685,16 +763,6 @@ def tf_cosine_pairs_from_tf(
         # every candidate by average doc vocabulary. Doc vocabulary is
         # bounded (docs are bounded), so the map stays small; sums are
         # integer, so scores stay bit-exact across partitionings.
-        vecs = (
-            tf.groupBy("doc_id")
-            .agg(
-                F.map_from_entries(
-                    F.collect_list(F.struct("term", "tf"))
-                ).alias("vec"),
-                F.sum(F.col("tf") * F.col("tf")).alias("sq"),
-            )
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        )
         zero = F.lit(0).cast("long")
         out = (
             cands.join(
@@ -742,20 +810,42 @@ def tf_cosine_pairs_from_tf(
             .filter(F.col("cosine_tf") >= threshold)
             .select("doc_a", "doc_b", "cosine_tf")
         )
-        return tag_intermediates(out, (tf, rare, vecs))
-    else:
-        a, b = join_tf.alias("a"), join_tf.alias("b")
-        dots = (
-            a.join(
-                b,
-                (F.col("a.term") == F.col("b.term"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .groupBy(
-                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-            )
-            .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+        return tag_intermediates(out, (rare, vecs))
+
+    # JOIN-KERNEL BASELINE (exact / max_df): tf feeds norms, the df
+    # count when max_df is set, and BOTH sides of the dot self-join.
+    # When the caller's tf is itself a join+agg, leaving it uncached
+    # recomputes that upstream work per subtree (round-6 plan audit:
+    # 16 scans, 6x recompute — at 100 TB that is repeated passes over a
+    # fact join). One materialization, spill-safe, reused by every
+    # branch; ContextCleaner unpersists when the frame is GC'd.
+    # Deliberately NOT repartition("term").persist(): pre-keying the
+    # cache by term would let the df count and the term-side joins
+    # read it exchange-free, but term frequency is Zipfian — the
+    # up-front skewed exchange measured slower than the exchanges it
+    # removes (sf0.1: x34 16.9 -> 23.4 s, x34b 1.68 -> 1.86 s).
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    norms = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("sq")
+    )
+    join_tf = tf
+    if max_df is not None:
+        dft = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+        join_tf = tf.join(dft.filter(F.col("__df") <= max_df), "term").select(
+            "doc_id", "term", "tf"
         )
+    a, b = join_tf.alias("a"), join_tf.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.sum(F.col("a.tf") * F.col("b.tf")).alias("dot"))
+    )
     return tag_intermediates(
         dots.join(
             norms.select(F.col("doc_id").alias("doc_a"), F.col("sq").alias("sq_a")),
@@ -1782,6 +1872,10 @@ def simhash16(docs: DataFrame, *, text_col: str = "text", id_col: str = "doc_id"
     (portable to any engine with md5 + integer math). Per doc: sum +-1 per
     bit over all tokens, bit set where the sum is positive.
     """
+    # NOT spread_input (round-16 A/B): one md5 + 16 arithmetic bit
+    # extractions per token is light enough that the extra exchange
+    # measured flat-to-slower (0.95 s off vs 0.99 s on at sf0.1) —
+    # unlike the k-salted-md5 shingle kernels doc_shingles feeds
     tok = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(tokens(F.col(text_col))).alias("tok"),
