@@ -146,12 +146,13 @@ ROTATION_EXEMPT: dict[str, str] = {
     # cosine kernel and the RRF combiner — a strict superset of x45's
     # expressions, so x45's fixed-probe form keeps local oracle + bench
     # coverage while x46 carries the driver evidence.
-    "x45_bm25_topk": (
-        "bm25_topk kernel driver-verified via rotating x46_hybrid_rrf "
-        "(same code path, query-by-document probes at depth 50); the "
-        "fixed-probe form stays oracle-checked locally every round, "
-        "pytest-pinned, and in the bench extended set"
-    ),
+    # Round 16: x45_bm25_topk swapped INTO rotation for one round (the
+    # x43/w2b/x50 precedent — it has never had its own driver row; the
+    # r15 verdict queued it). Re-exempt once its driver row lands,
+    # restoring the rationale: "bm25_topk kernel driver-verified via
+    # rotating x46_hybrid_rrf (same code path, query-by-document probes
+    # at depth 50); the fixed-probe form stays oracle-checked locally
+    # every round, pytest-pinned, and in the bench extended set".
     # Round 8 (cont.): rotating x47_bpe_tokenize runs bpe_merges
     # verbatim and then encodes with its output, so the train-only form
     # keeps local oracle + scaling coverage while x47 carries the
@@ -163,13 +164,16 @@ ROTATION_EXEMPT: dict[str, str] = {
     # kernel.
     # Round 15: x43_bpe_vocab swapped INTO rotation for one round (the
     # w2b/x50 precedent — it had never had its own driver row; carrier
-    # x47 runs the same trainer at rounds=6 vs 12). Re-exempt in round
-    # 16 once its driver row lands, restoring the rationale:
-    # "bpe_merges kernel driver-verified via rotating x47_bpe_tokenize
-    # (train + encode, rounds=6 of the same trainer); the 12-round
-    # merge-table oracle stays pinned locally every round and the
-    # trainer is pytest-pinned against a sequential reference".
-    # x45_bm25_topk is queued for the r16 swap.
+    # x47 runs the same trainer at rounds=6 vs 12). Its driver row
+    # landed hash-green in CORRECTNESS_r15, so round 16 re-exempts it
+    # with the carrier rationale restored verbatim below.
+    "x43_bpe_vocab": (
+        "bpe_merges kernel driver-verified via rotating x47_bpe_tokenize "
+        "(train + encode, rounds=6 of the same trainer; x43's own "
+        "driver row hash-green in r15); the 12-round merge-table "
+        "oracle stays pinned locally every round and the trainer is "
+        "pytest-pinned against a sequential reference"
+    ),
     # Round 8 (cont.): the sessionization pair folds into the rotating
     # e25_session_census, which CALLS both component functions verbatim
     # (the e8_window_census precedent) — one driver row re-verifies the
