@@ -218,10 +218,17 @@ def test_prev_bench_reads_latest_artifact():
     # round, not merely "did not walk past it".
     here = os.path.dirname(bench.__file__)
     rnum = lambda name: int(re.search(r"BENCH_r(\d+)\.json$", name).group(1))  # noqa: E731
-    tracked = subprocess.run(
-        ["git", "ls-files", "BENCH_r*.json"],
-        cwd=here, capture_output=True, text=True, check=True,
-    ).stdout.split()
+    tracked = [
+        n
+        for n in subprocess.run(
+            ["git", "ls-files", "BENCH_r*.json"],
+            cwd=here, capture_output=True, text=True, check=True,
+        ).stdout.split()
+        # the glob also matches non-round artifacts (e.g. the driver's
+        # 8-core scaling run BENCH_r15_c8.json); keep only names
+        # _prev_bench itself considers, mirroring its numeric filter
+        if re.search(r"BENCH_r(\d+)\.json$", n)
+    ]
     latest = max(tracked, key=rnum)
     assert prev.get("_src") and rnum(prev["_src"]) == rnum(latest), (
         "_prev_bench did not pick the newest committed artifact "
@@ -331,7 +338,12 @@ def test_bench_current_round_and_local_artifact_name():
         cwd=here, capture_output=True, text=True, check=True,
     ).stdout.split()
     newest = max(
-        int(re.search(r"_r(\d+)\.json$", p).group(1)) for p in tracked
+        int(m.group(1))
+        for m in (re.search(r"_r(\d+)\.json$", p) for p in tracked)
+        # the globs also match non-round artifacts (e.g. the driver's
+        # 8-core scaling run BENCH_r15_c8.json) — skip them, exactly as
+        # bench._current_round's own numeric filter does
+        if m
     )
     # EQUALITY, not >= (round-12 ADVICE): a stale/foreign untracked
     # BENCH_r99.json in the checkout must not skew the artifact name —

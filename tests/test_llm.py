@@ -2070,6 +2070,11 @@ def test_weighted_sample_first_pick_tracks_weights(spark):
     )
     n = 120
     counts = {i: 0 for i in weights}
+    # per-seed loop kept deliberately (round-16 A/B): batching the 120
+    # races into unioned subplans was SLOWER (one 120-way union 108 s,
+    # 20-way chunks 59 s, vs 45 s for the loop on the same session) —
+    # each weighted_sample subplan re-plans its top-k subtree, so the
+    # union multiplies Catalyst work without removing any
     for s in range(n):
         (pick,) = weighted_sample(
             df, weight_col="w", key_col="doc_id", k=1, seed=f"seed{s}"

@@ -177,6 +177,10 @@ _PROP_INSTS = [
     ("Annex", None, None),      # institution with no city
 ]
 
+# institutions-batch silver, built from _PROP_INSTS and localCheckpointed
+# on first use (constant across hypothesis examples; see the test body)
+_PROP_INST_SILVER = None
+
 _aff_rows = st.lists(
     st.tuples(
         st.sampled_from(["u1", "u2", "u3"]),
@@ -201,11 +205,20 @@ def test_user_histories_match_python_model(spark, rows):
     base = datetime.date(2020, 1, 1)
     day = lambda off: (base + datetime.timedelta(days=off)).isoformat()
 
-    inst_stg = spark.createDataFrame(
-        [(n, c, cty, "United Kingdom") for n, c, cty in _PROP_INSTS],
-        "institution string, city string, county string, country string",
-    )
-    r1 = etl1.load_institutions(inst_stg)
+    # the institutions side is CONSTANT across every hypothesis example —
+    # build + materialize it once per session (round-16, VERDICT r15 #1:
+    # each of the 12 examples replayed the whole institutions batch
+    # inside both collects; this one test was 132 of the suite's 2749 s)
+    global _PROP_INST_SILVER
+    if _PROP_INST_SILVER is None:
+        inst_stg = spark.createDataFrame(
+            [(n, c, cty, "United Kingdom") for n, c, cty in _PROP_INSTS],
+            "institution string, city string, county string, country string",
+        )
+        r1 = etl1.load_institutions(inst_stg)
+        _PROP_INST_SILVER = {
+            k: df.localCheckpoint() for k, df in r1.silver.items()
+        }
     users_stg = spark.createDataFrame(
         [
             (f"X. {u.upper()}", u, f"{u}@x.org", inst, day(aoff), "", "",
@@ -217,7 +230,36 @@ def test_user_histories_match_python_model(spark, rows):
         " subscription_type string, subscription_start string,"
         " join_date string",
     )
-    r2 = etl1.load_users(users_stg, r1.silver)
+    r2 = etl1.load_users(users_stg, _PROP_INST_SILVER)
+    # ONE action per example (round-16): per-example cost here is
+    # Catalyst planning of the deep SCD2 DAG, paid per ACTION — so the
+    # two history tables are unioned into a single tagged projection
+    # and collected once instead of two separate collects each
+    # re-planning the whole load_users lineage
+    import pyspark.sql.functions as F
+
+    users_names = r2.silver["users"].select("user_id", "username")
+    ui_rows = (
+        r2.silver["user_institution"]
+        .join(users_names, "user_id")
+        .select(
+            F.lit("ui").alias("kind"), "username",
+            F.col("institution_name").alias("name_a"),
+            F.col("city_name").alias("name_b"),
+            "start_date", "end_date",
+        )
+    )
+    us_rows = (
+        r2.silver["user_subscription"]
+        .join(users_names, "user_id")
+        .select(
+            F.lit("us").alias("kind"), "username",
+            F.col("subscription_type_name").alias("name_a"),
+            F.lit(None).cast("string").alias("name_b"),
+            "start_date", "end_date",
+        )
+    )
+    collected = ui_rows.unionByName(us_rows).collect()
 
     # ---- python model: user_institution ----
     by_name: dict = {}
@@ -245,11 +287,10 @@ def test_user_histories_match_python_model(spark, rows):
                 (u, inst, city, base + datetime.timedelta(days=aoff), end)
             )
     got_ui = {
-        (r["username"], r["institution_name"], r["city_name"],
+        (r["username"], r["name_a"], r["name_b"],
          r["start_date"], r["end_date"])
-        for r in r2.silver["user_institution"]
-        .join(r2.silver["users"].select("user_id", "username"), "user_id")
-        .collect()
+        for r in collected
+        if r["kind"] == "ui"
     }
     assert got_ui == want_ui
 
@@ -277,10 +318,8 @@ def test_user_histories_match_python_model(spark, rows):
                 (u, sub, base + datetime.timedelta(days=soff), end)
             )
     got_us = {
-        (r["username"], r["subscription_type_name"],
-         r["start_date"], r["end_date"])
-        for r in r2.silver["user_subscription"]
-        .join(r2.silver["users"].select("user_id", "username"), "user_id")
-        .collect()
+        (r["username"], r["name_a"], r["start_date"], r["end_date"])
+        for r in collected
+        if r["kind"] == "us"
     }
     assert got_us == want_us

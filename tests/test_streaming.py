@@ -2496,12 +2496,27 @@ def test_stateful_idle_timeout_smoke(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        r["user_id"]: (r["n_events"], r["n_sessions"])
-        for r in spark.sql("SELECT * FROM idle_smoke").collect()
-    }
-    assert got == {1: (2, 1), 2: (1, 1)}
+    # with ProcessingTimeTimeout armed the availableNow query does not
+    # self-terminate after draining the source, so a blind
+    # awaitTermination(120) used to wait out its FULL budget (this one
+    # test was 120 of the suite's 2749 s; processAllAvailable also
+    # blocks forever on this query shape). Poll the sink for the
+    # expected state under the same 120 s deadline, then stop.
+    import time as _time
+
+    want = {1: (2, 1), 2: (1, 1)}
+    got = {}
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        got = {
+            r["user_id"]: (r["n_events"], r["n_sessions"])
+            for r in spark.sql("SELECT * FROM idle_smoke").collect()
+        }
+        if got == want:
+            break
+        _time.sleep(1)
+    q.stop()
+    assert got == want
 
 
 def test_stateful_idle_timeout_rejects_non_positive(spark):
