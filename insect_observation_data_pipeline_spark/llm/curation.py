@@ -365,7 +365,12 @@ def bigram_lm_scores(
     tk = F.filter(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != F.lit("")
     )
-    pairs = df.select(F.col(id_col), tk.alias("__tk")).filter(
+    # the tokenize + bigram-struct transform + explode below is the
+    # corpus-sized map stage; spread a single-split input first so it
+    # doesn't serialize on one task (round 16, the doc_shingles idiom)
+    from insect_observation_data_pipeline_spark.llm.dedup import spread_input
+
+    pairs = spread_input(df).select(F.col(id_col), tk.alias("__tk")).filter(
         F.size("__tk") >= 2
     )
     bg = pairs.select(

@@ -925,7 +925,14 @@ def bm25_topk(
     would let a last-ulp summation difference flip two near-equal
     scores across engines at the k boundary.
     """
-    tf_src = docs.select(
+    # the tokenize+explode feeding the tf aggregate is the corpus-sized
+    # map stage; on a single-split input (every testdata parquet is one
+    # file/one row group) it serializes on one task — spread first
+    # (round 16, the doc_shingles idiom; structurally a no-op whenever
+    # the scan already yields enough splits)
+    from insect_observation_data_pipeline_spark.llm.dedup import spread_input
+
+    tf_src = spread_input(docs).select(
         F.col(id_col),
         F.explode(
             F.filter(

@@ -514,6 +514,9 @@ def x17_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     is identical). N rides in as a broadcast 1-row frame, never a
     driver-side collect."""
     d = _t(spark, sf_dir, "documents")
+    # deliberately NOT spread_input (round-16 A/B): the bare
+    # tokenize+explode is too cheap for the extra exchange to pay
+    # (1.34 s unspread vs 1.49 s spread at sf0.1)
     terms = d.select(
         "doc_id",
         F.explode(textstats.tokens(F.lower(F.col("text")))).alias("term"),
