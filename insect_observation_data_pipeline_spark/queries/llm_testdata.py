@@ -158,8 +158,20 @@ def x34b_tf_cosine_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     x34 remains the exact-oracle baseline on documents."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
+    # one exchange instead of two on the vector build (round 16, guide
+    # §2.4): hash-repartitioning the projected fact join by customer
+    # satisfies BOTH downstream aggregations — the (doc, term) tf agg
+    # (custkey is a subset of its grouping key) and tf_cosine's
+    # doc-grain vecs agg, which inherits the custkey partitioning
+    # through the tf HashAggregate. A/B at sf0.1 (n=5 medians, same
+    # session): 2.90 -> 2.45 s, identical pairs.
     tf = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        li.select("l_orderkey", "l_partkey")
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .repartition(F.col("o_custkey"))
         .groupBy(
             F.col("o_custkey").alias("doc_id"),
             F.col("l_partkey").alias("term"),
