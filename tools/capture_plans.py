@@ -18,10 +18,15 @@ from insect_observation_data_pipeline_spark.queries import QUERIES  # noqa: E402
 
 
 def main() -> None:
+    if len(sys.argv) < 2:  # ADVICE r15: usage, not a bare IndexError
+        sys.exit(__doc__)
     suffix = sys.argv[1]
     args = sys.argv[2:]
     sf_dir = "/root/testdata/sf0.1"
-    if args and os.path.isdir(args[0]):
+    # ADVICE r15: only treat args[0] as sf_dir when it is NOT a known
+    # query name — a same-named directory in the cwd must not silently
+    # flip a one-query capture into a 120-query run
+    if args and args[0] not in QUERIES and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
     names = args or list(QUERIES)
     out_dir = os.path.join(

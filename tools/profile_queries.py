@@ -39,6 +39,11 @@ def _get(url: str):
 def profile(spark, sf_dir: str, names: list[str]) -> dict:
     sc = spark.sparkContext
     ui = sc.uiWebUrl  # e.g. http://host:4040
+    if ui is None:  # ADVICE r15: fail fast, not after the queries ran
+        sys.exit(
+            "Spark UI disabled (sc.uiWebUrl is None): the REST profiler "
+            "needs spark.ui.enabled=true"
+        )
     app_id = sc.applicationId
     base = f"{ui}/api/v1/applications/{app_id}"
     out: dict[str, dict] = {}
@@ -78,9 +83,20 @@ def profile(spark, sf_dir: str, names: list[str]) -> dict:
                 attempts = _get(f"{base}/stages/{sid}")
             except Exception:  # noqa: BLE001 — skipped/missing stage
                 continue
+            # ADVICE r15: a failed-and-retried stage must not be
+            # double-counted — keep only the latest attempt per stage
+            latest: dict[int, dict] = {}
             for st in attempts:
                 if st.get("status") == "SKIPPED":
                     continue
+                sid = st.get("stageId", -1)
+                if (
+                    sid not in latest
+                    or st.get("attemptId", 0)
+                    > latest[sid].get("attemptId", 0)
+                ):
+                    latest[sid] = st
+            for st in latest.values():
                 agg["n_stages"] += 1
                 agg["task_time_ms"] += st.get("executorRunTime", 0)
                 agg["input_mb"] += st.get("inputBytes", 0) / 1e6
@@ -97,7 +113,9 @@ def profile(spark, sf_dir: str, names: list[str]) -> dict:
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.1"
-    if args and os.path.isdir(args[0]):
+    # ADVICE r15: same disambiguation as capture_plans — a directory in
+    # the cwd named like a query must not consume the query argument
+    if args and args[0] not in QUERIES and os.path.isdir(args[0]):
         sf_dir, args = args[0], args[1:]
     names = args or list(QUERIES)
     spark = get_spark("profile")

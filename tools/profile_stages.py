@@ -33,6 +33,11 @@ def main() -> None:
     spark = get_spark("profile-stages")
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
+    if sc.uiWebUrl is None:  # ADVICE r15: fail fast
+        sys.exit(
+            "Spark UI disabled (sc.uiWebUrl is None): the REST profiler "
+            "needs spark.ui.enabled=true"
+        )
     base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
     # warm once so JIT noise doesn't dominate the ranking
     QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
