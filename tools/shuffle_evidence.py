@@ -96,9 +96,22 @@ def main() -> int:
     for sf_dir in SF_DIRS:
         sf = sf_dir.rsplit("sf", 1)[-1]
         result["context"][sf] = _context_counts(spark, sf_dir)
-        for name in ("w2_best_month_per_customer", "w2b_best_month_sketch"):
+        # x7 added round 16 (VERDICT r15 #4): record the minhash
+        # pipeline's per-stage shuffle records — the shared-shingle
+        # persist means the tokenize+signature pass shuffles once
+        # instead of once per consumer, and the band-join stage's
+        # records are the bucket-pair fan-out the verdict asked to see
+        for name in (
+            "w2_best_month_per_customer",
+            "w2b_best_month_sketch",
+            "x7_minhash_lsh",
+        ):
             df = QUERIES[name](spark, sf_dir)
             df.collect()  # warm (scans cached, codegen compiled)
+            # evict before measuring: persist-carrying queries (x7)
+            # otherwise CacheManager-match the warm pass's frames and
+            # every shuffle stage is SKIPPED (the inspect guard trips)
+            spark.catalog.clearCache()
             stages = shuffle_write_stages(QUERIES[name](spark, sf_dir))
             result["queries"].setdefault(name, {})[sf] = {
                 "shuffle_bytes": sum(s["bytes"] for s in stages),
